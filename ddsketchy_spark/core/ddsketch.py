@@ -1,0 +1,383 @@
+"""Pure-Python/NumPy DDSketch with exact reference semantics.
+
+The quantile math, dual-store + zero-bucket routing, merge law, and
+empty/singleton edge cases replicate the reference implementation
+(`/root/reference/src/ddsketchy.rs:163-700`, `/root/reference/src/python.rs:14-123`):
+
+- values |v| <  min_indexable_value (incl. exact 0, subnormals) -> zero bucket;
+  boundary is strict `<` — exactly min_indexable_value goes positive
+  (`/root/reference/tests/min_indexable_value.rs:9-53`)
+- non-finite inputs silently ignored (`/root/reference/src/ddsketchy.rs:242-244`)
+- quantile(q): empty -> 0.0; singleton -> the raw value; otherwise
+  rank = trunc(q*(count-1)) and a three-region rank walk
+  (negative store reversed, zero bucket, positive store)
+  (`/root/reference/src/ddsketchy.rs:518-556`)
+- min()/max() are *reconstructed* (quantile(0)/quantile(1)), +/-inf on empty
+  (`/root/reference/src/ddsketchy.rs:441-469`)
+- merge requires |gamma_a - gamma_b| <= 1e-10, is a no-op for an empty other,
+  and is associative & commutative (`/root/reference/src/ddsketchy.rs:286-306`)
+
+This one class serves both the driver-side API and the vectorized
+per-Arrow-batch path inside Spark UDFs (``add_batch`` is pure NumPy).
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import struct
+from typing import Iterable, Optional
+
+import numpy as np
+
+from .mapping import LogMapping
+from .store import Store
+
+DEFAULT_ALPHA = 0.01
+DEFAULT_MAX_BINS = 4096
+
+
+class DDSketch:
+    """Relative-error quantile sketch (DataDog dual-store semantics)."""
+
+    __slots__ = (
+        "_m",
+        "positive_store",
+        "negative_store",
+        "zero_count",
+        "_sum",
+        "_raw_min",
+        "_raw_max",
+        "max_bins",
+    )
+
+    def __init__(self, alpha: float = DEFAULT_ALPHA, max_bins: int = DEFAULT_MAX_BINS) -> None:
+        self._m = LogMapping(alpha)  # raises ValueError for invalid alpha
+        if max_bins < 1:
+            raise ValueError(f"max_bins must be >= 1, got {max_bins}")
+        self.max_bins = int(max_bins)
+        self.positive_store = Store(self.max_bins)
+        self.negative_store = Store(self.max_bins)
+        self.zero_count = 0
+        self._sum = 0.0
+        self._raw_min = math.inf
+        self._raw_max = -math.inf
+
+    # -- construction sugar ------------------------------------------------
+
+    @classmethod
+    def from_values(
+        cls, values: Iterable[float], alpha: float = DEFAULT_ALPHA, max_bins: int = DEFAULT_MAX_BINS
+    ) -> "DDSketch":
+        sk = cls(alpha, max_bins)
+        sk.add_batch(values)
+        return sk
+
+    # -- ingestion ---------------------------------------------------------
+
+    def add(self, value: float) -> None:
+        """Add one value. Non-finite values are silently ignored."""
+        value = float(value)
+        if not math.isfinite(value):
+            return
+        miv = self._m.min_indexable_value
+        if value >= miv:
+            self.positive_store.add(self._m.key(value))
+        elif value <= -miv:
+            self.negative_store.add(self._m.key(-value))
+        else:
+            self.zero_count += 1
+        self._sum += value
+        if value < self._raw_min:
+            self._raw_min = value
+        if value > self._raw_max:
+            self._raw_max = value
+
+    def add_batch(self, values: Iterable[float] | np.ndarray) -> None:
+        """Vectorized batch add — the hot path inside Arrow-batch UDFs."""
+        v = np.asarray(values, dtype=np.float64)
+        if v.ndim != 1:
+            v = v.ravel()
+        if len(v) == 0:
+            return
+        finite = np.isfinite(v)
+        if not finite.all():
+            v = v[finite]
+            if len(v) == 0:
+                return
+        miv = self._m.min_indexable_value
+        pos = v >= miv
+        neg = v <= -miv
+        n_pos = int(pos.sum())
+        n_neg = int(neg.sum())
+        if n_pos:
+            keys, counts = np.unique(self._m.keys_for(v[pos]), return_counts=True)
+            self.positive_store.add_keys(keys, counts.astype(np.int64))
+        if n_neg:
+            keys, counts = np.unique(self._m.keys_for(-v[neg]), return_counts=True)
+            self.negative_store.add_keys(keys, counts.astype(np.int64))
+        self.zero_count += len(v) - n_pos - n_neg
+        self._sum += float(v.sum())
+        lo = float(v.min())
+        hi = float(v.max())
+        if lo < self._raw_min:
+            self._raw_min = lo
+        if hi > self._raw_max:
+            self._raw_max = hi
+
+    def extend(self, values: Iterable[float]) -> None:
+        self.add_batch(values)
+
+    # -- merge -------------------------------------------------------------
+
+    def merge(self, other: "DDSketch") -> "DDSketch":
+        """Merge ``other`` into ``self``; returns self for chaining."""
+        if abs(self._m.gamma - other._m.gamma) > 1e-10:
+            raise ValueError(
+                f"alpha mismatch: cannot merge sketches with alpha "
+                f"{self.alpha!r} and {other.alpha!r}"
+            )
+        if other.count == 0:
+            return self
+        self.positive_store.merge(other.positive_store)
+        self.negative_store.merge(other.negative_store)
+        self.zero_count += other.zero_count
+        self._sum += other._sum
+        self._raw_min = min(self._raw_min, other._raw_min)
+        self._raw_max = max(self._raw_max, other._raw_max)
+        return self
+
+    # -- statistics --------------------------------------------------------
+
+    @property
+    def count(self) -> int:
+        return self.positive_store.count + self.negative_store.count + self.zero_count
+
+    def __len__(self) -> int:
+        return self.count
+
+    @property
+    def is_empty(self) -> bool:
+        return self.count == 0
+
+    @property
+    def sum(self) -> float:
+        return self._sum
+
+    @property
+    def mean(self) -> float:
+        c = self.count
+        return 0.0 if c == 0 else self._sum / c
+
+    @property
+    def min(self) -> float:
+        """Reconstructed minimum == quantile(0.0); +inf when empty."""
+        if self.count == 0:
+            return math.inf
+        return self.quantile(0.0)
+
+    @property
+    def max(self) -> float:
+        """Reconstructed maximum == quantile(1.0); -inf when empty."""
+        if self.count == 0:
+            return -math.inf
+        return self.quantile(1.0)
+
+    @property
+    def raw_min(self) -> float:
+        return self._raw_min
+
+    @property
+    def raw_max(self) -> float:
+        return self._raw_max
+
+    @property
+    def alpha(self) -> float:
+        return LogMapping.alpha_from_gamma(self._m.gamma)
+
+    @property
+    def gamma(self) -> float:
+        return self._m.gamma
+
+    def min_possible(self) -> float:
+        return self._m.min_indexable_value
+
+    def key(self, value: float) -> int:
+        return self._m.key(value)
+
+    def value(self, key: int) -> float:
+        return self._m.value(key)
+
+    # introspection (reference debug accessors, /root/reference/src/ddsketchy.rs:579-602)
+    def positive_store_count(self) -> int:
+        return self.positive_store.count
+
+    def negative_store_count(self) -> int:
+        return self.negative_store.count
+
+    def get_zero_count(self) -> int:
+        return self.zero_count
+
+    def positive_key_at_rank(self, rank: int) -> int:
+        return self.positive_store.key_at_rank(rank)
+
+    def clear(self) -> None:
+        """Reset data, keep alpha/max_bins configuration."""
+        self.positive_store = Store(self.max_bins)
+        self.negative_store = Store(self.max_bins)
+        self.zero_count = 0
+        self._sum = 0.0
+        self._raw_min = math.inf
+        self._raw_max = -math.inf
+
+    # -- quantiles ---------------------------------------------------------
+
+    def quantile(self, q: float) -> float:
+        """Estimate the q-quantile; 0.0 for an empty sketch."""
+        if not (isinstance(q, (int, float)) and 0.0 <= q <= 1.0):
+            raise ValueError(f"quantile must be in [0, 1], got {q!r}")
+        total = self.count
+        if total == 0:
+            return 0.0
+        if total == 1:
+            return self._raw_min  # singleton: exact raw value
+        rank = int(q * (total - 1.0))  # truncation -> lower quantile
+        neg = self.negative_store.count
+        zero = self.zero_count
+        if rank < neg:
+            key = self.negative_store.key_at_rank(neg - 1 - rank)
+            return -self._m.value(key)
+        elif rank < neg + zero:
+            return 0.0
+        else:
+            key = self.positive_store.key_at_rank(rank - zero - neg)
+            return self._m.value(key)
+
+    def quantile_opt(self, q: float) -> Optional[float]:
+        if not (isinstance(q, (int, float)) and 0.0 <= q <= 1.0):
+            raise ValueError(f"quantile must be in [0, 1], got {q!r}")
+        if self.count == 0:
+            return None
+        return self.quantile(q)
+
+    def quantiles(self, qs: Iterable[float]) -> list[float]:
+        return [self.quantile(q) for q in qs]
+
+    def percentiles(self) -> Optional[tuple[float, float, float, float]]:
+        """(P50, P90, P95, P99), or None when empty."""
+        if self.count == 0:
+            return None
+        return (
+            self.quantile(0.50),
+            self.quantile(0.90),
+            self.quantile(0.95),
+            self.quantile(0.99),
+        )
+
+    # -- codec -------------------------------------------------------------
+
+    _MAGIC = b"DDS1"
+    _HDR = struct.Struct("<dqdddI")  # alpha, zero_count, sum, raw_min, raw_max, max_bins
+
+    def to_bytes(self) -> bytes:
+        """Versioned little-endian state blob (shuffle / checkpoint format)."""
+        return (
+            self._MAGIC
+            + self._HDR.pack(
+                self._m.alpha, self.zero_count, self._sum, self._raw_min, self._raw_max,
+                self.max_bins,
+            )
+            + self.positive_store.to_bytes()
+            + self.negative_store.to_bytes()
+        )
+
+    @classmethod
+    def from_bytes(cls, buf: bytes) -> "DDSketch":
+        if buf[:4] != cls._MAGIC:
+            raise ValueError("not a DDSketch state blob")
+        alpha, zero_count, s, rmin, rmax, max_bins = cls._HDR.unpack_from(buf, 4)
+        sk = cls(alpha, max_bins)
+        sk.zero_count = zero_count
+        sk._sum = s
+        sk._raw_min = rmin
+        sk._raw_max = rmax
+        pos = 4 + cls._HDR.size
+        sk.positive_store, pos = Store.from_bytes_at(buf, pos)
+        sk.negative_store, pos = Store.from_bytes_at(buf, pos)
+        return sk
+
+    def to_json(self) -> str:
+        """JSON form mirroring the reference serde shape: min/max of +/-inf
+        encode as null (`/root/reference/src/serde_tests.rs:233-263`)."""
+        def _enc(x: float) -> Optional[float]:
+            return None if math.isinf(x) else x
+
+        def _store(s: Store) -> dict:
+            return {
+                "bins": s.bins.tolist(),
+                "count": s.count,
+                "min_key": s.min_key,
+                "max_key": s.max_key,
+                "offset": s.offset,
+                "bin_limit": s.bin_limit,
+                "is_collapsed": s.is_collapsed,
+            }
+
+        return json.dumps(
+            {
+                "alpha": self._m.alpha,
+                "gamma": self._m.gamma,
+                "count": self.count,
+                "sum": self._sum,
+                "min": _enc(self._raw_min),
+                "max": _enc(self._raw_max),
+                "zero_count": self.zero_count,
+                "max_bins": self.max_bins,
+                "positive_store": _store(self.positive_store),
+                "negative_store": _store(self.negative_store),
+            }
+        )
+
+    @classmethod
+    def from_json(cls, s: str) -> "DDSketch":
+        d = json.loads(s)
+        sk = cls(d["alpha"], d["max_bins"])
+        sk.zero_count = d["zero_count"]
+        sk._sum = d["sum"]
+        sk._raw_min = math.inf if d["min"] is None else d["min"]
+        sk._raw_max = -math.inf if d["max"] is None else d["max"]
+        for name in ("positive_store", "negative_store"):
+            sd = d[name]
+            st = Store(sd["bin_limit"])
+            st.bins = np.asarray(sd["bins"], dtype=np.int64)
+            st.count = sd["count"]
+            st.min_key = sd["min_key"]
+            st.max_key = sd["max_key"]
+            st.offset = sd["offset"]
+            st.is_collapsed = sd["is_collapsed"]
+            setattr(sk, name, st)
+        return sk
+
+    # -- dunder ------------------------------------------------------------
+
+    def __eq__(self, other: object) -> bool:
+        if not isinstance(other, DDSketch):
+            return NotImplemented
+        return (
+            self._m.alpha == other._m.alpha
+            and self.max_bins == other.max_bins
+            and self.zero_count == other.zero_count
+            and self._sum == other._sum
+            and self._raw_min == other._raw_min
+            and self._raw_max == other._raw_max
+            and self.positive_store == other.positive_store
+            and self.negative_store == other.negative_store
+        )
+
+    def __repr__(self) -> str:
+        return (
+            f"DDSketch(count={self.count}, alpha={self.alpha}, "
+            f"min={self._raw_min}, max={self._raw_max}, mean={self.mean})"
+        )
+
+    __str__ = __repr__
