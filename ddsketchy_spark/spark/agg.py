@@ -1,0 +1,302 @@
+"""Generic two-phase mergeable sketch aggregation for Spark DataFrames.
+
+This is the distributed shape the reference is designed for
+(`/root/reference/README.md:25` "efficient sketch merging";
+`/root/reference/src/datadog_reference_tests.rs:362-400`): build independent
+sketches on disjoint data, merge associatively, query the merged sketch.
+
+Execution plan (scale-first; designed for 1000-executor / 100 TB inputs):
+
+  parquet scan  (Catalyst prunes columns: only key + value cols are read)
+    -> Stage 1: ``mapInArrow`` — per Arrow batch, vectorized NumPy add into
+       one local sketch per group key (map-side combine). Emits one state
+       blob row per (partition x key). NO raw-row shuffle ever happens:
+       a 10^12-row input shuffles only #partitions x #keys blobs of ~KB.
+    -> Stage 2 (grouped): ``groupBy(keys).applyInPandas(merge)`` — blob
+       count per key == #partitions that saw the key; an optional salted
+       pre-round (``merge_rounds=2``) tree-reduces first when #partitions
+       is huge or one key dominates (skew).
+    -> Stage 2 (global): ``repartition(fanout)`` round-robin of blobs ->
+       per-task merge -> <=fanout blobs to the driver -> final merge.
+       Driver work is O(fanout), never O(#partitions).
+
+Aggregators are pluggable: anything with make/add_arrow/merge_blobs/finalize
+(DDSketch, HLL, CMS, t-digest, KLL, Bloom) runs through the same harness.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Callable, Iterable, Iterator, Sequence
+
+import numpy as np
+import pyarrow as pa
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+DEFAULT_FANOUT = 64
+
+
+# ---------------------------------------------------------------------------
+# Arrow value extraction (vectorized, no per-row Python)
+# ---------------------------------------------------------------------------
+
+
+def numeric_values(arr: pa.ChunkedArray | pa.Array) -> np.ndarray:
+    """Flatten an Arrow column (scalar numeric OR list<numeric>) to float64.
+
+    List columns are flattened via Arrow offsets (zero-copy for the values
+    buffer) — the distributed analogue of consuming ``tokens`` arrays without
+    an ``explode`` shuffle.
+    """
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    if pa.types.is_list(arr.type) or pa.types.is_large_list(arr.type):
+        arr = arr.flatten()
+    if arr.null_count:
+        arr = arr.drop_null()
+    return arr.to_numpy(zero_copy_only=False).astype(np.float64, copy=False)
+
+
+def raw_column(arr: pa.ChunkedArray | pa.Array) -> pa.Array:
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    return arr
+
+
+# ---------------------------------------------------------------------------
+# Aggregator protocol
+# ---------------------------------------------------------------------------
+
+
+class SketchAggregator:
+    """Base class: a sketch family registered into the two-phase harness.
+
+    Subclasses define:
+      - ``value_cols``: input columns the scan must retain (column pruning)
+      - ``make()``: fresh empty sketch state
+      - ``add_arrow(state, table)``: vectorized ingest of a pyarrow Table
+        slice (already filtered to one group)
+      - ``merge_blobs(blobs)``: associative merge of serialized states
+      - ``finalize(blob)``: dict of output column -> value
+      - ``output_fields()``: Spark StructFields for finalize outputs
+    """
+
+    value_cols: Sequence[str] = ()
+
+    def make(self) -> Any:
+        raise NotImplementedError
+
+    def add_arrow(self, state: Any, table: pa.Table) -> None:
+        raise NotImplementedError
+
+    def state_bytes(self, state: Any) -> bytes:
+        return state.to_bytes()
+
+    def merge_blobs(self, blobs: Iterable[bytes]) -> bytes:
+        raise NotImplementedError
+
+    def finalize(self, blob: bytes) -> dict[str, Any]:
+        raise NotImplementedError
+
+    def output_fields(self) -> list[StructField]:
+        raise NotImplementedError
+
+
+# ---------------------------------------------------------------------------
+# Phase 1: partial state build (mapInArrow, map-side combine)
+# ---------------------------------------------------------------------------
+
+
+def build_partials(
+    df: DataFrame,
+    agg: SketchAggregator,
+    by: Sequence[str] | None = None,
+) -> DataFrame:
+    """One state blob per (input partition x group key). Never shuffles rows."""
+    by = list(by or [])
+    needed = by + [c for c in agg.value_cols if c not in by]
+    pruned = df.select(*needed)
+
+    in_fields = {f.name: f for f in pruned.schema.fields}
+    out_schema = StructType([in_fields[k] for k in by] + [StructField("state", BinaryType())])
+    in_arrow = to_arrow_schema(pruned.schema)
+    arrow_key_fields = [pa.field(k, in_arrow.field(k).type) for k in by]
+    arrow_schema = pa.schema(arrow_key_fields + [pa.field("state", pa.binary())])
+
+    def build(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        states: dict[tuple, Any] = {}
+        key_values: dict[tuple, tuple] = {}
+        for batch in batches:
+            tbl = pa.Table.from_batches([batch])
+            if not by:
+                key = ()
+                st = states.get(key)
+                if st is None:
+                    st = states[key] = agg.make()
+                    key_values[key] = ()
+                agg.add_arrow(st, tbl)
+                continue
+            # group rows by key columns via numpy unique over a row-key codec
+            gids, uniques_rows = _group_ids(tbl, by)
+            for g, krow in enumerate(uniques_rows):
+                idx = np.nonzero(gids == g)[0]
+                sub = tbl.take(pa.array(idx, type=pa.int64()))
+                kt = tuple(krow)
+                st = states.get(kt)
+                if st is None:
+                    st = states[kt] = agg.make()
+                    key_values[kt] = kt
+                agg.add_arrow(st, sub)
+
+        if not states:
+            return
+        keys = list(states.keys())
+        blobs = [agg.state_bytes(states[k]) for k in keys]
+        cols: list[pa.Array] = []
+        for j, kcol in enumerate(by):
+            cols.append(pa.array([key_values[k][j] for k in keys], type=arrow_schema.field(kcol).type))
+        cols.append(pa.array(blobs, type=pa.binary()))
+        yield pa.RecordBatch.from_arrays(cols, schema=arrow_schema)
+
+    return pruned.mapInArrow(build, out_schema)
+
+
+def _group_ids(tbl: pa.Table, by: Sequence[str]) -> tuple[np.ndarray, list[tuple]]:
+    """Vectorized group-id assignment for the key columns of one batch."""
+    import pandas as pd
+
+    kdf = tbl.select(list(by)).to_pandas()
+    grouped = kdf.groupby(list(by), sort=False, dropna=False)
+    gids = np.empty(len(kdf), dtype=np.int64)
+    uniques: list[tuple] = []
+    for g, (key, idx) in enumerate(grouped.indices.items()):
+        if not isinstance(key, tuple):
+            key = (key,)
+        uniques.append(key)
+        gids[idx] = g
+    return gids, uniques
+
+
+def to_arrow_schema(schema: StructType) -> pa.Schema:
+    from pyspark.sql.pandas.types import to_arrow_schema as _tas
+
+    return _tas(schema)
+
+
+# ---------------------------------------------------------------------------
+# Phase 2: associative merge
+# ---------------------------------------------------------------------------
+
+
+def merge_grouped(
+    partials: DataFrame,
+    agg: SketchAggregator,
+    by: Sequence[str],
+    merge_rounds: int = 1,
+    fanout: int = DEFAULT_FANOUT,
+    keep_state: bool = False,
+) -> DataFrame:
+    """Merge per-key partial states; returns one row per key with the
+    estimator outputs (and optionally the final state blob)."""
+    by = list(by)
+    key_fields = [f for f in partials.schema.fields if f.name in by]
+
+    if merge_rounds > 1:
+        # Salted tree pre-round: bounds any single task's blob count and
+        # breaks skew when one key dominates (north_rule skew handling).
+        salted = partials.withColumn("_salt", F.pmod(F.xxhash64(F.col("state")), F.lit(fanout)))
+        pre_schema = StructType(key_fields + [StructField("state", BinaryType())])
+
+        def pre_merge(pdf):
+            import pandas as pd
+
+            blob = agg.merge_blobs(list(pdf["state"]))
+            row = {k: [pdf[k].iloc[0]] for k in by}
+            row["state"] = [blob]
+            return pd.DataFrame(row)
+
+        partials = salted.groupBy(*by, "_salt").applyInPandas(pre_merge, pre_schema)
+
+    out_fields = key_fields + agg.output_fields()
+    if keep_state:
+        out_fields = out_fields + [StructField("state", BinaryType())]
+    out_schema = StructType(out_fields)
+
+    def final_merge(pdf):
+        import pandas as pd
+
+        blob = agg.merge_blobs(list(pdf["state"]))
+        out = {k: [pdf[k].iloc[0]] for k in by}
+        for name, val in agg.finalize(blob).items():
+            out[name] = [val]
+        if keep_state:
+            out["state"] = [blob]
+        return pd.DataFrame(out)
+
+    return partials.groupBy(*by).applyInPandas(final_merge, out_schema)
+
+
+def merge_global(
+    partials: DataFrame,
+    agg: SketchAggregator,
+    fanout: int = DEFAULT_FANOUT,
+) -> bytes:
+    """Tree-reduce all partial blobs to ONE state blob.
+
+    Round 1 runs on executors (round-robin repartition -> per-task merge),
+    so the driver only ever merges <= fanout blobs regardless of input
+    partition count.
+    """
+    schema = StructType([StructField("state", BinaryType())])
+
+    def merge_part(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        blobs: list[bytes] = []
+        for b in batches:
+            blobs.extend(v.as_py() for v in b.column(0))
+        if blobs:
+            yield pa.RecordBatch.from_arrays(
+                [pa.array([agg.merge_blobs(blobs)], type=pa.binary())],
+                names=["state"],
+            )
+
+    reduced = partials.select("state").repartition(fanout).mapInArrow(merge_part, schema)
+    blobs = [r["state"] for r in reduced.collect()]
+    if not blobs:
+        return agg.state_bytes(agg.make())
+    return agg.merge_blobs(blobs)
+
+
+# ---------------------------------------------------------------------------
+# High-level entry
+# ---------------------------------------------------------------------------
+
+
+def sketch_aggregate(
+    df: DataFrame,
+    agg: SketchAggregator,
+    by: Sequence[str] | None = None,
+    merge_rounds: int = 1,
+    fanout: int = DEFAULT_FANOUT,
+    keep_state: bool = False,
+):
+    """Run the full two-phase aggregation.
+
+    Grouped (``by`` given): returns a DataFrame, one row per key.
+    Global: returns the finalize() dict (driver-side result).
+    """
+    partials = build_partials(df, agg, by)
+    if by:
+        return merge_grouped(partials, agg, by, merge_rounds=merge_rounds, fanout=fanout,
+                             keep_state=keep_state)
+    blob = merge_global(partials, agg, fanout=fanout)
+    out = agg.finalize(blob)
+    if keep_state:
+        out["state"] = blob
+    return out

@@ -1,0 +1,132 @@
+"""Spark-level DDSketch aggregation tests.
+
+Gate: the distributed two-phase aggregation (per-partition vectorized build
+-> associative blob merge) must produce bit-identical estimates to a local
+single-sketch build over the same rows, for scalar columns, array (token)
+columns, grouped and global paths, with and without the salted tree
+pre-round, at any partitioning.
+"""
+
+import math
+
+import numpy as np
+import pyarrow.parquet as pq
+import pytest
+
+from ddsketchy_spark import DDSketch
+from ddsketchy_spark.data.synth import read_tokens
+from ddsketchy_spark.spark.ddsketch_agg import (
+    ddsketch_quantiles,
+    ddsketch_state,
+    quantile_label,
+)
+
+QS = [0.5, 0.9, 0.99, 0.999]
+
+
+def local_sketch_ntok(path, alpha=0.01):
+    tbl = pq.read_table(path, columns=["n_tok"])
+    sk = DDSketch(alpha)
+    sk.add_batch(tbl.column("n_tok").to_numpy().astype(np.float64))
+    return sk
+
+
+def test_global_matches_local_bitwise(spark, token_table_path):
+    df = read_tokens(spark, token_table_path)
+    res = ddsketch_quantiles(df, "n_tok", quantiles=QS)
+    local = local_sketch_ntok(token_table_path)
+    assert res["count"] == local.count == 20_000
+    for q in QS:
+        assert res[quantile_label(q)] == local.quantile(q), q
+    assert res["min"] == local.quantile(0.0)
+    assert res["max"] == local.quantile(1.0)
+    assert res["mean"] == pytest.approx(local.mean, rel=1e-12)
+
+
+def test_partitioning_invariance(spark, token_table_path):
+    df = read_tokens(spark, token_table_path)
+    r1 = ddsketch_quantiles(df.repartition(13), "n_tok", quantiles=QS)
+    r2 = ddsketch_quantiles(df.coalesce(1), "n_tok", quantiles=QS)
+    for q in QS:
+        assert r1[quantile_label(q)] == r2[quantile_label(q)]
+    assert r1["count"] == r2["count"]
+
+
+def test_grouped_matches_local(spark, token_table_path):
+    df = read_tokens(spark, token_table_path)
+    out = ddsketch_quantiles(df, "n_tok", by=["source"], quantiles=QS)
+    rows = {r["source"]: r for r in out.collect()}
+
+    tbl = pq.read_table(token_table_path, columns=["n_tok", "source"])
+    src = np.asarray(tbl.column("source").to_pylist())
+    vals = tbl.column("n_tok").to_numpy().astype(np.float64)
+    for s in np.unique(src):
+        local = DDSketch(0.01)
+        local.add_batch(vals[src == s])
+        row = rows[s]
+        assert row["count"] == local.count
+        for q in QS:
+            assert row[quantile_label(q)] == local.quantile(q), (s, q)
+
+
+def test_grouped_salted_tree_round_identical(spark, token_table_path):
+    """merge_rounds=2 (salted pre-merge for skew) changes the plan, not the
+    estimates — merge is associative & commutative."""
+    df = read_tokens(spark, token_table_path)
+    direct = {r["source"]: r for r in
+              ddsketch_quantiles(df, "n_tok", by=["source"], quantiles=QS).collect()}
+    salted = {r["source"]: r for r in
+              ddsketch_quantiles(df, "n_tok", by=["source"], quantiles=QS,
+                                 merge_rounds=2, fanout=8).collect()}
+    assert direct.keys() == salted.keys()
+    for s in direct:
+        for q in QS:
+            assert direct[s][quantile_label(q)] == salted[s][quantile_label(q)]
+        assert direct[s]["count"] == salted[s]["count"]
+
+
+def test_token_array_column(spark, token_table_path):
+    """Sketching the tokens array column (flattened via Arrow offsets, no
+    explode) matches a local flatten."""
+    df = read_tokens(spark, token_table_path)
+    res = ddsketch_quantiles(df, "tokens", quantiles=[0.5, 0.99])
+    tbl = pq.read_table(token_table_path, columns=["tokens"])
+    flat = tbl.column("tokens").combine_chunks().flatten().to_numpy().astype(np.float64)
+    local = DDSketch(0.01)
+    local.add_batch(flat)
+    assert res["count"] == local.count == len(flat)
+    assert res[quantile_label(0.5)] == local.quantile(0.5)
+    assert res[quantile_label(0.99)] == local.quantile(0.99)
+
+
+def test_accuracy_within_alpha_vs_exact(spark, token_table_path):
+    df = read_tokens(spark, token_table_path)
+    alpha = 0.01
+    res = ddsketch_quantiles(df, "n_tok", alpha=alpha, quantiles=QS)
+    tbl = pq.read_table(token_table_path, columns=["n_tok"])
+    sv = np.sort(tbl.column("n_tok").to_numpy().astype(np.float64))
+    for q in QS:
+        lo = sv[math.floor(q * (len(sv) - 1))]
+        hi = sv[math.ceil(q * (len(sv) - 1))]
+        est = res[quantile_label(q)]
+        assert (1 - alpha) * lo - 1e-9 <= est <= (1 + alpha) * hi + 1e-9, q
+
+
+def test_state_roundtrip_through_spark(spark, token_table_path):
+    df = read_tokens(spark, token_table_path)
+    sk = ddsketch_state(df, "n_tok")
+    local = local_sketch_ntok(token_table_path)
+    assert sk.count == local.count
+    for q in QS:
+        assert sk.quantile(q) == local.quantile(q)
+
+
+def test_events_value_testdata(spark, sf001_dir):
+    """Driver testdata smoke: p50/p99 of events.value within alpha of exact."""
+    df = spark.read.parquet(f"{sf001_dir}/events.parquet")
+    res = ddsketch_quantiles(df, "value", quantiles=[0.5, 0.99])
+    vals = np.sort(np.asarray([r["value"] for r in df.select("value").collect()]))
+    for q in [0.5, 0.99]:
+        exact = vals[int(q * (len(vals) - 1))]
+        est = res[quantile_label(q)]
+        assert abs(est - exact) <= 0.011 * abs(exact) + 1e-9
