@@ -1,0 +1,188 @@
+"""Benchmark harness (driver-run, per-round).
+
+Runs the headline sketch queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS], plus a token-table
+sketch-build throughput probe, and prints ONE JSON line:
+
+  {"metric": "suite_seconds", "value": N, "unit": "sec",
+   "queries": {...per-query seconds...}, "sf": ...,
+   "tokens_per_sec": ..., "max_rel_err": ..., "alpha": 0.01,
+   "scaling": {"cpus_lo": 8, "cpus_hi": 32, "thru_lo": ..., "thru_hi": ...,
+               "efficiency": ...}}
+
+The scaling block evidences the north-rule two-cluster-size criterion by
+running the same token-build job at two parallelism levels (local[8] vs
+local[32]) on the same input; efficiency = (thru_hi/thru_lo)/(cpus_hi/cpus_lo).
+Skipped when SPARK_GRAFT_BENCH_SCALING=0.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+ALPHA = 0.01
+TOKEN_ROWS = int(os.environ.get("SPARK_GRAFT_BENCH_TOKEN_ROWS", "800000"))
+TOKEN_DIR = f"/tmp/ddsketchy_bench/tokens_{TOKEN_ROWS}"
+
+
+def _sf_label(sf_dir: str) -> float:
+    base = os.path.basename(sf_dir.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return -1.0
+
+
+def ensure_token_table() -> str:
+    from ddsketchy_spark.data.synth import write_token_table
+
+    write_token_table(TOKEN_DIR, n_rows=TOKEN_ROWS, seed=42, rows_per_file=25_000)
+    return TOKEN_DIR
+
+
+def token_build_probe(cpus: int) -> dict:
+    """Build a global DDSketch over the flattened tokens column; report
+    tokens ingested per second of wall-clock (scan + build + merge)."""
+    from ddsketchy_spark.spark.ddsketch_agg import ddsketch_quantiles
+    from ddsketchy_spark.spark.session import get_spark
+
+    path = ensure_token_table()
+    spark = get_spark(f"bench-tokens-{cpus}", master=f"local[{cpus}]",
+                      shuffle_partitions=cpus)
+    try:
+        df = spark.read.parquet(path)
+        # Warm-up run amortizes one-time costs (whole-stage codegen compile,
+        # Python worker pool startup) so the measurement reflects steady-state
+        # throughput — the quantity that extrapolates to a long-running job.
+        # Each timed trial builds a fresh plan (new DataFrame), so no AQE
+        # stage reuse; median of 3 absorbs scheduler noise.
+        ddsketch_quantiles(df, "tokens", alpha=ALPHA, quantiles=(0.5,))
+        trials = []
+        out = None
+        for _ in range(3):
+            t0 = time.perf_counter()
+            out = ddsketch_quantiles(df, "tokens", alpha=ALPHA,
+                                     quantiles=(0.5, 0.9, 0.99, 0.999))
+            trials.append(time.perf_counter() - t0)
+        dt = sorted(trials)[1]
+        return {"tokens": out["count"], "seconds": dt,
+                "trials": [round(t, 3) for t in trials],
+                "tokens_per_sec": out["count"] / dt}
+    finally:
+        spark.stop()
+
+
+def main() -> None:
+    if len(sys.argv) > 2 and sys.argv[1] == "--token-probe":
+        print(json.dumps(token_build_probe(int(sys.argv[2]))))
+        return
+
+    from ddsketchy_spark.spark.ddsketch_agg import ddsketch_quantiles, quantile_label
+    from ddsketchy_spark.spark.session import get_spark
+
+    import __spark_entry__ as entrymod
+
+    ensure_token_table()
+    spark = get_spark("bench", master=f"local[{CPUS}]", shuffle_partitions=CPUS)
+    queries = {}
+    t_suite = time.perf_counter()
+
+    # q1-q4: headline sketch queries on the driver-provided SF tables
+    qdefs = {
+        "q1_events_value_global": ("dds_events_value_global",),
+        "q2_events_value_by_type": ("dds_events_value_by_type",),
+        "q3_lineitem_quantity_by_returnflag": ("dds_lineitem_quantity_by_returnflag",),
+        "q4_lineitem_extendedprice_global": ("dds_lineitem_extendedprice_global",),
+    }
+    entry_queries = entrymod.queries()
+    for name, (key,) in qdefs.items():
+        t0 = time.perf_counter()
+        df = entry_queries[key](spark, SF_DIR)
+        df.collect()
+        queries[name] = round(time.perf_counter() - t0, 3)
+
+    # q5: token-table sketch build (n_tok global + per-source) on this session
+    tdf = spark.read.parquet(TOKEN_DIR)
+    t0 = time.perf_counter()
+    global_out = ddsketch_quantiles(tdf, "n_tok", alpha=ALPHA,
+                                    quantiles=(0.5, 0.9, 0.99, 0.999))
+    ddsketch_quantiles(tdf, "n_tok", by=["source"], alpha=ALPHA,
+                       quantiles=(0.5, 0.99)).collect()
+    queries["q5_tokens_ntok_global_and_by_source"] = round(time.perf_counter() - t0, 3)
+
+    # accuracy: max relative error of the n_tok estimates vs exact quantiles
+    import duckdb
+
+    exact = {}
+    for q in (0.5, 0.9, 0.99, 0.999):
+        exact[q] = duckdb.sql(
+            f"SELECT quantile_disc(CAST(n_tok AS DOUBLE), {q}) FROM '{TOKEN_DIR}/*.parquet'"
+        ).fetchone()[0]
+    max_rel_err = max(
+        abs(global_out[quantile_label(q)] - exact[q]) / exact[q] for q in exact
+    )
+    spark.stop()
+
+    # q6: token-build throughput + scaling efficiency at multiple parallelism
+    # levels (the two-cluster-size criterion, evidenced as N vs 4N cores on
+    # this single box; see BENCH/BASELINE.md for the bandwidth-saturation
+    # caveat at 32 threads).
+    scaling = None
+    tokens_per_sec = None
+    if os.environ.get("SPARK_GRAFT_BENCH_SCALING", "1") != "0":
+        levels = (8, 32)
+        probes = {}
+        for c in levels:
+            t0 = time.perf_counter()
+            r = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--token-probe", str(c)],
+                capture_output=True, text=True,
+                env={**os.environ, "SPARK_GRAFT_BENCH_SCALING": "0"},
+            )
+            line = r.stdout.strip().splitlines()[-1]
+            probes[c] = json.loads(line)
+            queries[f"q6_token_build_local{c}"] = round(time.perf_counter() - t0, 3)
+        tokens_per_sec = max(p["tokens_per_sec"] for p in probes.values())
+        pairs = []
+        for lo_c, hi_c in ((8, 32),):
+            eff = (probes[hi_c]["tokens_per_sec"] / probes[lo_c]["tokens_per_sec"]) / (
+                hi_c / lo_c
+            )
+            pairs.append(
+                {
+                    "cpus_lo": lo_c, "cpus_hi": hi_c,
+                    "thru_lo": round(probes[lo_c]["tokens_per_sec"]),
+                    "thru_hi": round(probes[hi_c]["tokens_per_sec"]),
+                    "efficiency": round(eff, 3),
+                }
+            )
+        scaling = {"pairs": pairs, "efficiency": pairs[0]["efficiency"]}
+
+    total = round(time.perf_counter() - t_suite, 3)
+    out = {
+        "metric": "suite_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": queries,
+        "sf": _sf_label(SF_DIR),
+        "alpha": ALPHA,
+        "max_rel_err": round(max_rel_err, 6),
+        "token_rows": TOKEN_ROWS,
+    }
+    if tokens_per_sec is not None:
+        out["tokens_per_sec"] = round(tokens_per_sec)
+        out["scaling"] = scaling
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -66,9 +66,14 @@ def write_token_table(
     n_rows: int,
     seed: int = 42,
     rows_per_file: int = 250_000,
+    row_group_rows: int = 4096,
     overwrite: bool = False,
 ) -> str:
-    """Write the token table as a multi-file Parquet dataset."""
+    """Write the token table as a multi-file Parquet dataset.
+
+    ``row_group_rows`` keeps row groups small enough that Spark can split a
+    file across tasks (a parquet file never splits below row-group
+    granularity — one giant row group per file serializes the scan)."""
     if os.path.isdir(path) and not overwrite:
         existing = [f for f in os.listdir(path) if f.endswith(".parquet")]
         if existing:
@@ -79,7 +84,11 @@ def write_token_table(
     while i < n_rows:
         c = min(rows_per_file, n_rows - i)
         tbl = row_block(seed, i, c)
-        pq.write_table(tbl, os.path.join(path, f"part-{part:05d}.parquet"))
+        pq.write_table(
+            tbl,
+            os.path.join(path, f"part-{part:05d}.parquet"),
+            row_group_size=row_group_rows,
+        )
         i += c
         part += 1
     return path

@@ -121,6 +121,66 @@ def test_state_roundtrip_through_spark(spark, token_table_path):
         assert sk.quantile(q) == local.quantile(q)
 
 
+def test_native_engine_matches_arrow_global(spark, token_table_path):
+    """Both engines implement the same bucketing law -> identical estimates."""
+    df = read_tokens(spark, token_table_path)
+    nat = ddsketch_quantiles(df, "n_tok", quantiles=QS, engine="native")
+    arr = ddsketch_quantiles(df, "n_tok", quantiles=QS, engine="arrow")
+    assert nat["count"] == arr["count"]
+    assert nat["sum"] == pytest.approx(arr["sum"], rel=1e-12)
+    for q in QS:
+        assert nat[quantile_label(q)] == arr[quantile_label(q)], q
+    assert nat["min"] == arr["min"] and nat["max"] == arr["max"]
+
+
+def test_native_engine_matches_arrow_tokens_array(spark, token_table_path):
+    df = read_tokens(spark, token_table_path)
+    nat = ddsketch_quantiles(df, "tokens", quantiles=[0.5, 0.99], engine="native")
+    arr = ddsketch_quantiles(df, "tokens", quantiles=[0.5, 0.99], engine="arrow")
+    assert nat["count"] == arr["count"]
+    for q in [0.5, 0.99]:
+        assert nat[quantile_label(q)] == arr[quantile_label(q)]
+
+
+def test_native_engine_grouped_matches_arrow(spark, token_table_path):
+    df = read_tokens(spark, token_table_path)
+    nat = {r["source"]: r for r in
+           ddsketch_quantiles(df, "n_tok", by=["source"], quantiles=QS,
+                              engine="native").collect()}
+    arr = {r["source"]: r for r in
+           ddsketch_quantiles(df, "n_tok", by=["source"], quantiles=QS,
+                              engine="arrow").collect()}
+    assert nat.keys() == arr.keys()
+    for s in nat:
+        assert nat[s]["count"] == arr[s]["count"]
+        for q in QS:
+            assert nat[s][quantile_label(q)] == arr[s][quantile_label(q)], (s, q)
+
+
+def test_native_engine_mixed_sign_and_specials(spark):
+    """Negative store, zero bucket, and non-finite filtering in the native
+    engine match the local core sketch exactly."""
+    vals = [-1000.0, -3.5, -1e-300, 0.0, 0.0, 1e-300, 2.5, 7.0, 7.0, 400.0]
+    specials = [float("nan"), float("inf"), float("-inf")]
+    df = spark.createDataFrame([(v,) for v in vals + specials], "x double")
+    res = ddsketch_quantiles(df, "x", quantiles=[0.0, 0.25, 0.5, 0.75, 1.0],
+                             engine="native")
+    local = DDSketch.from_values(vals + specials)
+    assert res["count"] == local.count == len(vals)
+    for q in [0.0, 0.25, 0.5, 0.75, 1.0]:
+        assert res[quantile_label(q)] == local.quantile(q), q
+    assert res["sum"] == pytest.approx(local.sum, rel=1e-12)
+
+
+def test_native_singleton_group(spark):
+    """count==1 returns the raw value exactly (reference singleton law)."""
+    df = spark.createDataFrame([("a", 42.0), ("b", 7.0), ("b", 9.0)], "g string, x double")
+    rows = {r["g"]: r for r in
+            ddsketch_quantiles(df, "x", by=["g"], quantiles=[0.5], engine="native").collect()}
+    assert rows["a"]["p50"] == 42.0
+    assert rows["a"]["count"] == 1
+
+
 def test_events_value_testdata(spark, sf001_dir):
     """Driver testdata smoke: p50/p99 of events.value within alpha of exact."""
     df = spark.read.parquet(f"{sf001_dir}/events.parquet")
