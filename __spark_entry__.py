@@ -159,6 +159,111 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["exact_events_count_by_type"] = exact_counts
+
+    # -- companion sketches: exact columns cross-check DuckDB; the sketch's
+    # -- error-bound guarantee is materialized as boolean columns (oracle
+    # -- side asserts TRUE), so a bound violation shows up as a hash mismatch.
+
+    def hll_users_by_type(spark, sf):
+        from ddsketchy_spark.spark.companions import hll_distinct
+
+        df = _load(spark, sf, "events")
+        est = hll_distinct(df, "user_id", by=["event_type"], p=14)
+        exact = df.groupBy("event_type").agg(
+            F.countDistinct("user_id").alias("users_exact"))
+        joined = exact.join(est, "event_type")
+        return joined.select(
+            "event_type", "users_exact",
+            (F.abs(F.col("distinct_est") - F.col("users_exact"))
+             <= 0.05 * F.col("users_exact") + F.lit(2)).alias("hll_ok"),
+        ).orderBy("event_type")
+
+    q["hll_users_by_event_type"] = hll_users_by_type
+
+    def cms_partkey_freq(spark, sf):
+        from ddsketchy_spark.core.cms import CountMinSketch
+        from ddsketchy_spark.spark.companions import cms_state
+
+        df = _load(spark, sf, "lineitem")
+        out = cms_state(df, "l_partkey", depth=5, width=1 << 14)
+        cm = CountMinSketch.from_bytes(out["state"])
+        exact = (df.filter(F.col("l_partkey") <= 20).groupBy("l_partkey")
+                 .agg(F.count(F.lit(1)).alias("cnt")))
+        import numpy as _np
+        import math as _math
+
+        rows = exact.collect()
+        keys = _np.asarray([r["l_partkey"] for r in rows], dtype=_np.int64)
+        est = cm.query_batch(keys)
+        eps_n = (_math.e / cm.width) * cm.total
+        data = [
+            (int(k), int(c), bool(e >= c), bool(e - c <= eps_n))
+            for k, c, e in zip(keys, (r["cnt"] for r in rows), est)
+        ]
+        return spark.createDataFrame(
+            data, "l_partkey long, cnt long, cms_lower_ok boolean, cms_upper_ok boolean"
+        ).orderBy("l_partkey")
+
+    q["cms_partkey_freq"] = cms_partkey_freq
+
+    def bloom_orderkeys(spark, sf):
+        from ddsketchy_spark.core.bloom import BloomFilter
+        from ddsketchy_spark.spark.companions import bloom_state
+
+        li = _load(spark, sf, "lineitem")
+        out = bloom_state(li, "l_orderkey", n_bits=1 << 20, n_hashes=7)
+        bf = BloomFilter.from_bytes(out["state"])
+        import numpy as _np
+
+        present = _np.asarray(
+            [r["k"] for r in li.select(F.col("l_orderkey").alias("k")).distinct().collect()],
+            dtype=_np.int64,
+        )
+        false_neg = int((~bf.contains_batch(present)).sum())
+        return spark.createDataFrame(
+            [(len(present), false_neg)], "distinct_keys long, false_negatives long")
+
+    q["bloom_lineitem_orderkeys"] = bloom_orderkeys
+
+    def quantile_companions_events(spark, sf):
+        from ddsketchy_spark.spark.companions import kll_quantiles, tdigest_quantiles
+        from ddsketchy_spark.spark.ddsketch_agg import quantile_label as _ql
+
+        df = _load(spark, sf, "events")
+        n = df.count()
+        qs = (0.5, 0.9, 0.99)
+        # exact lower quantiles via a global sort (test-scale oracle only)
+        from pyspark.sql import Window
+
+        ranked = df.select("value").withColumn(
+            "rn", F.row_number().over(Window.orderBy("value")))
+        targets = {q: 1 + int(q * (n - 1)) for q in qs}
+        exact = {q: ranked.filter(F.col("rn") == t).collect()[0]["value"]
+                 for q, t in targets.items()}
+        td = tdigest_quantiles(df, "value", delta=200, quantiles=qs)
+        kll = kll_quantiles(df, "value", k=200, quantiles=qs)
+        vals = None  # rank-space check needs the sorted column once
+        import numpy as _np
+
+        vals = _np.sort(_np.asarray([r["value"] for r in df.select("value").collect()]))
+
+        def rank_ok(est, q, tol):
+            r = float(_np.searchsorted(vals, est) / len(vals))
+            return bool(abs(r - q) <= tol)
+
+        row = (
+            int(n),
+            float(exact[0.5]), float(exact[0.9]), float(exact[0.99]),
+            all(rank_ok(td[_ql(q)], q, 0.02) for q in qs),
+            all(rank_ok(kll[_ql(q)], q, 0.03) for q in qs),
+        )
+        return spark.createDataFrame(
+            [row],
+            "cnt long, p50_exact double, p90_exact double, p99_exact double, "
+            "tdigest_ok boolean, kll_ok boolean",
+        )
+
+    q["quantile_companions_events"] = quantile_companions_events
     return q
 
 
@@ -174,5 +279,31 @@ def oracle_sql() -> dict[str, str]:
     o["exact_events_count_by_type"] = """
 SELECT event_type, count(*) AS cnt, count(DISTINCT user_id) AS users
 FROM events GROUP BY event_type ORDER BY event_type
+"""
+    o["hll_users_by_event_type"] = """
+SELECT event_type, count(DISTINCT user_id) AS users_exact, TRUE AS hll_ok
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+    o["cms_partkey_freq"] = """
+SELECT CAST(l_partkey AS BIGINT) AS l_partkey, count(*) AS cnt,
+       TRUE AS cms_lower_ok, TRUE AS cms_upper_ok
+FROM lineitem WHERE l_partkey <= 20 GROUP BY 1 ORDER BY 1
+"""
+    o["bloom_lineitem_orderkeys"] = """
+SELECT count(DISTINCT l_orderkey) AS distinct_keys,
+       CAST(0 AS BIGINT) AS false_negatives
+FROM lineitem
+"""
+    o["quantile_companions_events"] = """
+WITH ranked AS (
+  SELECT value, row_number() OVER (ORDER BY value) AS rn, count(*) OVER () AS n
+  FROM events
+)
+SELECT any_value(n) AS cnt,
+       max(CASE WHEN rn = 1 + CAST(floor(0.5  * (n - 1)) AS BIGINT) THEN value END) AS p50_exact,
+       max(CASE WHEN rn = 1 + CAST(floor(0.9  * (n - 1)) AS BIGINT) THEN value END) AS p90_exact,
+       max(CASE WHEN rn = 1 + CAST(floor(0.99 * (n - 1)) AS BIGINT) THEN value END) AS p99_exact,
+       TRUE AS tdigest_ok, TRUE AS kll_ok
+FROM ranked
 """
     return o

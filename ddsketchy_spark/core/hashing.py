@@ -1,0 +1,69 @@
+"""Vectorized 64-bit hashing for the companion sketches.
+
+All sketch hashing (HLL, Count-Min, Bloom, MinHash) goes through these
+functions so estimates are deterministic and identical on driver and
+executors. Integer keys use the splitmix64 finalizer (Steele et al. 2014,
+public domain — the standard avalanche mixer); strings/bytes/objects use
+pandas' vectorized SipHash (``pd.util.hash_array``), seeded per sketch.
+
+Everything is NumPy-vectorized; no per-row Python.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+_U64 = np.uint64
+_MASK = _U64(0xFFFFFFFFFFFFFFFF)
+
+
+def splitmix64(x: np.ndarray, seed: int = 0) -> np.ndarray:
+    """Vectorized splitmix64 finalizer over an int array -> uint64 hashes.
+
+    All arithmetic is intentional mod-2^64 wraparound."""
+    offset = _U64((0x9E3779B97F4A7C15 * (seed + 1)) & 0xFFFFFFFFFFFFFFFF)
+    with np.errstate(over="ignore"):
+        z = x.astype(np.int64).view(_U64) + offset
+        z = (z ^ (z >> _U64(30))) * _U64(0xBF58476D1CE4E5B9)
+        z = (z ^ (z >> _U64(27))) * _U64(0x94D049BB133111EB)
+        return z ^ (z >> _U64(31))
+
+
+def hash64(values, seed: int = 0) -> np.ndarray:
+    """uint64 hashes for an arbitrary 1-D array (ints fast path, else pandas
+    SipHash with a seed-derived key)."""
+    arr = np.asarray(values)
+    if arr.dtype.kind in ("i", "u"):
+        return splitmix64(arr, seed)
+    if arr.dtype.kind == "f":
+        return splitmix64(arr.astype(np.float64).view(np.int64), seed)
+    import pandas as pd
+
+    key = f"{seed:016d}"  # 16-byte hash key derived from the seed
+    h = pd.util.hash_array(arr if arr.dtype == object else arr.astype(object),
+                           hash_key=key, categorize=False)
+    return h.astype(_U64)
+
+
+def double_hash(values, seed: int = 0) -> tuple[np.ndarray, np.ndarray]:
+    """Two independent uint64 hash streams (Kirsch-Mitzenmacher double
+    hashing: h_i = h1 + i*h2 gives k independent-enough hash functions)."""
+    h1 = hash64(values, seed)
+    h2 = splitmix64(h1.view(np.int64), seed + 0x5851F42D)
+    # h2 must be odd so strides hit all slots of power-of-two tables
+    return h1, h2 | _U64(1)
+
+
+def bit_length_u64(x: np.ndarray, width: int = 64) -> np.ndarray:
+    """Vectorized bit length (position of highest set bit; 0 for x==0)."""
+    x = x.astype(_U64, copy=True)
+    out = np.zeros(len(x), dtype=np.int64)
+    for s in (32, 16, 8, 4, 2, 1):
+        if s >= width:
+            continue
+        hi = x >> _U64(s)
+        m = hi != 0
+        out[m] += s
+        x = np.where(m, hi, x)
+    out += (x != 0).astype(np.int64)
+    return out

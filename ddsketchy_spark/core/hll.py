@@ -1,0 +1,91 @@
+"""HyperLogLog (Flajolet et al. 2007) — mergeable distinct-count sketch.
+
+State: 2^p uint8 registers. Each key's 64-bit hash splits into a register
+index (top p bits) and rho = 1 + leading zeros of the remaining 64-p bits.
+Merge is elementwise max — exactly associative/commutative/idempotent, so
+distributed merges are order-independent bit-for-bit. Estimator: harmonic
+mean with the small-range linear-counting correction (with a 64-bit hash the
+32-bit large-range correction is unnecessary). Relative error ~1.04/sqrt(2^p).
+"""
+
+from __future__ import annotations
+
+import math
+import struct
+
+import numpy as np
+
+from .hashing import bit_length_u64, hash64
+
+
+class HyperLogLog:
+    __slots__ = ("p", "m", "seed", "registers")
+
+    _MAGIC = b"HLL1"
+    _HDR = struct.Struct("<III")  # p, m, seed
+
+    def __init__(self, p: int = 14, seed: int = 0) -> None:
+        if not 4 <= p <= 18:
+            raise ValueError(f"precision p must be in [4, 18], got {p}")
+        self.p = p
+        self.m = 1 << p
+        self.seed = seed
+        self.registers = np.zeros(self.m, dtype=np.uint8)
+
+    def add_batch(self, values) -> None:
+        h = hash64(values, self.seed)
+        if len(h) == 0:
+            return
+        idx = (h >> np.uint64(64 - self.p)).astype(np.int64)
+        rest = h << np.uint64(self.p)  # low 64-p bits shifted to the top
+        # rho = leading zeros of `rest` within 64 bits + 1
+        rho = (64 - bit_length_u64(rest) + 1).astype(np.uint8)
+        # take the max rho per register (sort by (idx, rho) then last-wins)
+        np.maximum.at(self.registers, idx, rho)
+
+    def merge(self, other: "HyperLogLog") -> "HyperLogLog":
+        if (self.p, self.seed) != (other.p, other.seed):
+            raise ValueError("hll config mismatch")
+        np.maximum(self.registers, other.registers, out=self.registers)
+        return self
+
+    @staticmethod
+    def _alpha(m: int) -> float:
+        if m == 16:
+            return 0.673
+        if m == 32:
+            return 0.697
+        if m == 64:
+            return 0.709
+        return 0.7213 / (1.0 + 1.079 / m)
+
+    def estimate(self) -> float:
+        regs = self.registers.astype(np.float64)
+        e = self._alpha(self.m) * self.m * self.m / np.sum(np.exp2(-regs))
+        zeros = int(np.count_nonzero(self.registers == 0))
+        if e <= 2.5 * self.m and zeros > 0:
+            return self.m * math.log(self.m / zeros)  # linear counting
+        return float(e)
+
+    def cardinality(self) -> int:
+        return int(round(self.estimate()))
+
+    def to_bytes(self) -> bytes:
+        return (self._MAGIC + self._HDR.pack(self.p, self.m, self.seed)
+                + self.registers.tobytes())
+
+    @classmethod
+    def from_bytes(cls, buf: bytes) -> "HyperLogLog":
+        if buf[:4] != cls._MAGIC:
+            raise ValueError("not a HyperLogLog blob")
+        p, m, seed = cls._HDR.unpack_from(buf, 4)
+        h = cls(p, seed)
+        h.registers = np.frombuffer(buf, dtype=np.uint8, offset=4 + cls._HDR.size,
+                                    count=m).copy()
+        return h
+
+    def __eq__(self, other) -> bool:
+        if not isinstance(other, HyperLogLog):
+            return NotImplemented
+        return (self.p == other.p and self.seed == other.seed
+                and np.array_equal(self.registers, other.registers))

