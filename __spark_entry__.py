@@ -264,6 +264,131 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["quantile_companions_events"] = quantile_companions_events
+
+    # -- training-data pipeline operators ----------------------------------
+
+    def _docs_with_dups(spark, sf):
+        base = _load(spark, sf, "documents")
+        dup = (base.filter("doc_id < 50")
+               .withColumn("doc_id", F.col("doc_id") + 100000))
+        return base.unionByName(dup)
+
+    def token_stats_documents(spark, sf):
+        from ddsketchy_spark.pipeline.text import token_stats
+
+        return (token_stats(_load(spark, sf, "documents"))
+                .select("doc_id", "n_ws_tokens", "n_re_tokens", "n_chars_calc")
+                .orderBy("doc_id"))
+
+    q["token_stats_documents"] = token_stats_documents
+
+    def quality_scores_documents(spark, sf):
+        from ddsketchy_spark.pipeline.text import quality_scores
+
+        return (quality_scores(_load(spark, sf, "documents"))
+                .select("doc_id", "n_words",
+                        _r6(F.col("mean_word_len")).alias("mean_word_len"),
+                        _r6(F.col("stopword_ratio")).alias("stopword_ratio"))
+                .orderBy("doc_id"))
+
+    q["quality_scores_documents"] = quality_scores_documents
+
+    def lang_id_distribution(spark, sf):
+        from ddsketchy_spark.pipeline.text import lang_id
+
+        return (lang_id(_load(spark, sf, "documents"))
+                .groupBy("pred_lang").agg(F.count(F.lit(1)).alias("cnt"))
+                .orderBy("pred_lang"))
+
+    q["lang_id_distribution"] = lang_id_distribution
+
+    def dedup_exact_documents(spark, sf):
+        from ddsketchy_spark.pipeline.dedup import dedup_exact, exact_dup_groups
+
+        dfd = _docs_with_dups(spark, sf)
+        groups = exact_dup_groups(dfd).count()
+        kept = dedup_exact(dfd).count()
+        return spark.createDataFrame([(int(groups), int(kept))],
+                                     "dup_groups long, docs_after_dedup long")
+
+    q["dedup_exact_documents"] = dedup_exact_documents
+
+    def word_jaccard_near_dups(spark, sf):
+        from ddsketchy_spark.pipeline.dedup import word_jaccard_pairs
+
+        dfd = _docs_with_dups(spark, sf)
+        pairs = word_jaccard_pairs(dfd, threshold=0.999)
+        return pairs.agg(F.count(F.lit(1)).alias("pairs_999"))
+
+    q["word_jaccard_near_dups"] = word_jaccard_near_dups
+
+    def minhash_lsh_exact_dup_recall(spark, sf):
+        from ddsketchy_spark.pipeline.dedup import minhash_lsh_pairs
+
+        dfd = _docs_with_dups(spark, sf)
+        md5_pairs = (
+            dfd.select(F.md5(F.lower(F.trim(F.col("text")))).alias("fp"))
+            .groupBy("fp").count()
+            .select(F.sum(F.col("count") * (F.col("count") - 1) / 2).cast("long")
+                    .alias("p"))
+            .collect()[0]["p"]
+        )
+        lsh = minhash_lsh_pairs(dfd, num_perm=128, bands=32)
+        sigs_equal = lsh.filter(F.col("est_jaccard") == 1.0)
+        fp = dfd.select(F.col("doc_id"), F.md5(F.lower(F.trim(F.col("text")))).alias("fp"))
+        found = (sigs_equal
+                 .join(fp.withColumnRenamed("doc_id", "id_a").withColumnRenamed("fp", "fp_a"), "id_a")
+                 .join(fp.withColumnRenamed("doc_id", "id_b").withColumnRenamed("fp", "fp_b"), "id_b")
+                 .filter(F.col("fp_a") == F.col("fp_b")).count())
+        return spark.createDataFrame(
+            [(int(md5_pairs), bool(found == md5_pairs))],
+            "exact_dup_pairs long, lsh_found_all boolean")
+
+    q["minhash_lsh_exact_dup_recall"] = minhash_lsh_exact_dup_recall
+
+    def simhash_exact_dup_recall(spark, sf):
+        from ddsketchy_spark.pipeline.dedup import simhash_near_pairs
+
+        dfd = _docs_with_dups(spark, sf)
+        md5_pairs = (
+            dfd.select(F.md5(F.lower(F.trim(F.col("text")))).alias("fp"))
+            .groupBy("fp").count()
+            .select(F.sum(F.col("count") * (F.col("count") - 1) / 2).cast("long")
+                    .alias("p"))
+            .collect()[0]["p"]
+        )
+        zero = simhash_near_pairs(dfd, max_hamming=3).filter("hamming = 0")
+        fp = dfd.select(F.col("doc_id"), F.md5(F.lower(F.trim(F.col("text")))).alias("fp"))
+        found = (zero
+                 .join(fp.withColumnRenamed("doc_id", "id_a").withColumnRenamed("fp", "fp_a"), "id_a")
+                 .join(fp.withColumnRenamed("doc_id", "id_b").withColumnRenamed("fp", "fp_b"), "id_b")
+                 .filter(F.col("fp_a") == F.col("fp_b")).count())
+        return spark.createDataFrame(
+            [(int(md5_pairs), bool(found == md5_pairs))],
+            "exact_dup_pairs long, simhash_found_all boolean")
+
+    q["simhash_exact_dup_recall"] = simhash_exact_dup_recall
+
+    def cosine_topk_embeddings(spark, sf):
+        from ddsketchy_spark.pipeline.similarity import cosine_topk
+
+        emb = _load(spark, sf, "embeddings").filter("vec_id < 40")
+        out = cosine_topk(emb, k=3)
+        return out.select(F.col("id").alias("vec_id"), "neighbor",
+                          _r6(F.col("cos") + F.lit(1.0)).alias("cos1")).orderBy(
+            "vec_id", "neighbor")
+
+    q["cosine_topk_embeddings"] = cosine_topk_embeddings
+
+    def ann_query_embeddings(spark, sf):
+        from ddsketchy_spark.pipeline.similarity import ann_query
+
+        emb = _load(spark, sf, "embeddings")
+        qvec = emb.filter("vec_id = 0").select("embedding").first()[0]
+        out = ann_query(emb, qvec, k=10)
+        return out.select("vec_id", _r6(F.col("cos") + F.lit(1.0)).alias("cos1"))
+
+    q["ann_query_embeddings"] = ann_query_embeddings
     return q
 
 
@@ -305,5 +430,101 @@ SELECT any_value(n) AS cnt,
        max(CASE WHEN rn = 1 + CAST(floor(0.99 * (n - 1)) AS BIGINT) THEN value END) AS p99_exact,
        TRUE AS tdigest_ok, TRUE AS kll_ok
 FROM ranked
+"""
+
+    # -- pipeline operators ------------------------------------------------
+    from ddsketchy_spark.pipeline.text import LANG_MARKERS, STOPWORDS
+
+    o["token_stats_documents"] = """
+SELECT doc_id,
+       len(string_split(text, ' ')) AS n_ws_tokens,
+       len(regexp_extract_all(text, '[a-z]+|[0-9]+')) AS n_re_tokens,
+       length(text) AS n_chars_calc
+FROM documents ORDER BY doc_id
+"""
+    stop_list = ", ".join(f"'{w}'" for w in STOPWORDS)
+    o["quality_scores_documents"] = f"""
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS words, length(text) AS lc FROM documents
+)
+SELECT doc_id, len(words) AS n_words,
+       round((lc - (len(words) - 1)) / CAST(len(words) AS DOUBLE), 6) AS mean_word_len,
+       round(len(list_filter(words, x -> x IN ({stop_list})))
+             / CAST(len(words) AS DOUBLE), 6) AS stopword_ratio
+FROM w ORDER BY doc_id
+"""
+    langs = list(LANG_MARKERS)
+    hits_sql = ",\n  ".join(
+        "len(list_filter(words, x -> x IN ({}))) AS hits_{}".format(
+            ", ".join(f"'{w}'" for w in LANG_MARKERS[lang]), lang)
+        for lang in langs
+    )
+    case_parts = []
+    for lang in langs:
+        conds = " AND ".join(f"hits_{lang} >= hits_{o2}" for o2 in langs if o2 != lang)
+        case_parts.append(f"WHEN {conds} THEN '{lang}'")
+    case_sql = "CASE " + " ".join(case_parts) + f" ELSE '{langs[0]}' END"
+    o["lang_id_distribution"] = f"""
+WITH w AS (SELECT string_split(text, ' ') AS words FROM documents),
+h AS (SELECT {hits_sql} FROM w)
+SELECT {case_sql} AS pred_lang, count(*) AS cnt
+FROM h GROUP BY 1 ORDER BY 1
+"""
+    o["dedup_exact_documents"] = """
+WITH all_docs AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000, text FROM documents WHERE doc_id < 50
+),
+g AS (
+  SELECT md5(lower(trim(text))) AS fp, count(*) AS c FROM all_docs GROUP BY 1
+)
+SELECT CAST(count(*) FILTER (WHERE c > 1) AS BIGINT) AS dup_groups,
+       CAST(count(*) AS BIGINT) AS docs_after_dedup
+FROM g
+"""
+    o["word_jaccard_near_dups"] = """
+WITH all_docs AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000, text FROM documents WHERE doc_id < 50
+),
+s AS (SELECT doc_id AS id, list_distinct(string_split(text, ' ')) AS ws FROM all_docs)
+SELECT CAST(count(*) AS BIGINT) AS pairs_999
+FROM s a JOIN s b ON a.id < b.id
+WHERE len(list_intersect(a.ws, b.ws))
+      / CAST(len(list_distinct(list_concat(a.ws, b.ws))) AS DOUBLE) >= 0.999
+"""
+    _dup_pairs_sql = """
+WITH all_docs AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000, text FROM documents WHERE doc_id < 50
+),
+g AS (SELECT md5(lower(trim(text))) AS fp, count(*) AS c FROM all_docs GROUP BY 1)
+SELECT CAST(sum(c * (c - 1) / 2) AS BIGINT) AS exact_dup_pairs, TRUE AS {flag}
+FROM g WHERE c > 1
+"""
+    o["minhash_lsh_exact_dup_recall"] = _dup_pairs_sql.format(flag="lsh_found_all")
+    o["simhash_exact_dup_recall"] = _dup_pairs_sql.format(flag="simhash_found_all")
+    o["cosine_topk_embeddings"] = """
+WITH v AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 40),
+pairs AS (
+  SELECT a.vec_id AS vec_id, b.vec_id AS neighbor,
+         round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) + 1.0, 6) AS cos1,
+         row_number() OVER (
+           PARTITION BY a.vec_id
+           ORDER BY list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) DESC, b.vec_id ASC
+         ) AS rk
+  FROM v a JOIN v b ON a.vec_id != b.vec_id
+)
+SELECT vec_id, neighbor, cos1 FROM pairs WHERE rk <= 3 ORDER BY vec_id, neighbor
+"""
+    o["ann_query_embeddings"] = """
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+SELECT vec_id, round(list_cosine_similarity(embedding::DOUBLE[], qv::DOUBLE[]) + 1.0, 6) AS cos1
+FROM embeddings, q
+ORDER BY list_cosine_similarity(embedding::DOUBLE[], qv::DOUBLE[]) DESC, vec_id ASC
+LIMIT 10
 """
     return o

@@ -1,0 +1,260 @@
+"""Deduplication operators for training-data pipelines.
+
+Scale design notes (the part that matters at 100 TB):
+- Exact dedup is a hash-groupBy on a 16-byte digest — shuffle carries only
+  (digest, id), never the text.
+- MinHash/LSH shuffles (band_hash, id) pairs: bands * n rows of ~24 bytes.
+  Candidate generation is a self-join on band buckets, which Spark executes
+  as a shuffled hash join on the bucket key; verification runs exact
+  Jaccard only on candidates (quadratic blowup is confined to buckets).
+- SimHash reduces each doc to one 64-bit signature; near-dup candidates at
+  Hamming distance <= d come from d+1-way table rotations (pigeonhole),
+  all native joins.
+- Word-level Jaccard all-pairs is provided for oracle parity at test scale
+  ONLY (cartesian by construction — do not run at production scale; use
+  minhash_lsh_pairs there).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pyarrow as pa
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+from ..core.hashing import hash64, splitmix64
+
+
+def exact_dup_groups(df: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Groups of byte-identical (normalized) documents.
+
+    Returns (fingerprint, n_docs, ids) for groups with n_docs > 1."""
+    fp = F.md5(F.lower(F.trim(F.col(text_col))))
+    return (
+        df.select(fp.alias("fingerprint"), F.col(id_col))
+        .groupBy("fingerprint")
+        .agg(F.count(F.lit(1)).alias("n_docs"),
+             F.sort_array(F.collect_list(id_col)).alias("ids"))
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep one representative (min id) per identical-text group."""
+    fp = F.md5(F.lower(F.trim(F.col(text_col))))
+    w = df.withColumn("_fp", fp)
+    keep = w.groupBy("_fp").agg(F.min(id_col).alias(id_col)).select("_fp", id_col)
+    return w.join(keep, ["_fp", id_col], "inner").drop("_fp")
+
+
+def word_jaccard_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                       threshold: float = 0.8) -> DataFrame:
+    """Exact word-set Jaccard over ALL pairs (test-scale oracle; O(n^2))."""
+    sets = df.select(
+        F.col(id_col).alias("id"),
+        F.array_distinct(F.split(F.col(text_col), " ")).alias("ws"),
+    )
+    a = sets.alias("a")
+    b = sets.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.ws"), F.col("b.ws")))
+    union = F.size(F.array_union(F.col("a.ws"), F.col("b.ws")))
+    return (
+        a.join(b, F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            (inter / union).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = 128,
+    shingle_k: int = 3,
+    seed: int = 1,
+) -> DataFrame:
+    """(id, sig: array<bigint>) — MinHash over word k-shingles.
+
+    Vectorized: one splitmix64 base hash per shingle, then num_perm
+    universal-hash permutations h_i(x) = a_i*x + b_i applied as a single
+    (num_perm, n_shingles) broadcasted min-reduction per document."""
+    id_field = df.schema[id_col]
+    schema = StructType([id_field, StructField("sig", ArrayType(LongType()))])
+    pruned = df.select(id_col, text_col)
+    rng = np.random.default_rng(seed)
+    A = rng.integers(1, (1 << 61) - 1, size=num_perm, dtype=np.int64) | 1
+    B = rng.integers(0, (1 << 61) - 1, size=num_perm, dtype=np.int64)
+
+    def run(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            ids = batch.column(0).to_pylist()
+            texts = batch.column(1).to_pylist()
+            out_ids, out_sigs = [], []
+            for i, t in enumerate(texts):
+                if t is None:
+                    continue
+                words = t.split(" ")
+                if len(words) < shingle_k:
+                    shingles = [" ".join(words)]
+                else:
+                    shingles = [" ".join(words[j:j + shingle_k])
+                                for j in range(len(words) - shingle_k + 1)]
+                base = hash64(np.asarray(shingles, dtype=object), seed).view(np.int64)
+                with np.errstate(over="ignore"):
+                    # (num_perm, n_shingles) permuted hashes -> min per perm
+                    perms = (A[:, None] * base[None, :] + B[:, None])
+                sig = perms.min(axis=1)
+                out_ids.append(ids[i])
+                out_sigs.append(sig.tolist())
+            if out_ids:
+                yield pa.RecordBatch.from_arrays(
+                    [pa.array(out_ids), pa.array(out_sigs, type=pa.list_(pa.int64()))],
+                    names=[id_col, "sig"],
+                )
+
+    return pruned.mapInArrow(run, schema)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = 128,
+    bands: int = 32,
+    shingle_k: int = 3,
+    seed: int = 1,
+) -> DataFrame:
+    """Candidate near-duplicate pairs via banded LSH over MinHash signatures,
+    with the estimated Jaccard (fraction of agreeing signature slots).
+
+    rows-per-band r = num_perm/bands; candidate prob ~ 1-(1-J^r)^bands."""
+    if num_perm % bands:
+        raise ValueError("bands must divide num_perm")
+    r = num_perm // bands
+    sigs = minhash_signatures(df, text_col, id_col, num_perm, shingle_k, seed)
+    banded = sigs.select(
+        F.col(id_col).alias("id"),
+        F.col("sig"),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.xxhash64(F.concat_ws(",", F.slice(
+                    F.transform("sig", lambda x: x.cast("string")),
+                    b * r + 1, r))),
+            )
+        ).alias("band", "bucket"),
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cand = (
+        a.join(b, (F.col("a.band") == F.col("b.band"))
+               & (F.col("a.bucket") == F.col("b.bucket"))
+               & (F.col("a.id") < F.col("b.id")))
+        .select("a.id", "b.id", "a.sig", "b.sig")
+        .toDF("id_a", "id_b", "sig_a", "sig_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    agree = F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
+                            lambda v: v))
+    return cand.select(
+        "id_a", "id_b", (agree / F.lit(num_perm)).alias("est_jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def simhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seed: int = 2,
+) -> DataFrame:
+    """(id, simhash: bigint) — 64-bit SimHash over word features."""
+    id_field = df.schema[id_col]
+    schema = StructType([id_field, StructField("simhash", LongType())])
+    pruned = df.select(id_col, text_col)
+
+    def run(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        bit_idx = np.arange(64, dtype=np.uint64)
+        for batch in batches:
+            ids = batch.column(0).to_pylist()
+            texts = batch.column(1).to_pylist()
+            out_ids, out_h = [], []
+            for i, t in enumerate(texts):
+                if t is None:
+                    continue
+                h = hash64(np.asarray(t.split(" "), dtype=object), seed)
+                bits = ((h[:, None] >> bit_idx[None, :]) & np.uint64(1)).astype(np.int64)
+                v = (2 * bits - 1).sum(axis=0)  # +1/-1 votes per bit
+                sig = np.uint64(0)
+                sig = int(((v > 0).astype(np.uint64) << bit_idx).sum())
+                out_ids.append(ids[i])
+                out_h.append(sig - (1 << 64) if sig >= (1 << 63) else sig)
+            if out_ids:
+                yield pa.RecordBatch.from_arrays(
+                    [pa.array(out_ids), pa.array(out_h, type=pa.int64())],
+                    names=[id_col, "simhash"],
+                )
+
+    return pruned.mapInArrow(run, schema)
+
+
+def simhash_near_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    seed: int = 2,
+) -> DataFrame:
+    """Near-duplicate pairs at Hamming distance <= max_hamming.
+
+    Pigeonhole: split the 64-bit signature into max_hamming+1 blocks; any
+    pair within distance d agrees on >= 1 block -> join per block key, then
+    verify exact Hamming distance natively (bit_count(xor))."""
+    blocks = max_hamming + 1
+    width = 64 // blocks
+    sigs = simhash_signatures(df, text_col, id_col, seed).select(
+        F.col(id_col).alias("id"), "simhash")
+    pieces = sigs.select(
+        "id", "simhash",
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(blk).alias("blk"),
+                F.shiftrightunsigned(F.col("simhash"), blk * width)
+                .bitwiseAND(F.lit((1 << width) - 1)).alias("key"),
+            )
+            for blk in range(blocks)
+        ])).alias("p"),
+    ).select("id", "simhash", "p.blk", "p.key")
+    a = pieces.alias("a")
+    b = pieces.alias("b")
+    dist = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    return (
+        a.join(b, (F.col("a.blk") == F.col("b.blk")) & (F.col("a.key") == F.col("b.key"))
+               & (F.col("a.id") < F.col("b.id")))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
+                dist.alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["id_a", "id_b"])
+    )

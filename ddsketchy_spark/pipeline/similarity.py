@@ -1,0 +1,137 @@
+"""Similarity search over embedding columns (array<float>).
+
+- ``cosine_topk``: brute-force all-pairs top-k, 100% native Spark SQL
+  (zip_with/aggregate dot products inside codegen). Correctness baseline;
+  O(n^2) — test scale or per-bucket use only.
+- ``lsh_cosine_topk``: the scale path. Random-hyperplane signatures (sign
+  of dot with r fixed Gaussian vectors, Charikar 2002) computed natively
+  from a broadcast hyperplane literal; candidates agree on >= one signature
+  band; exact cosine verifies candidates. Shuffle carries (band_key, id,
+  embedding) only within buckets.
+- ``ann_query``: top-k neighbors of one query vector (broadcast literal
+  predicate -> a single scan + native sort).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def _dot(a, b):
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                       F.lit(0.0), lambda s, x: s + x)
+
+
+def _norm(a):
+    return F.sqrt(F.aggregate(F.transform(a, lambda x: x * x),
+                              F.lit(0.0), lambda s, x: s + x))
+
+
+def cosine_expr(a, b):
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def cosine_topk(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 3,
+) -> DataFrame:
+    """For every vector: its top-k most-cosine-similar other vectors.
+    Brute force (O(n^2)) — the exactness baseline."""
+    from pyspark.sql import Window
+
+    v = df.select(F.col(id_col).alias("id"),
+                  F.col(vec_col).cast("array<double>").alias("vec"))
+    a, b = v.alias("a"), v.alias("b")
+    pairs = a.join(b, F.col("a.id") != F.col("b.id")).select(
+        F.col("a.id").alias("id"),
+        F.col("b.id").alias("neighbor"),
+        cosine_expr(F.col("a.vec"), F.col("b.vec")).alias("cos"),
+    )
+    w = Window.partitionBy("id").orderBy(F.desc("cos"), F.asc("neighbor"))
+    return (pairs.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= k).drop("rk"))
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_planes, dim))
+
+
+def rh_signature_col(vec, planes: np.ndarray):
+    """Native column: packed sign bits of dot(vec, plane_i) as one BIGINT."""
+    bits = None
+    for i, p in enumerate(planes):
+        plane = F.array(*[F.lit(float(x)) for x in p])
+        bit = F.when(_dot(vec, plane) >= 0, F.lit(1 << i)).otherwise(F.lit(0))
+        bits = bit if bits is None else bits + bit
+    return bits.cast("long")
+
+
+def lsh_cosine_topk(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 3,
+    n_planes: int = 16,
+    bands: int = 4,
+    seed: int = 7,
+    dim: int | None = None,
+) -> DataFrame:
+    """Approximate top-k via random-hyperplane LSH: candidates share at
+    least one signature band; exact cosine ranks candidates."""
+    from pyspark.sql import Window
+
+    if dim is None:
+        dim = len(df.select(vec_col).first()[0])
+    if n_planes % bands:
+        raise ValueError("bands must divide n_planes")
+    width = n_planes // bands
+    planes = _hyperplanes(dim, n_planes, seed)
+    v = df.select(F.col(id_col).alias("id"),
+                  F.col(vec_col).cast("array<double>").alias("vec"))
+    sig = v.withColumn("sig", rh_signature_col(F.col("vec"), planes))
+    banded = sig.select(
+        "id", "vec",
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(bnd).alias("blk"),
+                F.shiftrightunsigned(F.col("sig"), bnd * width)
+                .bitwiseAND(F.lit((1 << width) - 1)).alias("key"),
+            )
+            for bnd in range(bands)
+        ])).alias("p"),
+    ).select("id", "vec", "p.blk", "p.key")
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(b, (F.col("a.blk") == F.col("b.blk")) & (F.col("a.key") == F.col("b.key"))
+               & (F.col("a.id") != F.col("b.id")))
+        .select(F.col("a.id").alias("id"), F.col("b.id").alias("neighbor"),
+                F.col("a.vec").alias("va"), F.col("b.vec").alias("vb"))
+        .dropDuplicates(["id", "neighbor"])
+        .withColumn("cos", cosine_expr(F.col("va"), F.col("vb")))
+        .drop("va", "vb")
+    )
+    w = Window.partitionBy("id").orderBy(F.desc("cos"), F.asc("neighbor"))
+    return (cand.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= k).drop("rk"))
+
+
+def ann_query(
+    df: DataFrame,
+    query_vec,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 10,
+) -> DataFrame:
+    """Top-k neighbors of one query vector — a single scan, native sort."""
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    v = F.col(vec_col).cast("array<double>")
+    return (
+        df.select(F.col(id_col), cosine_expr(v, q).alias("cos"))
+        .orderBy(F.desc("cos"), F.asc(id_col))
+        .limit(k)
+    )

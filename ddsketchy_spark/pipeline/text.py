@@ -1,0 +1,151 @@
+"""Text-analysis operators for training-data pipelines.
+
+All hot paths are native Spark SQL expressions (whole-stage codegen); the
+only Python is the winnowing fingerprint (vectorized NumPy over Arrow
+batches). Designed for 100 TB document tables: every operator is a pure
+row-wise projection (no shuffle) except the aggregations the caller adds.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, Sequence
+
+import numpy as np
+import pyarrow as pa
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+# Small public stopword marker sets per language (language-ID heuristic).
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "a", "in", "is", "that", "it", "for"),
+    "de": ("der", "die", "und", "das", "ist", "nicht", "ein", "mit", "sich", "auf"),
+    "es": ("el", "la", "de", "que", "y", "en", "un", "por", "con", "para"),
+    "fr": ("le", "la", "et", "les", "des", "un", "une", "est", "pour", "dans"),
+    "zh": ("de", "shi", "bu", "le", "zai", "ren", "you", "wo", "ta", "zhe"),
+}
+
+STOPWORDS = ("the", "a", "and", "of", "to", "in", "is", "it")
+
+
+def _words(text_col: str):
+    return F.split(F.col(text_col), " ")
+
+
+def token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-row token counts: whitespace tokens and a BPE-ish regex count
+    (alpha runs + digit runs), plus character length."""
+    return df.withColumns(
+        {
+            "n_ws_tokens": F.size(_words(text_col)),
+            "n_re_tokens": F.size(F.regexp_extract_all(F.col(text_col), F.lit("[a-z]+|[0-9]+"), 0)),
+            "n_chars_calc": F.length(F.col(text_col)),
+        }
+    )
+
+
+def quality_scores(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heuristic quality features: mean word length, stopword ratio,
+    punctuation ratio, all-caps ratio. Pure projections, JVM-side."""
+    words = _words(text_col)
+    n = F.size(words)
+    stop_arr = F.array(*[F.lit(w) for w in STOPWORDS])
+    n_stop = F.size(F.array_intersect(words, stop_arr))  # distinct-hit count
+    n_stop_total = F.size(F.filter(words, lambda w: F.array_contains(stop_arr, w)))
+    punct = F.length(F.regexp_replace(F.col(text_col), "[^.,;:!?]", ""))
+    return df.withColumns(
+        {
+            "n_words": n,
+            "mean_word_len": (F.length(F.col(text_col)) - (n - 1)) / n,
+            "stopword_ratio": n_stop_total / n,
+            "distinct_stopwords": n_stop,
+            "punct_ratio": punct / F.length(F.col(text_col)),
+        }
+    )
+
+
+def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Marker-word language ID: count hits per language, fixed-precedence
+    argmax (en > de > es > fr > zh on ties). Deterministic and expressible
+    identically in ANSI SQL for oracle parity."""
+    words = _words(text_col)
+
+    def _contains(arr):
+        return lambda w: F.array_contains(arr, w)
+
+    hit_cols = {}
+    for lang, markers in LANG_MARKERS.items():
+        arr = F.array(*[F.lit(w) for w in markers])
+        hit_cols[f"hits_{lang}"] = F.size(F.filter(words, _contains(arr)))
+    out = df.withColumns(hit_cols)
+    langs = list(LANG_MARKERS)
+    # fixed precedence CASE: first listed language wins ties
+    pred = None
+    for lang in langs:
+        conds = [F.col(f"hits_{lang}") >= F.col(f"hits_{o}") for o in langs if o != lang]
+        allc = conds[0]
+        for c in conds[1:]:
+            allc = allc & c
+        pred = F.when(allc, F.lit(lang)) if pred is None else pred.when(allc, F.lit(lang))
+    pred = pred.otherwise(F.lit(langs[0]))
+    return out.withColumn("pred_lang", pred)
+
+
+def exact_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Deterministic whole-document fingerprint (md5 of normalized text) —
+    the exact-dedup key, portable across engines."""
+    return df.withColumn("fingerprint", F.md5(F.lower(F.trim(F.col(text_col)))))
+
+
+def winnowing_fingerprints(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    window: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer et al. 2003): rolling
+    polynomial hash over k-grams of characters, minimum per window.
+    Vectorized NumPy inside mapInPandas; output one row per selected
+    fingerprint (id, pos, fp)."""
+    id_field = df.schema[id_col]
+    schema = StructType([id_field, StructField("pos", LongType()),
+                         StructField("fp", LongType())])
+    pruned = df.select(id_col, text_col)
+
+    def run(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        B = np.int64(1000003)
+        MASK = np.int64((1 << 61) - 1)
+        for batch in batches:
+            ids = batch.column(0).to_pylist()
+            texts = batch.column(1).to_pylist()
+            out_ids, out_pos, out_fp = [], [], []
+            for i, t in enumerate(texts):
+                if t is None or len(t) < k:
+                    continue
+                a = np.frombuffer(t.lower().encode("utf-8", "ignore"), dtype=np.uint8)
+                n = len(a) - k + 1
+                if n <= 0:
+                    continue
+                # rolling hash of all k-grams, vectorized via powers
+                powers = np.array([int(B) ** (k - 1 - j) % int(MASK + 1) for j in range(k)],
+                                  dtype=np.int64)
+                with np.errstate(over="ignore"):
+                    grams = np.lib.stride_tricks.sliding_window_view(a, k).astype(np.int64)
+                    h = (grams * powers).sum(axis=1) & MASK
+                if n <= window:
+                    sel = np.array([int(np.argmin(h))])
+                else:
+                    wins = np.lib.stride_tricks.sliding_window_view(h, window)
+                    sel = np.unique(np.argmin(wins, axis=1) + np.arange(len(wins)))
+                out_ids.extend([ids[i]] * len(sel))
+                out_pos.extend(sel.tolist())
+                out_fp.extend(h[sel].tolist())
+            if out_ids:
+                yield pa.RecordBatch.from_arrays(
+                    [pa.array(out_ids), pa.array(out_pos, type=pa.int64()),
+                     pa.array(out_fp, type=pa.int64())],
+                    names=[id_col, "pos", "fp"],
+                )
+
+    return pruned.mapInArrow(run, schema)

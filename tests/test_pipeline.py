@@ -1,0 +1,184 @@
+"""Tests for the training-data pipeline operators: dedup (exact, MinHash,
+SimHash, Jaccard), similarity search, text analysis, multimodal plumbing."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from ddsketchy_spark.pipeline.dedup import (
+    dedup_exact,
+    exact_dup_groups,
+    minhash_lsh_pairs,
+    minhash_signatures,
+    simhash_near_pairs,
+    simhash_signatures,
+    word_jaccard_pairs,
+)
+from ddsketchy_spark.pipeline.similarity import ann_query, cosine_topk, lsh_cosine_topk
+from ddsketchy_spark.pipeline.text import (
+    exact_fingerprint,
+    lang_id,
+    quality_scores,
+    token_stats,
+    winnowing_fingerprints,
+)
+
+
+@pytest.fixture(scope="module")
+def docs_with_dups(spark, sf001_dir):
+    """documents table + planted exact dups (copies of the first 20) and
+    near-dups (one word changed)."""
+    base = spark.read.parquet(f"{sf001_dir}/documents.parquet")
+    dup = (base.filter("doc_id < 20")
+           .withColumn("doc_id", F.col("doc_id") + 100000))
+    near = (base.filter("doc_id >= 20 and doc_id < 40")
+            .withColumn("doc_id", F.col("doc_id") + 200000)
+            .withColumn("text", F.concat(F.col("text"), F.lit(" zzzextra"))))
+    return base.unionByName(dup).unionByName(near).cache()
+
+
+def test_exact_dedup(spark, docs_with_dups):
+    groups = exact_dup_groups(docs_with_dups).collect()
+    assert len(groups) == 20
+    assert all(g["n_docs"] == 2 for g in groups)
+    kept = dedup_exact(docs_with_dups)
+    n_total = docs_with_dups.count()
+    assert kept.count() == n_total - 20
+    # representative is the min id (original, not the planted copy)
+    assert kept.filter("doc_id >= 100000 and doc_id < 200000").count() == 0
+
+
+def test_minhash_estimates_jaccard(spark, docs_with_dups):
+    pairs = minhash_lsh_pairs(docs_with_dups, num_perm=128, bands=32).collect()
+    found = {(r["id_a"], r["id_b"]): r["est_jaccard"] for r in pairs}
+    # every planted exact dup is a candidate with est_jaccard == 1
+    for i in range(20):
+        assert (i, i + 100000) in found, i
+        assert found[(i, i + 100000)] == 1.0
+    # near-dups (one appended word) should mostly surface with high estimate
+    near_found = [found.get((i, i + 200000)) for i in range(20, 40)]
+    assert sum(v is not None and v > 0.5 for v in near_found) >= 15
+
+
+def test_minhash_signature_deterministic(spark, docs_with_dups):
+    s1 = {r["doc_id"]: tuple(r["sig"]) for r in
+          minhash_signatures(docs_with_dups.repartition(7)).collect()}
+    s2 = {r["doc_id"]: tuple(r["sig"]) for r in
+          minhash_signatures(docs_with_dups.coalesce(1)).collect()}
+    assert s1 == s2
+
+
+def test_simhash_near_pairs(spark, docs_with_dups):
+    pairs = simhash_near_pairs(docs_with_dups, max_hamming=3).collect()
+    found = {(r["id_a"], r["id_b"]): r["hamming"] for r in pairs}
+    for i in range(20):
+        assert found.get((i, i + 100000)) == 0, i  # identical docs -> distance 0
+
+
+def test_word_jaccard_exact(spark, docs_with_dups):
+    pairs = word_jaccard_pairs(docs_with_dups.filter("doc_id < 200000"),
+                               threshold=0.999).collect()
+    exact_pairs = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert {(i, i + 100000) for i in range(20)} <= exact_pairs
+
+
+def test_cosine_topk_and_lsh(spark, sf001_dir):
+    emb = spark.read.parquet(f"{sf001_dir}/embeddings.parquet")
+    exact = cosine_topk(emb, k=3)
+    rows = exact.collect()
+    n = emb.count()
+    assert len(rows) == n * 3
+    by_id = {}
+    for r in rows:
+        by_id.setdefault(r["id"], []).append(r)
+    # self-similarity excluded; cos within [-1, 1]
+    for rid, nbrs in by_id.items():
+        assert all(r["neighbor"] != rid for r in nbrs)
+        assert all(-1.0001 <= r["cos"] <= 1.0001 for r in nbrs)
+
+    approx = lsh_cosine_topk(emb, k=3, n_planes=16, bands=8)
+    arows = approx.collect()
+    # recall@1: the true nearest neighbor found for most vectors
+    true_nn = {r["id"]: r["neighbor"] for r in rows
+               if r["cos"] == max(x["cos"] for x in by_id[r["id"]])}
+    approx_by_id = {}
+    for r in arows:
+        approx_by_id.setdefault(r["id"], set()).add(r["neighbor"])
+    hits = sum(1 for i, nn in true_nn.items() if nn in approx_by_id.get(i, set()))
+    assert hits / len(true_nn) > 0.6, hits / len(true_nn)
+
+
+def test_ann_query(spark, sf001_dir):
+    emb = spark.read.parquet(f"{sf001_dir}/embeddings.parquet")
+    qvec = emb.filter("vec_id = 0").select("embedding").first()[0]
+    out = ann_query(emb, qvec, k=5).collect()
+    assert len(out) == 5
+    assert out[0]["vec_id"] == 0  # the query vector itself is its own NN
+    assert out[0]["cos"] == pytest.approx(1.0, abs=1e-6)
+    assert all(out[i]["cos"] >= out[i + 1]["cos"] for i in range(4))
+
+
+def test_token_stats_and_quality(spark, sf001_dir):
+    docs = spark.read.parquet(f"{sf001_dir}/documents.parquet")
+    ts = token_stats(docs).collect()
+    for r in ts[:50]:
+        assert r["n_ws_tokens"] == len(r["text"].split(" "))
+        assert r["n_chars_calc"] == len(r["text"])
+    qs = quality_scores(docs).collect()
+    for r in qs[:50]:
+        words = r["text"].split(" ")
+        assert r["n_words"] == len(words)
+        assert r["stopword_ratio"] == pytest.approx(
+            sum(w in ("the", "a", "and", "of", "to", "in", "is", "it") for w in words)
+            / len(words))
+        assert 0.0 <= r["punct_ratio"] <= 1.0
+
+
+def test_lang_id_deterministic(spark, sf001_dir):
+    docs = spark.read.parquet(f"{sf001_dir}/documents.parquet")
+    out = lang_id(docs)
+    rows = out.collect()
+    assert all(r["pred_lang"] in ("en", "de", "es", "fr", "zh") for r in rows)
+    # deterministic across partitionings
+    again = {r["doc_id"]: r["pred_lang"] for r in lang_id(docs.repartition(5)).collect()}
+    assert {r["doc_id"]: r["pred_lang"] for r in rows} == again
+
+
+def test_fingerprints(spark, docs_with_dups):
+    fps = exact_fingerprint(docs_with_dups)
+    n_distinct = fps.select("fingerprint").distinct().count()
+    assert n_distinct == docs_with_dups.count() - 20  # planted dups collide
+    wf = winnowing_fingerprints(docs_with_dups.filter("doc_id < 50"), k=5, window=4)
+    rows = wf.collect()
+    assert len(rows) > 0
+    # identical docs share identical fingerprint sets
+    wf2 = winnowing_fingerprints(docs_with_dups.filter(
+        "doc_id < 20 or (doc_id >= 100000 and doc_id < 100020)"))
+    sets = {}
+    for r in wf2.collect():
+        sets.setdefault(r["doc_id"], set()).add((r["pos"], r["fp"]))
+    for i in range(20):
+        assert sets[i] == sets[i + 100000], i
+
+
+def test_multimodal_plumbing(spark):
+    from ddsketchy_spark.pipeline.multimodal import (
+        decode_media,
+        fake_feature_extract,
+        frame_sample_plan,
+        synth_media,
+    )
+
+    media = synth_media(spark, n=30)
+    feats = fake_feature_extract(media, dim=16).collect()
+    assert len(feats) == 30
+    assert all(len(r["features"]) == 16 for r in feats)
+    # deterministic
+    feats2 = fake_feature_extract(media, dim=16).collect()
+    assert {r["media_id"]: r["features"] for r in feats} == \
+        {r["media_id"]: r["features"] for r in feats2}
+    plan = frame_sample_plan(media, every_n=5).collect()
+    assert all(r["frame_idxs"][0] == 0 for r in plan)
+    # decode without a decoder must fail loudly at execution
+    with pytest.raises(Exception, match="NotImplementedError|decoder"):
+        decode_media(media).collect()
