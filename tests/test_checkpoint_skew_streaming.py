@@ -1,0 +1,129 @@
+"""Checkpoint/resume, skew utilities, and streaming tests."""
+
+import json
+import os
+import time
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from ddsketchy_spark.core.ddsketch import DDSketch
+from ddsketchy_spark.data.synth import read_tokens
+from ddsketchy_spark.spark.checkpoint import (
+    checkpoint_summary,
+    checkpointed_sketch_aggregate,
+    load_metrics,
+)
+from ddsketchy_spark.spark.ddsketch_agg import DDSketchAggregator
+from ddsketchy_spark.spark.skew import key_histogram, salted_repartition, suggest_merge_rounds
+
+
+def test_checkpoint_build_and_resume(spark, token_table_path, tmp_path):
+    ckpt = str(tmp_path / "ckpt1")
+    agg = DDSketchAggregator("n_tok", alpha=0.01, quantiles=(0.5, 0.99))
+    df = read_tokens(spark, token_table_path)
+
+    out1 = checkpointed_sketch_aggregate(df, agg, ckpt)
+    metrics = load_metrics(ckpt)
+    assert len(metrics) >= 1
+    assert sum(m["rows"] for m in metrics) == 20_000
+    assert all(m["recomputed"] for m in metrics)
+    summary = checkpoint_summary(ckpt)
+    assert summary["rows"] == 20_000
+    assert summary["blob_bytes"] > 0
+
+    # resume: all partitions reused, estimates bit-identical
+    mtimes = {f: os.path.getmtime(os.path.join(ckpt, f)) for f in os.listdir(ckpt)}
+    out2 = checkpointed_sketch_aggregate(df, agg, ckpt)
+    assert out2["count"] == out1["count"]
+    assert out2["p50"] == out1["p50"] and out2["p99"] == out1["p99"]
+    assert out2["state"] == out1["state"]
+    mtimes2 = {f: os.path.getmtime(os.path.join(ckpt, f)) for f in os.listdir(ckpt)}
+    assert mtimes == mtimes2  # nothing rewritten -> nothing recomputed
+
+
+def test_checkpoint_partial_resume(spark, token_table_path, tmp_path):
+    """Simulate a mid-job kill: drop half the checkpoint files; the rerun
+    recomputes only those and converges to identical estimates."""
+    ckpt = str(tmp_path / "ckpt2")
+    agg = DDSketchAggregator("n_tok", alpha=0.01, quantiles=(0.5, 0.999))
+    df = read_tokens(spark, token_table_path)
+    full = checkpointed_sketch_aggregate(df, agg, ckpt)
+
+    files = sorted(f for f in os.listdir(ckpt) if f.endswith(".bin"))
+    assert len(files) >= 2
+    for f in files[::2]:  # kill half the partitions
+        os.remove(os.path.join(ckpt, f))
+        os.remove(os.path.join(ckpt, f.replace(".bin", ".json")))
+
+    resumed = checkpointed_sketch_aggregate(df, agg, ckpt)
+    assert resumed["count"] == full["count"]
+    assert resumed["state"] == full["state"]
+
+
+def test_checkpoint_validate_detects_input_change(spark, token_table_path, tmp_path):
+    ckpt = str(tmp_path / "ckpt3")
+    agg = DDSketchAggregator("n_tok", alpha=0.01, quantiles=())
+    df = read_tokens(spark, token_table_path)
+    checkpointed_sketch_aggregate(df, agg, ckpt)
+    # different input with the same partition ids -> lineage mismatch
+    other = df.withColumn("n_tok", F.col("n_tok") + 1)
+    with pytest.raises(Exception, match="lineage mismatch|input changed"):
+        checkpointed_sketch_aggregate(other, agg, ckpt, validate=True)
+
+
+def test_skew_histogram_and_salting(spark, token_table_path):
+    df = read_tokens(spark, token_table_path)
+    hist = key_histogram(df, "source", topk=3).collect()
+    assert hist[0]["source"] == "source_0"
+    assert hist[0]["fraction"] > 0.5  # the planted 60% skew
+
+    salted = salted_repartition(df, "source", n_salt=16, num_partitions=16)
+    assert salted.count() == df.count()
+    # without salting, one key -> one partition; with salting it spreads
+    plain_parts = (df.repartition(16, F.col("source"))
+                   .filter(F.col("source") == "source_0")
+                   .select(F.spark_partition_id().alias("p")).distinct().count())
+    salted_parts = (salted.filter(F.col("source") == "source_0")
+                    .select(F.spark_partition_id().alias("p")).distinct().count())
+    assert plain_parts == 1
+    assert salted_parts > plain_parts
+
+
+def test_suggest_merge_rounds():
+    assert suggest_merge_rounds(32, 8) == (1, 64)
+    rounds, fanout = suggest_merge_rounds(100_000, 8)
+    assert rounds == 2 and fanout >= 100_000 // 512
+
+
+def test_streaming_ddsketch(spark, token_table_path, tmp_path):
+    """File-source stream over the token table: the running sketch converges
+    to the batch-built sketch once all files are processed."""
+    from ddsketchy_spark.streaming import stream_ddsketch
+    from ddsketchy_spark.spark.ddsketch_agg import ddsketch_quantiles
+
+    df_schema = spark.read.parquet(token_table_path).schema
+    stream = (spark.readStream.schema(df_schema)
+              .option("maxFilesPerTrigger", "2")
+              .parquet(token_table_path))
+    state_dir = str(tmp_path / "stream_state")
+    ckpt_dir = str(tmp_path / "stream_ckpt")
+    query, sk = stream_ddsketch(stream, "n_tok", state_dir, ckpt_dir,
+                                trigger_seconds=1)
+    try:
+        deadline = time.time() + 120
+        expected = 20_000
+        while time.time() < deadline:
+            blob = sk.current_blob()
+            if blob is not None and DDSketch.from_bytes(blob).count >= expected:
+                break
+            time.sleep(1)
+    finally:
+        query.stop()
+    final = DDSketch.from_bytes(sk.current_blob())
+    assert final.count == expected
+    batch = ddsketch_quantiles(spark.read.parquet(token_table_path), "n_tok",
+                               quantiles=(0.5, 0.99), engine="arrow")
+    assert final.quantile(0.5) == batch["p50"]
+    assert final.quantile(0.99) == batch["p99"]
