@@ -28,13 +28,15 @@ from ddsketchy_spark.core.mapping import LogMapping
 from ddsketchy_spark.spark.ddsketch_agg import ddsketch_quantiles, quantile_label
 
 ALPHA = 0.01
-_QLABELS = {0.5: "p50", 0.9: "p90", 0.95: "p95", 0.99: "p99", 0.999: "p999"}
+_QLABELS = {0.1: "p10", 0.25: "p25", 0.5: "p50", 0.75: "p75", 0.9: "p90",
+            0.95: "p95", 0.99: "p99", 0.999: "p999"}
 
 
 def _r6(c):
-    """Round half-away-from-zero to 6 dp (matches DuckDB round() on doubles);
-    our estimates here are positive."""
-    return (F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)).cast("double")
+    """Round half-away-from-zero to 6 dp (matches DuckDB round() on doubles),
+    sign-correct for negative values."""
+    mag = F.floor(F.abs(c) * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+    return (F.when(c < 0, -mag).otherwise(mag)).cast("double")
 
 
 def _load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
@@ -389,6 +391,77 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return out.select("vec_id", _r6(F.col("cos") + F.lit(1.0)).alias("cos1"))
 
     q["ann_query_embeddings"] = ann_query_embeddings
+
+    def dds_mixed_sign_centered(spark, sf):
+        """DDSketch over (value - 35): exercises the negative store and the
+        three-region quantile walk end-to-end vs the SQL oracle."""
+        df = _load(spark, sf, "events").withColumn("xc", F.col("value") - F.lit(35.0))
+        qs = (0.1, 0.25, 0.5, 0.75, 0.9)
+        out = ddsketch_quantiles(df, "xc", alpha=ALPHA, quantiles=qs)
+        labels = [_QLABELS[x] for x in qs]
+        row = {"cnt": out["count"]}
+        row.update({lab: out[quantile_label(x)] for x, lab in zip(qs, labels)})
+        sdf = spark.createDataFrame(
+            [row], schema="cnt long, " + ", ".join(f"{l} double" for l in labels))
+        return sdf.select(F.col("cnt"), *[_r6(F.col(l)).alias(l) for l in labels])
+
+    q["dds_mixed_sign_centered"] = dds_mixed_sign_centered
+
+    def dds_documents_nchars_by_source(spark, sf):
+        return _dds_wide(spark, sf, "documents", "n_chars", (0.5, 0.9), by="source")
+
+    q["dds_documents_nchars_by_source"] = dds_documents_nchars_by_source
+
+    def tdigest_kll_quantity_by_returnflag(spark, sf):
+        """Grouped t-digest + KLL vs Spark-exact per-group quantiles,
+        materialized as boolean bound columns."""
+        from ddsketchy_spark.spark.companions import kll_quantiles, tdigest_quantiles
+        from ddsketchy_spark.spark.ddsketch_agg import quantile_label as _ql
+
+        df = _load(spark, sf, "lineitem")
+        qs = (0.5, 0.9)
+        td = {r["l_returnflag"]: r for r in
+              tdigest_quantiles(df, "l_quantity", by=["l_returnflag"],
+                                quantiles=qs).collect()}
+        kl = {r["l_returnflag"]: r for r in
+              kll_quantiles(df, "l_quantity", by=["l_returnflag"],
+                            quantiles=qs).collect()}
+        import numpy as _np
+
+        rows = []
+        for flag in sorted(td):
+            vals = _np.sort(_np.asarray(
+                [r["l_quantity"] for r in
+                 df.filter(F.col("l_returnflag") == flag).select("l_quantity").collect()]))
+
+            def rank_ok(est, x, tol=0.02):
+                return bool(abs(float(_np.searchsorted(vals, est) / len(vals)) - x) <= tol)
+
+            rows.append((
+                flag, int(td[flag]["count"]),
+                all(rank_ok(td[flag][_ql(x)], x) for x in qs),
+                all(rank_ok(kl[flag][_ql(x)], x, 0.03) for x in qs),
+            ))
+        return spark.createDataFrame(
+            rows, "l_returnflag string, cnt long, tdigest_ok boolean, kll_ok boolean")
+
+    q["tdigest_kll_quantity_by_returnflag"] = tdigest_kll_quantity_by_returnflag
+
+    def winnowing_fingerprints_docs(spark, sf):
+        from ddsketchy_spark.pipeline.text import winnowing_fingerprints
+
+        docs = _load(spark, sf, "documents").filter("doc_id < 100")
+        return winnowing_fingerprints(docs, k=5, window=4)
+
+    q["winnowing_fingerprints_docs"] = winnowing_fingerprints_docs  # rows-only
+
+    def lsh_cosine_topk_embeddings(spark, sf):
+        from ddsketchy_spark.pipeline.similarity import lsh_cosine_topk
+
+        emb = _load(spark, sf, "embeddings")
+        return lsh_cosine_topk(emb, k=3, n_planes=16, bands=8, dim=64)
+
+    q["lsh_cosine_topk_embeddings"] = lsh_cosine_topk_embeddings  # rows-only
     return q
 
 
@@ -527,4 +600,58 @@ FROM embeddings, q
 ORDER BY list_cosine_similarity(embedding::DOUBLE[], qv::DOUBLE[]) DESC, vec_id ASC
 LIMIT 10
 """
+    o["dds_mixed_sign_centered"] = _dds_three_region_oracle(
+        "events", "value - 35.0", (0.1, 0.25, 0.5, 0.75, 0.9))
+    o["dds_documents_nchars_by_source"] = _dds_oracle(
+        "documents", "n_chars", (0.5, 0.9), by="source")
+    o["tdigest_kll_quantity_by_returnflag"] = """
+SELECT l_returnflag, count(*) AS cnt, TRUE AS tdigest_ok, TRUE AS kll_ok
+FROM lineitem GROUP BY 1 ORDER BY 1
+"""
     return o
+
+
+def _dds_three_region_oracle(table: str, expr: str, qs: tuple[float, ...],
+                             alpha: float = ALPHA) -> str:
+    """Full reference quantile walk in SQL: negative store (reversed rank,
+    negated reconstruction), zero bucket, positive store."""
+    m = LogMapping(alpha)
+    ilg = repr(m.inv_ln_gamma)
+    gl = repr(1.0 / m.inv_ln_gamma)
+    coef = repr(2.0 / (1.0 + m.gamma))
+    miv = repr(m.min_indexable_value)
+    qvals = ", ".join(f"({x!r})" for x in qs)
+    cases = ",\n  ".join(
+        f"max(CASE WHEN q = {x!r} THEN est END) AS {_QLABELS[x]}" for x in qs)
+    return f"""
+WITH base AS (SELECT CAST({expr} AS DOUBLE) AS x FROM {table}),
+f AS (SELECT x FROM base WHERE isfinite(x)),
+tot AS (SELECT count(*) AS n,
+               count(*) FILTER (WHERE x <= -{miv}) AS neg_n,
+               count(*) FILTER (WHERE abs(x) < {miv}) AS zero_n
+        FROM f),
+posk AS (SELECT CAST(ceil(ln(x) * {ilg}) AS BIGINT) AS key, count(*) AS c
+         FROM f WHERE x >= {miv} GROUP BY 1),
+negk AS (SELECT CAST(ceil(ln(-x) * {ilg}) AS BIGINT) AS key, count(*) AS c
+         FROM f WHERE x <= -{miv} GROUP BY 1),
+poscum AS (SELECT key, sum(c) OVER (ORDER BY key) AS cum FROM posk),
+negcum AS (SELECT key, sum(c) OVER (ORDER BY key) AS cum FROM negk),
+ranks AS (SELECT qs.q AS q, CAST(floor(qs.q * (n - 1)) AS BIGINT) AS rank,
+                 n, neg_n, zero_n
+          FROM tot CROSS JOIN (VALUES {qvals}) qs(q)),
+est AS (
+  SELECT r.q,
+    CASE
+      WHEN r.rank < r.neg_n THEN
+        -(SELECT round(exp(CAST(min(key) AS DOUBLE) * {gl}) * {coef}, 6)
+          FROM negcum WHERE cum > r.neg_n - 1 - r.rank)
+      WHEN r.rank < r.neg_n + r.zero_n THEN 0.0
+      ELSE
+        (SELECT round(exp(CAST(min(key) AS DOUBLE) * {gl}) * {coef}, 6)
+         FROM poscum WHERE cum > r.rank - r.neg_n - r.zero_n)
+    END AS est
+  FROM ranks r)
+SELECT (SELECT CAST(n AS BIGINT) FROM tot) AS cnt,
+  {cases}
+FROM est
+"""

@@ -73,6 +73,18 @@ class DDSketch:
         sk.add_batch(values)
         return sk
 
+    @classmethod
+    def builder(cls, alpha: float = DEFAULT_ALPHA) -> "DDSketchBuilder":
+        """Builder-pattern constructor mirroring the reference's
+        ``DDSketch::builder(alpha).max_bins(n).build()``
+        (`/root/reference/src/ddsketchy.rs:714-786`)."""
+        return DDSketchBuilder(alpha)
+
+    @classmethod
+    def with_max_bins(cls, alpha: float, max_bins: int) -> "DDSketch":
+        """Convenience constructor (`/root/reference/src/ddsketchy.rs:795-797`)."""
+        return cls(alpha, max_bins)
+
     # -- ingestion ---------------------------------------------------------
 
     def add(self, value: float) -> None:
@@ -95,6 +107,8 @@ class DDSketch:
 
     def add_batch(self, values: Iterable[float] | np.ndarray) -> None:
         """Vectorized batch add — the hot path inside Arrow-batch UDFs."""
+        if not isinstance(values, (np.ndarray, list, tuple)):
+            values = list(values)  # generators / arbitrary iterables
         v = np.asarray(values, dtype=np.float64)
         if v.ndim != 1:
             v = v.ravel()
@@ -381,3 +395,22 @@ class DDSketch:
         )
 
     __str__ = __repr__
+
+
+class DDSketchBuilder:
+    """``DDSketch.builder(alpha).max_bins(n).build()``."""
+
+    def __init__(self, alpha: float = DEFAULT_ALPHA) -> None:
+        self._alpha = alpha
+        self._max_bins = DEFAULT_MAX_BINS
+
+    def alpha(self, alpha: float) -> "DDSketchBuilder":
+        self._alpha = alpha
+        return self
+
+    def max_bins(self, n: int) -> "DDSketchBuilder":
+        self._max_bins = n
+        return self
+
+    def build(self) -> DDSketch:
+        return DDSketch(self._alpha, self._max_bins)
