@@ -119,6 +119,13 @@ def main() -> None:
                        quantiles=(0.5, 0.99)).collect()
     queries["q5_tokens_ntok_global_and_by_source"] = round(time.perf_counter() - t0, 3)
 
+    # q7: native HLL distinct tokens on the token table (JVM hashing + rho)
+    from ddsketchy_spark.spark.companions import hll_distinct
+
+    t0 = time.perf_counter()
+    hll_out = hll_distinct(tdf, "tokens", p=14, engine="native")
+    queries["q7_hll_distinct_tokens_native"] = round(time.perf_counter() - t0, 3)
+
     # accuracy: max relative error of the n_tok estimates vs exact quantiles
     import duckdb
 

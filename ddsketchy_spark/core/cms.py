@@ -15,21 +15,32 @@ import struct
 
 import numpy as np
 
-from .hashing import double_hash
+from .hashing import double_hash, spark_xxhash64
 
 
 class CountMinSketch:
-    __slots__ = ("depth", "width", "seed", "counts", "total")
+    """hash_kind="generic": double hashing (any key type, seedable).
+    hash_kind="spark": row i uses pmod(xxhash64(key, lit(i)), width) —
+    bit-identical to the native JVM engine (integer keys, seed 0)."""
 
-    _MAGIC = b"CMS1"
-    _HDR = struct.Struct("<IIIq")  # depth, width, seed, total
+    __slots__ = ("depth", "width", "seed", "hash_kind", "counts", "total")
 
-    def __init__(self, depth: int = 5, width: int = 1 << 14, seed: int = 0) -> None:
+    _MAGIC = b"CMS2"
+    _HDR = struct.Struct("<IIIBq")  # depth, width, seed, hash_kind, total
+    _KINDS = ("generic", "spark")
+
+    def __init__(self, depth: int = 5, width: int = 1 << 14, seed: int = 0,
+                 hash_kind: str = "generic") -> None:
         if width & (width - 1):
             raise ValueError("width must be a power of two")
+        if hash_kind not in self._KINDS:
+            raise ValueError(f"hash_kind must be one of {self._KINDS}")
+        if hash_kind == "spark" and seed != 0:
+            raise ValueError("hash_kind='spark' requires seed=0")
         self.depth = depth
         self.width = width
         self.seed = seed
+        self.hash_kind = hash_kind
         self.counts = np.zeros((depth, width), dtype=np.int64)
         self.total = 0
 
@@ -40,6 +51,12 @@ class CountMinSketch:
         return cls(d, w, seed)
 
     def _indices(self, values) -> np.ndarray:
+        if self.hash_kind == "spark":
+            w = np.int64(self.width)
+            return np.stack(
+                [spark_xxhash64(values, (i,)).view(np.int64) % w
+                 for i in range(self.depth)]
+            )
         h1, h2 = double_hash(values, self.seed)
         mask = np.uint64(self.width - 1)
         return np.stack(
@@ -69,7 +86,8 @@ class CountMinSketch:
         return est
 
     def merge(self, other: "CountMinSketch") -> "CountMinSketch":
-        if (self.depth, self.width, self.seed) != (other.depth, other.width, other.seed):
+        if (self.depth, self.width, self.seed, self.hash_kind) != (
+                other.depth, other.width, other.seed, other.hash_kind):
             raise ValueError("count-min config mismatch")
         self.counts += other.counts
         self.total += other.total
@@ -77,15 +95,16 @@ class CountMinSketch:
 
     def to_bytes(self) -> bytes:
         return (self._MAGIC
-                + self._HDR.pack(self.depth, self.width, self.seed, self.total)
+                + self._HDR.pack(self.depth, self.width, self.seed,
+                                 self._KINDS.index(self.hash_kind), self.total)
                 + self.counts.astype("<i8", copy=False).tobytes())
 
     @classmethod
     def from_bytes(cls, buf: bytes) -> "CountMinSketch":
         if buf[:4] != cls._MAGIC:
             raise ValueError("not a CountMinSketch blob")
-        d, w, seed, total = cls._HDR.unpack_from(buf, 4)
-        cm = cls(d, w, seed)
+        d, w, seed, kind, total = cls._HDR.unpack_from(buf, 4)
+        cm = cls(d, w, seed, cls._KINDS[kind])
         cm.total = total
         cm.counts = np.frombuffer(buf, dtype="<i8", offset=4 + cls._HDR.size,
                                   count=d * w).reshape(d, w).copy()
@@ -95,5 +114,6 @@ class CountMinSketch:
         if not isinstance(other, CountMinSketch):
             return NotImplemented
         return (self.depth == other.depth and self.width == other.width
-                and self.seed == other.seed and self.total == other.total
+                and self.seed == other.seed and self.hash_kind == other.hash_kind
+                and self.total == other.total
                 and np.array_equal(self.counts, other.counts))

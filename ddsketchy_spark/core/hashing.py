@@ -54,6 +54,76 @@ def double_hash(values, seed: int = 0) -> tuple[np.ndarray, np.ndarray]:
     return h1, h2 | _U64(1)
 
 
+# ---------------------------------------------------------------------------
+# Spark-compatible xxHash64 (bit-identical to F.xxhash64, seed 42)
+#
+# Vectorized NumPy ports of the XXH64 short-input paths Spark uses for
+# IntegerType (4-byte) and LongType (8-byte) values, plus the multi-argument
+# chaining rule (each argument hashed with the previous hash as seed). These
+# let a sketch hash values in the JVM (native engine) and in NumPy (arrow
+# engine / driver estimators) and land on identical registers/counters.
+# ---------------------------------------------------------------------------
+
+_XP1 = _U64(0x9E3779B185EBCA87)
+_XP2 = _U64(0xC2B2AE3D27D4EB4F)
+_XP3 = _U64(0x165667B19E3779F9)
+_XP4 = _U64(0x85EBCA77C2B2AE63)
+_XP5 = _U64(0x27D4EB2F165667C5)
+SPARK_HASH_SEED = 42
+
+
+def _rotl(x: np.ndarray, r: int) -> np.ndarray:
+    return (x << _U64(r)) | (x >> _U64(64 - r))
+
+
+def _xxh_fmix(h: np.ndarray) -> np.ndarray:
+    h = h ^ (h >> _U64(33))
+    h = h * _XP2
+    h = h ^ (h >> _U64(29))
+    h = h * _XP3
+    return h ^ (h >> _U64(32))
+
+
+def spark_xxhash64_int32(x: np.ndarray, seed=SPARK_HASH_SEED) -> np.ndarray:
+    """xxhash64 of an int32 column, == F.xxhash64(col INT). ``seed`` may be
+    a scalar or a uint64 array (for chaining)."""
+    x = np.asarray(x).astype(np.int64)
+    seed = np.asarray(seed, dtype=_U64)
+    with np.errstate(over="ignore"):
+        h = seed + _XP5 + _U64(4)
+        h = h ^ ((x.view(_U64) & _U64(0xFFFFFFFF)) * _XP1)
+        h = _rotl(h, 23) * _XP2 + _XP3
+        return _xxh_fmix(h)
+
+
+def spark_xxhash64_int64(x: np.ndarray, seed=SPARK_HASH_SEED) -> np.ndarray:
+    """xxhash64 of an int64 column, == F.xxhash64(col BIGINT)."""
+    x = np.asarray(x).astype(np.int64)
+    seed = np.asarray(seed, dtype=_U64)
+    with np.errstate(over="ignore"):
+        h = seed + _XP5 + _U64(8)
+        h = h ^ (_rotl(x.view(_U64) * _XP2, 31) * _XP1)
+        h = _rotl(h, 27) * _XP1 + _XP4
+        return _xxh_fmix(h)
+
+
+def spark_xxhash64(values, int_literals: tuple[int, ...] = ()) -> np.ndarray:
+    """== F.xxhash64(col, lit(i1), lit(i2), ...) for an integer column.
+
+    The chain rule: each later argument is hashed with the running hash as
+    its seed (int literals are IntegerType -> the 4-byte path)."""
+    arr = np.asarray(values)
+    if arr.dtype.kind not in ("i", "u"):
+        raise TypeError(f"spark_xxhash64 requires an integer array, got {arr.dtype}")
+    if arr.dtype.itemsize <= 4:
+        h = spark_xxhash64_int32(arr)
+    else:
+        h = spark_xxhash64_int64(arr)
+    for lit in int_literals:
+        h = spark_xxhash64_int32(np.full(len(arr), lit, dtype=np.int64), h)
+    return h
+
+
 def bit_length_u64(x: np.ndarray, width: int = 64) -> np.ndarray:
     """Vectorized bit length (position of highest set bit; 0 for x==0)."""
     x = x.astype(_U64, copy=True)

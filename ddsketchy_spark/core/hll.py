@@ -15,25 +15,40 @@ import struct
 
 import numpy as np
 
-from .hashing import bit_length_u64, hash64
+from .hashing import bit_length_u64, hash64, spark_xxhash64
 
 
 class HyperLogLog:
-    __slots__ = ("p", "m", "seed", "registers")
+    """hash_kind="generic": splitmix64/SipHash (any key type, seedable).
+    hash_kind="spark": bit-identical to F.xxhash64 (integer keys only, seed
+    must be 0) — lets the native JVM engine and NumPy land on identical
+    registers."""
 
-    _MAGIC = b"HLL1"
-    _HDR = struct.Struct("<III")  # p, m, seed
+    __slots__ = ("p", "m", "seed", "hash_kind", "registers")
 
-    def __init__(self, p: int = 14, seed: int = 0) -> None:
+    _MAGIC = b"HLL2"
+    _HDR = struct.Struct("<IIIB")  # p, m, seed, hash_kind
+
+    _KINDS = ("generic", "spark")
+
+    def __init__(self, p: int = 14, seed: int = 0, hash_kind: str = "generic") -> None:
         if not 4 <= p <= 18:
             raise ValueError(f"precision p must be in [4, 18], got {p}")
+        if hash_kind not in self._KINDS:
+            raise ValueError(f"hash_kind must be one of {self._KINDS}")
+        if hash_kind == "spark" and seed != 0:
+            raise ValueError("hash_kind='spark' requires seed=0 (F.xxhash64 has a fixed seed)")
         self.p = p
         self.m = 1 << p
         self.seed = seed
+        self.hash_kind = hash_kind
         self.registers = np.zeros(self.m, dtype=np.uint8)
 
     def add_batch(self, values) -> None:
-        h = hash64(values, self.seed)
+        if self.hash_kind == "spark":
+            h = spark_xxhash64(values)
+        else:
+            h = hash64(values, self.seed)
         if len(h) == 0:
             return
         idx = (h >> np.uint64(64 - self.p)).astype(np.int64)
@@ -44,7 +59,7 @@ class HyperLogLog:
         np.maximum.at(self.registers, idx, rho)
 
     def merge(self, other: "HyperLogLog") -> "HyperLogLog":
-        if (self.p, self.seed) != (other.p, other.seed):
+        if (self.p, self.seed, self.hash_kind) != (other.p, other.seed, other.hash_kind):
             raise ValueError("hll config mismatch")
         np.maximum(self.registers, other.registers, out=self.registers)
         return self
@@ -71,15 +86,17 @@ class HyperLogLog:
         return int(round(self.estimate()))
 
     def to_bytes(self) -> bytes:
-        return (self._MAGIC + self._HDR.pack(self.p, self.m, self.seed)
+        return (self._MAGIC
+                + self._HDR.pack(self.p, self.m, self.seed,
+                                 self._KINDS.index(self.hash_kind))
                 + self.registers.tobytes())
 
     @classmethod
     def from_bytes(cls, buf: bytes) -> "HyperLogLog":
         if buf[:4] != cls._MAGIC:
             raise ValueError("not a HyperLogLog blob")
-        p, m, seed = cls._HDR.unpack_from(buf, 4)
-        h = cls(p, seed)
+        p, m, seed, kind = cls._HDR.unpack_from(buf, 4)
+        h = cls(p, seed, cls._KINDS[kind])
         h.registers = np.frombuffer(buf, dtype=np.uint8, offset=4 + cls._HDR.size,
                                     count=m).copy()
         return h
@@ -88,4 +105,5 @@ class HyperLogLog:
         if not isinstance(other, HyperLogLog):
             return NotImplemented
         return (self.p == other.p and self.seed == other.seed
+                and self.hash_kind == other.hash_kind
                 and np.array_equal(self.registers, other.registers))

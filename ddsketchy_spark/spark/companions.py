@@ -42,14 +42,16 @@ def _keys_from_arrow(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
 class HLLAggregator(SketchAggregator):
     """Distinct-count per group via HyperLogLog."""
 
-    def __init__(self, value_col: str, p: int = 14, seed: int = 0) -> None:
+    def __init__(self, value_col: str, p: int = 14, seed: int = 0,
+                 hash_kind: str = "generic") -> None:
         self.value_cols = [value_col]
         self.value_col = value_col
         self.p = p
         self.seed = seed
+        self.hash_kind = hash_kind
 
     def make(self) -> HyperLogLog:
-        return HyperLogLog(self.p, self.seed)
+        return HyperLogLog(self.p, self.seed, self.hash_kind)
 
     def add_arrow(self, state: HyperLogLog, table: pa.Table) -> None:
         state.add_batch(_keys_from_arrow(table.column(self.value_col)))
@@ -73,15 +75,16 @@ class CMSAggregator(SketchAggregator):
     """Frequency sketch per group via Count-Min."""
 
     def __init__(self, value_col: str, depth: int = 5, width: int = 1 << 14,
-                 seed: int = 0) -> None:
+                 seed: int = 0, hash_kind: str = "generic") -> None:
         self.value_cols = [value_col]
         self.value_col = value_col
         self.depth = depth
         self.width = width
         self.seed = seed
+        self.hash_kind = hash_kind
 
     def make(self) -> CountMinSketch:
-        return CountMinSketch(self.depth, self.width, self.seed)
+        return CountMinSketch(self.depth, self.width, self.seed, self.hash_kind)
 
     def add_arrow(self, state: CountMinSketch, table: pa.Table) -> None:
         state.add_batch(_keys_from_arrow(table.column(self.value_col)))
@@ -197,18 +200,159 @@ class KLLAggregator(_QuantileCompanionAggregator):
         return sk.n
 
 
-# -- convenience entry points -------------------------------------------------
+# -- native (JVM-side) HLL engine ----------------------------------------------
+#
+# The entire hash -> register-index -> rho pipeline runs as Spark SQL:
+# F.xxhash64 (bit-identical to our NumPy spark_xxhash64), shift arithmetic,
+# and an exact leading-zero cascade — whole-stage codegen end to end. Only
+# (register_index, max_rho) rows (<= 2^p per group) leave the JVM. The
+# resulting registers are bit-identical to a NumPy build with
+# hash_kind="spark" on the same integer keys.
+
+
+def _hll_native(df: DataFrame, value_col: str, by: Sequence[str], p: int):
+    from pyspark.sql import functions as F
+
+    is_array = dict(df.dtypes)[value_col].startswith("array")
+    cols = [F.col(c) for c in by]
+    if is_array:
+        base = df.select(*cols, F.explode(value_col).alias("_x"))
+    else:
+        base = df.select(*cols, F.col(value_col).alias("_x"))
+    base = base.where(F.col("_x").isNotNull())
+    h = F.xxhash64(F.col("_x"))
+    idx = F.shiftrightunsigned(h, 64 - p)
+    rest = F.shiftleft(h, p)
+    # exact unsigned bit-length cascade (no float log2 — boundary-safe)
+    x = rest
+    n = F.lit(0)
+    for s in (32, 16, 8, 4, 2, 1):
+        hi = F.shiftrightunsigned(x, s)
+        cond = hi != 0
+        n = n + F.when(cond, F.lit(s)).otherwise(F.lit(0))
+        x = F.when(cond, hi).otherwise(x)
+    bitlen = n + F.when(x != 0, F.lit(1)).otherwise(F.lit(0))
+    rho = (F.lit(64) - bitlen + F.lit(1)).cast("int")
+    return base.select(*cols, idx.alias("_idx"), rho.alias("_rho")).groupBy(
+        *by, "_idx").agg(F.max("_rho").alias("_maxrho"))
+
+
+def _hll_from_rows(idx: np.ndarray, rho: np.ndarray, p: int) -> HyperLogLog:
+    h = HyperLogLog(p, 0, "spark")
+    np.maximum.at(h.registers, np.asarray(idx, dtype=np.int64),
+                  np.asarray(rho, dtype=np.int64).clip(0, 255).astype(np.uint8))
+    return h
 
 
 def hll_distinct(df: DataFrame, value_col: str, by: Sequence[str] | None = None,
-                 p: int = 14, seed: int = 0, **kw):
-    return sketch_aggregate(df, HLLAggregator(value_col, p, seed), by=by, **kw)
+                 p: int = 14, seed: int = 0, engine: str = "arrow",
+                 hash_kind: str = "generic", keep_state: bool = False, **kw):
+    """Distinct count via HyperLogLog.
+
+    engine="native": JVM-codegen hashing/bucketing (integer or array<int>
+    columns; implies hash_kind='spark', seed=0). engine="arrow": the generic
+    blob harness (any key type)."""
+    if engine == "native":
+        by = list(by or [])
+        kc = _hll_native(df, value_col, by, p)
+        if not by:
+            rows = kc.collect()
+            h = _hll_from_rows(np.asarray([r["_idx"] for r in rows]),
+                               np.asarray([r["_maxrho"] for r in rows]), p)
+            out = {"distinct_est": h.cardinality()}
+            if keep_state:
+                out["state"] = h.to_bytes()
+            return out
+        from pyspark.sql.types import BinaryType, LongType, StructField, StructType
+
+        key_fields = [f for f in kc.schema.fields if f.name in by]
+        out_fields = key_fields + [StructField("distinct_est", LongType())]
+        if keep_state:
+            out_fields.append(StructField("state", BinaryType()))
+        schema = StructType(out_fields)
+
+        def assemble(pdf):
+            import pandas as pd
+
+            h = _hll_from_rows(pdf["_idx"].to_numpy(), pdf["_maxrho"].to_numpy(), p)
+            row = {k: [pdf[k].iloc[0]] for k in by}
+            row["distinct_est"] = [h.cardinality()]
+            if keep_state:
+                row["state"] = [h.to_bytes()]
+            return pd.DataFrame(row)
+
+        return kc.groupBy(*by).applyInPandas(assemble, schema)
+    kw.setdefault("keep_state", keep_state)
+    return sketch_aggregate(df, HLLAggregator(value_col, p, seed, hash_kind), by=by, **kw)
+
+
+def _cms_native(df: DataFrame, value_col: str, by: Sequence[str],
+                depth: int, width: int):
+    from pyspark.sql import functions as F
+
+    is_array = dict(df.dtypes)[value_col].startswith("array")
+    cols = [F.col(c) for c in by]
+    if is_array:
+        base = df.select(*cols, F.explode(value_col).alias("_x"))
+    else:
+        base = df.select(*cols, F.col(value_col).alias("_x"))
+    base = base.where(F.col("_x").isNotNull())
+    rows = F.array(*[
+        F.struct(F.lit(j).alias("row"),
+                 F.pmod(F.xxhash64(F.col("_x"), F.lit(j)), F.lit(width)).alias("idx"))
+        for j in range(depth)
+    ])
+    return (base.select(*cols, F.explode(rows).alias("p"))
+            .select(*cols, F.col("p.row"), F.col("p.idx"))
+            .groupBy(*by, "row", "idx").agg(F.count(F.lit(1)).alias("c")))
+
+
+def _cms_from_rows(rows_i, idx_i, counts_i, depth: int, width: int) -> CountMinSketch:
+    cm = CountMinSketch(depth, width, 0, "spark")
+    r = np.asarray(rows_i, dtype=np.int64)
+    i = np.asarray(idx_i, dtype=np.int64)
+    c = np.asarray(counts_i, dtype=np.int64)
+    np.add.at(cm.counts, (r, i), c)
+    cm.total = int(c[r == 0].sum())
+    return cm
 
 
 def cms_state(df: DataFrame, value_col: str, by: Sequence[str] | None = None,
-              depth: int = 5, width: int = 1 << 14, seed: int = 0, **kw):
+              depth: int = 5, width: int = 1 << 14, seed: int = 0,
+              engine: str = "arrow", hash_kind: str = "generic", **kw):
+    """Count-Min state per group.
+
+    engine="native": JVM xxhash64(key, row) + pmod bucketing; only
+    (row, idx, count) cells — at most depth*width per group — leave the JVM;
+    bit-identical to hash_kind='spark' NumPy builds (integer keys)."""
+    if engine == "native":
+        by = list(by or [])
+        kc = _cms_native(df, value_col, by, depth, width)
+        if not by:
+            rows = kc.collect()
+            cm = _cms_from_rows([r["row"] for r in rows], [r["idx"] for r in rows],
+                                [r["c"] for r in rows], depth, width)
+            return {"total": cm.total, "state": cm.to_bytes()}
+        from pyspark.sql.types import BinaryType, LongType, StructField, StructType
+
+        key_fields = [f for f in kc.schema.fields if f.name in by]
+        schema = StructType(key_fields + [StructField("total", LongType()),
+                                          StructField("state", BinaryType())])
+
+        def assemble(pdf):
+            import pandas as pd
+
+            cm = _cms_from_rows(pdf["row"].to_numpy(), pdf["idx"].to_numpy(),
+                                pdf["c"].to_numpy(), depth, width)
+            row = {k: [pdf[k].iloc[0]] for k in by}
+            row["total"] = [cm.total]
+            row["state"] = [cm.to_bytes()]
+            return pd.DataFrame(row)
+
+        return kc.groupBy(*by).applyInPandas(assemble, schema)
     kw.setdefault("keep_state", True)
-    return sketch_aggregate(df, CMSAggregator(value_col, depth, width, seed), by=by, **kw)
+    return sketch_aggregate(df, CMSAggregator(value_col, depth, width, seed, hash_kind),
+                            by=by, **kw)
 
 
 def bloom_state(df: DataFrame, value_col: str, by: Sequence[str] | None = None,

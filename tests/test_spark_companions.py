@@ -45,6 +45,30 @@ def test_hll_distinct_tokens_grouped(spark, token_table_path):
         assert abs(rows[s] - exact[s]) / exact[s] < 0.05, s
 
 
+def test_hll_native_engine_bitwise_matches_arrow(spark, token_table_path):
+    """Native (JVM xxhash64 + SQL rho cascade) and arrow (NumPy
+    spark_xxhash64) engines land on IDENTICAL registers for integer keys."""
+    df = read_tokens(spark, token_table_path)
+    nat = hll_distinct(df, "tokens", p=12, engine="native", keep_state=True)
+    arr = hll_distinct(df, "tokens", p=12, engine="arrow", hash_kind="spark",
+                       keep_state=True)
+    assert HyperLogLog.from_bytes(nat["state"]) == HyperLogLog.from_bytes(arr["state"])
+    assert nat["distinct_est"] == arr["distinct_est"]
+    exact = df.select(F.explode("tokens").alias("t")).select("t").distinct().count()
+    assert abs(nat["distinct_est"] - exact) / exact < 0.06
+
+
+def test_hll_native_grouped(spark, token_table_path):
+    df = read_tokens(spark, token_table_path)
+    nat = {r["source"]: r["distinct_est"] for r in
+           hll_distinct(df, "n_tok", by=["source"], p=13, engine="native").collect()}
+    exact = {r["source"]: r["d"] for r in
+             df.groupBy("source").agg(F.countDistinct("n_tok").alias("d")).collect()}
+    assert nat.keys() == exact.keys()
+    for s in nat:
+        assert abs(nat[s] - exact[s]) <= max(0.05 * exact[s], 3), s
+
+
 def test_cms_point_queries_vs_exact(spark, token_table_path):
     df = read_tokens(spark, token_table_path)
     out = cms_state(df, "tokens", depth=5, width=1 << 14)
@@ -60,6 +84,37 @@ def test_cms_point_queries_vs_exact(spark, token_table_path):
     eps_n = (np.e / (1 << 14)) * cm.total
     assert (est - true <= eps_n).mean() > 0.98
     assert cm.total == int(df.select(F.sum(F.size("tokens"))).collect()[0][0])
+
+
+def test_cms_native_engine_bitwise_matches_arrow(spark, token_table_path):
+    df = read_tokens(spark, token_table_path)
+    nat = cms_state(df, "tokens", depth=4, width=1 << 12, engine="native")
+    arr = cms_state(df, "tokens", depth=4, width=1 << 12, engine="arrow",
+                    hash_kind="spark")
+    a = CountMinSketch.from_bytes(nat["state"])
+    b = CountMinSketch.from_bytes(arr["state"])
+    assert a == b
+    assert nat["total"] == arr["total"]
+    # point estimates still never underestimate
+    exact = dict(
+        df.select(F.explode("tokens").alias("t")).groupBy("t").count()
+        .orderBy(F.desc("count")).limit(20).collect()
+    )
+    # NB: xxhash64 is type-sensitive (int != bigint), so queries must use
+    # the stored key dtype — int32 here, matching the tokens column.
+    items = np.asarray(list(exact.keys()), dtype=np.int32)
+    assert (a.query_batch(items) >= np.asarray([exact[i] for i in items])).all()
+
+
+def test_cms_native_grouped(spark, token_table_path):
+    df = read_tokens(spark, token_table_path)
+    out = {r["source"]: r for r in
+           cms_state(df, "n_tok", by=["source"], depth=4, width=1 << 10,
+                     engine="native").collect()}
+    exact_tot = {r["source"]: r["c"] for r in
+                 df.groupBy("source").agg(F.count(F.lit(1)).alias("c")).collect()}
+    for s, r in out.items():
+        assert r["total"] == exact_tot[s], s
 
 
 def test_bloom_no_false_negatives_distributed(spark, token_table_path):
