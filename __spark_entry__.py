@@ -462,6 +462,52 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return lsh_cosine_topk(emb, k=3, n_planes=16, bands=8, dim=64)
 
     q["lsh_cosine_topk_embeddings"] = lsh_cosine_topk_embeddings  # rows-only
+
+    # -- relational coverage: classic aggregations + broadcast joins --------
+
+    def _r2(c):
+        mag = F.floor(F.abs(c) * F.lit(1e2) + F.lit(0.5)) / F.lit(1e2)
+        return (F.when(c < 0, -mag).otherwise(mag)).cast("double")
+
+    def tpch_q1_pricing_summary(spark, sf):
+        li = _load(spark, sf, "lineitem")
+        return (
+            li.filter(F.col("l_shipdate") <= F.lit("2002-09-02"))
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(
+                _r2(F.sum("l_quantity")).alias("sum_qty"),
+                _r2(F.sum("l_extendedprice")).alias("sum_base_price"),
+                _r2(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))))
+                .alias("sum_disc_price"),
+                _r6(F.avg("l_quantity")).alias("avg_qty"),
+                _r6(F.avg("l_discount")).alias("avg_disc"),
+                F.count(F.lit(1)).alias("count_order"),
+            )
+            .orderBy("l_returnflag", "l_linestatus")
+        )
+
+    q["tpch_q1_pricing_summary"] = tpch_q1_pricing_summary
+
+    def revenue_by_customer_broadcast(spark, sf):
+        """lineitem JOIN orders JOIN customer with broadcast dims — the
+        small sides broadcast (verified in tools/explain_plans.py), so the
+        fact table never shuffles for the join."""
+        li = _load(spark, sf, "lineitem")
+        orders = _load(spark, sf, "orders")
+        cust = _load(spark, sf, "customer").filter(F.col("c_custkey") < 50)
+        return (
+            li.join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
+            .join(F.broadcast(cust), F.col("o_custkey") == cust.c_custkey)
+            .groupBy("c_custkey", "c_name")
+            .agg(
+                _r2(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))))
+                .alias("revenue"),
+                F.count(F.lit(1)).alias("n_items"),
+            )
+            .orderBy("c_custkey")
+        )
+
+    q["revenue_by_customer_broadcast"] = revenue_by_customer_broadcast
     return q
 
 
@@ -607,6 +653,30 @@ LIMIT 10
     o["tdigest_kll_quantity_by_returnflag"] = """
 SELECT l_returnflag, count(*) AS cnt, TRUE AS tdigest_ok, TRUE AS kll_ok
 FROM lineitem GROUP BY 1 ORDER BY 1
+"""
+    o["tpch_q1_pricing_summary"] = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(avg(l_quantity), 6) AS avg_qty,
+       round(avg(l_discount), 6) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= DATE '2002-09-02'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+    o["revenue_by_customer_broadcast"] = """
+SELECT c.c_custkey, c.c_name,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+       count(*) AS n_items
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+WHERE c.c_custkey < 50
+GROUP BY c.c_custkey, c.c_name
+ORDER BY c.c_custkey
 """
     return o
 

@@ -34,16 +34,21 @@ from ..core.hashing import hash64, splitmix64
 
 
 def exact_dup_groups(df: DataFrame, text_col: str = "text",
-                     id_col: str = "doc_id") -> DataFrame:
+                     id_col: str = "doc_id", collect_ids: bool = True) -> DataFrame:
     """Groups of byte-identical (normalized) documents.
 
-    Returns (fingerprint, n_docs, ids) for groups with n_docs > 1."""
+    Returns (fingerprint, n_docs[, ids]) for groups with n_docs > 1.
+    ``collect_ids=False`` skips the per-group id list — use at full scale,
+    where a pathological fingerprint with millions of members would blow up
+    a single aggregation buffer."""
     fp = F.md5(F.lower(F.trim(F.col(text_col))))
+    aggs = [F.count(F.lit(1)).alias("n_docs")]
+    if collect_ids:
+        aggs.append(F.sort_array(F.collect_list(id_col)).alias("ids"))
     return (
         df.select(fp.alias("fingerprint"), F.col(id_col))
         .groupBy("fingerprint")
-        .agg(F.count(F.lit(1)).alias("n_docs"),
-             F.sort_array(F.collect_list(id_col)).alias("ids"))
+        .agg(*aggs)
         .filter(F.col("n_docs") > 1)
     )
 

@@ -1,0 +1,120 @@
+"""Physical-plan audit for the headline operators.
+
+Prints `.explain("formatted")` for each and greps the properties that matter
+at 100 TB: column pruning (ReadSchema), predicate pushdown (PushedFilters),
+whole-stage codegen spans, join strategies (broadcast for small dims), and
+that sketch plans shuffle bucket/state rows rather than input rows.
+
+Usage: python tools/explain_plans.py [name ...]
+"""
+
+from __future__ import annotations
+
+import io
+import os
+import re
+import sys
+from contextlib import redirect_stdout
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+
+
+def plan_of(df) -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def audit(name: str, df, want: list[str], reject: list[str] = ()) -> bool:
+    p = plan_of(df)
+    ok = True
+    print(f"== {name} ==")
+    for w in want:
+        hit = re.search(w, p) is not None
+        print(f"  want {w!r}: {'OK' if hit else 'MISSING'}")
+        ok &= hit
+    for r in reject:
+        hit = re.search(r, p) is not None
+        print(f"  reject {r!r}: {'PRESENT (bad)' if hit else 'absent (good)'}")
+        ok &= not hit
+    if os.environ.get("EXPLAIN_FULL"):
+        print(p)
+    return ok
+
+
+def main() -> None:
+    from pyspark.sql import functions as F
+
+    from ddsketchy_spark.spark.companions import _cms_native, _hll_native
+    from ddsketchy_spark.spark.ddsketch_agg import _native_key_counts
+    from ddsketchy_spark.spark.session import get_spark
+    from ddsketchy_spark.pipeline.dedup import exact_dup_groups
+
+    spark = get_spark("plans", master="local[4]", shuffle_partitions=4,
+                      extra_conf={"spark.ui.showConsoleProgress": "false"})
+    events = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    lineitem = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    customer = spark.read.parquet(f"{SF_DIR}/customer.parquet")
+
+    results = {}
+
+    # 1. native DDSketch build: pruned scan, codegen hash agg, no Python
+    kc = _native_key_counts(events.filter("value > 1.0"), "value", ["event_type"], 0.01)
+    results["dds_native_grouped"] = audit(
+        "dds_native_grouped", kc,
+        want=[r"ReadSchema: struct<event_type:string,value:double>",
+              r"PushedFilters: .*GreaterThan\(value,1\.0\)",
+              # partial agg -> exchange -> final agg == map-side combine
+              r"HashAggregate[\s\S]*Exchange[\s\S]*HashAggregate"],
+        reject=[r"BatchEvalPython", r"FlatMapGroupsInPandas", r"ArrowEvalPython"],
+    )
+
+    # 2. native HLL: same properties over the exploded tokens path
+    hll = _hll_native(events, "user_id", [], 14)
+    results["hll_native"] = audit(
+        "hll_native", hll,
+        want=[r"ReadSchema: struct<user_id:bigint>", r"HashAggregate", r"xxhash64"],
+        reject=[r"ArrowEvalPython", r"BatchEvalPython"],
+    )
+
+    # 3. native CMS
+    cms = _cms_native(lineitem, "l_partkey", [], 5, 1 << 14)
+    results["cms_native"] = audit(
+        "cms_native", cms,
+        want=[r"ReadSchema: struct<l_partkey:bigint>", r"HashAggregate"],
+        reject=[r"ArrowEvalPython"],
+    )
+
+    # 4. exact dedup: only digest+id shuffle (text must not survive projection)
+    dg = exact_dup_groups(docs)
+    results["exact_dedup"] = audit(
+        "exact_dedup", dg,
+        want=[r"ReadSchema: struct<doc_id:bigint,text:string>",
+              # partial object-hash agg before the exchange: the text column
+              # never shuffles, only (digest, partial state)
+              r"ObjectHashAggregate[\s\S]*Exchange[\s\S]*ObjectHashAggregate"],
+        reject=[],
+    )
+
+    # 5. broadcast join: small dim side must broadcast, not shuffle
+    j = (lineitem.join(F.broadcast(orders.filter("o_orderstatus = 'O'")),
+                       lineitem.l_orderkey == orders.o_orderkey)
+         .groupBy("o_custkey").agg(F.sum("l_extendedprice").alias("rev")))
+    results["broadcast_join"] = audit(
+        "broadcast_join", j,
+        want=[r"BroadcastHashJoin", r"PushedFilters: .*EqualTo\(o_orderstatus,O\)"],
+        reject=[r"SortMergeJoin"],
+    )
+
+    print("\nsummary:", {k: ("OK" if v else "FAIL") for k, v in results.items()})
+    spark.stop()
+    sys.exit(0 if all(results.values()) else 1)
+
+
+if __name__ == "__main__":
+    main()
