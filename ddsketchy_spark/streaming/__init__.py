@@ -1,3 +1,3 @@
-from .stream_agg import StreamingSketch, stream_ddsketch
+from .stream_agg import StreamingSketch, stream_ddsketch, stream_ddsketch_by_key
 
-__all__ = ["StreamingSketch", "stream_ddsketch"]
+__all__ = ["StreamingSketch", "stream_ddsketch", "stream_ddsketch_by_key"]

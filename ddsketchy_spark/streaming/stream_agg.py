@@ -94,3 +94,56 @@ def stream_ddsketch(
 def current_ddsketch(sk: StreamingSketch) -> DDSketch | None:
     blob = sk.current_blob()
     return DDSketch.from_bytes(blob) if blob is not None else None
+
+
+def stream_ddsketch_by_key(
+    stream_df: DataFrame,
+    value_col: str,
+    key_cols: list[str],
+    alpha: float = 0.01,
+    quantiles: tuple[float, ...] = (0.5, 0.99),
+):
+    """Custom stateful streaming operator: per-key running DDSketches via
+    ``applyInPandasWithState``. Each group's state is the serialized sketch
+    blob; every micro-batch folds its rows in (vectorized add_batch) and
+    emits the key's updated count + quantile estimates (Update mode).
+
+    Because the sketch state is bounded (<= 2 x max_bins bins) this is safe
+    for unbounded keys x unbounded time — the classic use: live p50/p99 of
+    sequence lengths per source while an ingestion pipeline runs."""
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+    from pyspark.sql.types import (
+        BinaryType,
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    from ..spark.ddsketch_agg import quantile_label
+
+    key_fields = [stream_df.schema[k] for k in key_cols]
+    out_schema = StructType(
+        key_fields
+        + [StructField("count", LongType())]
+        + [StructField(quantile_label(q), DoubleType()) for q in quantiles]
+    )
+    state_schema = StructType([StructField("blob", BinaryType())])
+
+    def update(key, pdf_iter, state):
+        sk = (DDSketch.from_bytes(bytes(state.get[0]))
+              if state.exists else DDSketch(alpha))
+        for pdf in pdf_iter:
+            sk.add_batch(pdf[value_col].to_numpy(dtype="float64", na_value=float("nan")))
+        state.update((bytearray(sk.to_bytes()),))
+        row = {k: [v] for k, v in zip(key_cols, key)}
+        row["count"] = [sk.count]
+        for q in quantiles:
+            row[quantile_label(q)] = [sk.quantile(q)]
+        yield pd.DataFrame(row)
+
+    return stream_df.groupBy(*key_cols).applyInPandasWithState(
+        update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )

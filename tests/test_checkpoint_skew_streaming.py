@@ -97,6 +97,45 @@ def test_suggest_merge_rounds():
     assert rounds == 2 and fanout >= 100_000 // 512
 
 
+def test_streaming_stateful_by_key(spark, token_table_path, tmp_path):
+    """applyInPandasWithState per-key sketches converge to the batch result."""
+    from ddsketchy_spark.streaming import stream_ddsketch_by_key
+    from ddsketchy_spark.spark.ddsketch_agg import ddsketch_quantiles
+
+    schema = spark.read.parquet(token_table_path).schema
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", "2")
+              .parquet(token_table_path))
+    out = stream_ddsketch_by_key(stream, "n_tok", ["source"], quantiles=(0.5, 0.99))
+    query = (out.writeStream.format("memory").queryName("bykey")
+             .outputMode("update")
+             .option("checkpointLocation", str(tmp_path / "skck"))
+             .trigger(processingTime="1 seconds").start())
+    try:
+        deadline = time.time() + 120
+        expected_total = 20_000
+        while time.time() < deadline:
+            # latest update per key
+            rows = spark.sql(
+                "SELECT source, count, p50, p99 FROM ("
+                "  SELECT *, row_number() OVER (PARTITION BY source ORDER BY count DESC) rn"
+                "  FROM bykey) WHERE rn = 1").collect()
+            if rows and sum(r["count"] for r in rows) >= expected_total:
+                break
+            time.sleep(1)
+    finally:
+        query.stop()
+    got = {r["source"]: r for r in rows}
+    batch = {r["source"]: r for r in
+             ddsketch_quantiles(spark.read.parquet(token_table_path), "n_tok",
+                                by=["source"], quantiles=(0.5, 0.99)).collect()}
+    assert got.keys() == batch.keys()
+    for s in got:
+        assert got[s]["count"] == batch[s]["count"], s
+        assert got[s]["p50"] == batch[s]["p50"], s
+        assert got[s]["p99"] == batch[s]["p99"], s
+
+
 def test_streaming_ddsketch(spark, token_table_path, tmp_path):
     """File-source stream over the token table: the running sketch converges
     to the batch-built sketch once all files are processed."""
