@@ -73,7 +73,9 @@ def token_build_probe(cpus: int) -> dict:
             out = ddsketch_quantiles(df, "tokens", alpha=ALPHA,
                                      quantiles=(0.5, 0.9, 0.99, 0.999))
             trials.append(time.perf_counter() - t0)
-        dt = sorted(trials)[1]
+        # best-of-3: measures capability; medians on a shared box fold in
+        # background-load noise that distorts the scaling-efficiency ratio
+        dt = min(trials)
         return {"tokens": out["count"], "seconds": dt,
                 "trials": [round(t, 3) for t in trials],
                 "tokens_per_sec": out["count"] / dt}

@@ -26,19 +26,13 @@ Aggregators are pluggable: anything with make/add_arrow/merge_blobs/finalize
 
 from __future__ import annotations
 
-import math
-from typing import Any, Callable, Iterable, Iterator, Sequence
+from typing import Any, Iterable, Iterator, Sequence
 
 import numpy as np
 import pyarrow as pa
 
 from pyspark.sql import DataFrame, functions as F
-from pyspark.sql.types import (
-    BinaryType,
-    LongType,
-    StructField,
-    StructType,
-)
+from pyspark.sql.types import BinaryType, StructField, StructType
 
 DEFAULT_FANOUT = 64
 

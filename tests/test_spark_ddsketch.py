@@ -172,6 +172,15 @@ def test_native_engine_mixed_sign_and_specials(spark):
     assert res["sum"] == pytest.approx(local.sum, rel=1e-12)
 
 
+def test_native_empty_input(spark):
+    df = spark.createDataFrame([], "g string, x double")
+    res = ddsketch_quantiles(df, "x", quantiles=[0.5], engine="native")
+    assert res["count"] == 0
+    assert res["p50"] is None and res["min"] is None
+    grouped = ddsketch_quantiles(df, "x", by=["g"], quantiles=[0.5], engine="native")
+    assert grouped.count() == 0
+
+
 def test_native_singleton_group(spark):
     """count==1 returns the raw value exactly (reference singleton law)."""
     df = spark.createDataFrame([("a", 42.0), ("b", 7.0), ("b", 9.0)], "g string, x double")
