@@ -131,7 +131,8 @@ class DDSketch:
             keys, counts = np.unique(self._m.keys_for(-v[neg]), return_counts=True)
             self.negative_store.add_keys(keys, counts.astype(np.int64))
         self.zero_count += len(v) - n_pos - n_neg
-        self._sum += float(v.sum())
+        with np.errstate(over="ignore"):  # fp accumulation may reach +/-inf,
+            self._sum += float(v.sum())   # same as the reference's f64 sum
         lo = float(v.min())
         hi = float(v.max())
         if lo < self._raw_min:

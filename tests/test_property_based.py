@@ -1,0 +1,79 @@
+"""Property-based tests (hypothesis) for the core DDSketch invariants,
+mirroring the reference's property methodology
+(/root/reference/src/ddsketchy_test.rs Dataset oracle) over arbitrary
+float inputs instead of fixed distributions."""
+
+import math
+
+import numpy as np
+from hypothesis import given, settings, strategies as st
+
+from ddsketchy_spark import DDSketch
+
+finite_floats = st.floats(
+    allow_nan=False, allow_infinity=False, min_value=-1e200, max_value=1e200
+)
+any_floats = st.floats(allow_nan=True, allow_infinity=True)
+
+
+@settings(max_examples=80, deadline=None)
+@given(st.lists(any_floats, max_size=200))
+def test_count_tracks_finite_inputs(vals):
+    sk = DDSketch(0.01)
+    sk.add_batch(vals)
+    finite = [v for v in vals if math.isfinite(v)]
+    assert sk.count == len(finite)
+    if finite:
+        assert sk.raw_min == min(finite)
+        assert sk.raw_max == max(finite)
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(finite_floats, min_size=2, max_size=300), st.integers(1, 299))
+def test_merge_split_equals_whole(vals, cut):
+    cut = cut % len(vals) or 1
+    whole = DDSketch.from_values(vals, alpha=0.02)
+    a = DDSketch.from_values(vals[:cut], alpha=0.02)
+    b = DDSketch.from_values(vals[cut:], alpha=0.02)
+    a.merge(b)
+    assert a.count == whole.count
+    for q in (0.0, 0.25, 0.5, 0.75, 1.0):
+        qa, qw = a.quantile(q), whole.quantile(q)
+        assert qa == qw or (math.isnan(qa) and math.isnan(qw)), q
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(st.floats(min_value=1e-6, max_value=1e12,
+                          allow_nan=False, allow_infinity=False),
+                min_size=2, max_size=500))
+def test_quantile_bounds_positive_uncollapsed(vals):
+    alpha = 0.01
+    sk = DDSketch.from_values(vals, alpha=alpha)
+    if sk.positive_store.is_collapsed:
+        return  # collapse sacrifices low quantiles by design
+    sv = sorted(vals)
+    for q in (0.0, 0.1, 0.5, 0.9, 1.0):
+        r = q * (len(sv) - 1)
+        lo, hi = sv[math.floor(r)], sv[math.ceil(r)]
+        est = sk.quantile(q)
+        assert (1 - alpha) * lo - 1e-12 <= est <= (1 + alpha) * hi + 1e-12, q
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(finite_floats, max_size=300))
+def test_codec_roundtrip_identity(vals):
+    sk = DDSketch.from_values(vals, alpha=0.01)
+    back = DDSketch.from_bytes(sk.to_bytes())
+    assert back == sk
+    back2 = DDSketch.from_json(sk.to_json())
+    assert back2 == sk
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.lists(finite_floats, min_size=1, max_size=200))
+def test_quantiles_monotone(vals):
+    sk = DDSketch.from_values(vals, alpha=0.01)
+    qs = [i / 20 for i in range(21)]
+    ests = sk.quantiles(qs)
+    for a, b in zip(ests, ests[1:]):
+        assert a <= b + 1e-9

@@ -172,6 +172,28 @@ def test_native_engine_mixed_sign_and_specials(spark):
     assert res["sum"] == pytest.approx(local.sum, rel=1e-12)
 
 
+def test_per_source_token_distribution(spark, token_table_path):
+    """The BASELINE workload: per-source distributions of the token VALUES
+    (array column, grouped) — native engine vs local flatten-and-filter."""
+    df = read_tokens(spark, token_table_path)
+    out = {r["source"]: r for r in
+           ddsketch_quantiles(df, "tokens", by=["source"],
+                              quantiles=[0.5, 0.999], engine="native").collect()}
+    tbl = pq.read_table(token_table_path, columns=["tokens", "source"])
+    src = np.asarray(tbl.column("source").to_pylist())
+    toks = tbl.column("tokens").combine_chunks()
+    for s in np.unique(src):
+        mask = np.nonzero(src == s)[0]
+        import pyarrow as pa
+
+        flat = toks.take(pa.array(mask)).flatten().to_numpy().astype(np.float64)
+        local = DDSketch(0.01)
+        local.add_batch(flat)
+        assert out[s]["count"] == local.count, s
+        assert out[s][quantile_label(0.5)] == local.quantile(0.5), s
+        assert out[s][quantile_label(0.999)] == local.quantile(0.999), s
+
+
 def test_native_empty_input(spark):
     df = spark.createDataFrame([], "g string, x double")
     res = ddsketch_quantiles(df, "x", quantiles=[0.5], engine="native")
