@@ -14,23 +14,46 @@ import struct
 
 import numpy as np
 
-from .hashing import double_hash
+from .hashing import double_hash, spark_xxhash64
 
 
 class BloomFilter:
-    __slots__ = ("n_bits", "n_hashes", "seed", "words", "n_added")
+    """hash_kind="generic": Kirsch-Mitzenmacher double hashing (any keys).
+    hash_kind="spark": probe i uses pmod(xxhash64(key, lit(i)), n_bits) —
+    bit-identical to the native JVM engine (integer keys, seed 0)."""
 
-    _MAGIC = b"BLM1"
-    _HDR = struct.Struct("<QIIq")  # n_bits, n_hashes, seed, n_added
+    __slots__ = ("n_bits", "n_hashes", "seed", "hash_kind", "words", "n_added")
 
-    def __init__(self, n_bits: int = 1 << 20, n_hashes: int = 7, seed: int = 0) -> None:
+    _MAGIC = b"BLM2"
+    _HDR = struct.Struct("<QIIBq")  # n_bits, n_hashes, seed, hash_kind, n_added
+    _KINDS = ("generic", "spark")
+
+    def __init__(self, n_bits: int = 1 << 20, n_hashes: int = 7, seed: int = 0,
+                 hash_kind: str = "generic") -> None:
         if n_bits & (n_bits - 1):
             raise ValueError("n_bits must be a power of two")
+        if hash_kind not in self._KINDS:
+            raise ValueError(f"hash_kind must be one of {self._KINDS}")
+        if hash_kind == "spark" and seed != 0:
+            raise ValueError("hash_kind='spark' requires seed=0")
         self.n_bits = n_bits
         self.n_hashes = n_hashes
         self.seed = seed
+        self.hash_kind = hash_kind
         self.words = np.zeros(n_bits // 64, dtype=np.uint64)
         self.n_added = 0
+
+    def _positions(self, values) -> "np.ndarray":
+        """(n_hashes, n) bit positions."""
+        if self.hash_kind == "spark":
+            m = np.int64(self.n_bits)
+            return np.stack([
+                (spark_xxhash64(values, (i,)).view(np.int64) % m).view(np.uint64)
+                for i in range(self.n_hashes)
+            ])
+        h1, h2 = double_hash(values, self.seed)
+        mask = np.uint64(self.n_bits - 1)
+        return np.stack([(h1 + np.uint64(i) * h2) & mask for i in range(self.n_hashes)])
 
     @classmethod
     def for_capacity(cls, n: int, fpr: float = 0.01, seed: int = 0) -> "BloomFilter":
@@ -41,27 +64,24 @@ class BloomFilter:
         return cls(m, min(k, 16), seed)
 
     def add_batch(self, values) -> None:
-        h1, h2 = double_hash(values, self.seed)
-        mask = np.uint64(self.n_bits - 1)
-        for i in range(self.n_hashes):
-            idx = (h1 + np.uint64(i) * h2) & mask
+        pos = self._positions(values)
+        for idx in pos:
             np.bitwise_or.at(self.words, (idx >> np.uint64(6)).astype(np.int64),
                              np.uint64(1) << (idx & np.uint64(63)))
-        self.n_added += len(h1)
+        self.n_added += pos.shape[1]
 
     def contains_batch(self, values) -> np.ndarray:
-        h1, h2 = double_hash(values, self.seed)
-        mask = np.uint64(self.n_bits - 1)
-        out = np.ones(len(h1), dtype=bool)
-        for i in range(self.n_hashes):
-            idx = (h1 + np.uint64(i) * h2) & mask
+        pos = self._positions(values)
+        out = np.ones(pos.shape[1], dtype=bool)
+        for idx in pos:
             bit = (self.words[(idx >> np.uint64(6)).astype(np.int64)]
                    >> (idx & np.uint64(63))) & np.uint64(1)
             out &= bit.astype(bool)
         return out
 
     def merge(self, other: "BloomFilter") -> "BloomFilter":
-        if (self.n_bits, self.n_hashes, self.seed) != (other.n_bits, other.n_hashes, other.seed):
+        if (self.n_bits, self.n_hashes, self.seed, self.hash_kind) != (
+                other.n_bits, other.n_hashes, other.seed, other.hash_kind):
             raise ValueError("bloom config mismatch")
         np.bitwise_or(self.words, other.words, out=self.words)
         self.n_added += other.n_added
@@ -76,15 +96,16 @@ class BloomFilter:
 
     def to_bytes(self) -> bytes:
         return (self._MAGIC
-                + self._HDR.pack(self.n_bits, self.n_hashes, self.seed, self.n_added)
+                + self._HDR.pack(self.n_bits, self.n_hashes, self.seed,
+                                 self._KINDS.index(self.hash_kind), self.n_added)
                 + self.words.astype("<u8", copy=False).tobytes())
 
     @classmethod
     def from_bytes(cls, buf: bytes) -> "BloomFilter":
         if buf[:4] != cls._MAGIC:
             raise ValueError("not a BloomFilter blob")
-        n_bits, k, seed, n_added = cls._HDR.unpack_from(buf, 4)
-        bf = cls(n_bits, k, seed)
+        n_bits, k, seed, kind, n_added = cls._HDR.unpack_from(buf, 4)
+        bf = cls(n_bits, k, seed, cls._KINDS[kind])
         bf.n_added = n_added
         bf.words = np.frombuffer(buf, dtype="<u8", offset=4 + cls._HDR.size,
                                  count=n_bits // 64).copy()
@@ -94,4 +115,5 @@ class BloomFilter:
         if not isinstance(other, BloomFilter):
             return NotImplemented
         return (self.n_bits == other.n_bits and self.n_hashes == other.n_hashes
-                and self.seed == other.seed and np.array_equal(self.words, other.words))
+                and self.seed == other.seed and self.hash_kind == other.hash_kind
+                and np.array_equal(self.words, other.words))

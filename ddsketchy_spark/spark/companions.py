@@ -108,15 +108,16 @@ class BloomAggregator(SketchAggregator):
     """Membership filter per group via Bloom."""
 
     def __init__(self, value_col: str, n_bits: int = 1 << 20, n_hashes: int = 7,
-                 seed: int = 0) -> None:
+                 seed: int = 0, hash_kind: str = "generic") -> None:
         self.value_cols = [value_col]
         self.value_col = value_col
         self.n_bits = n_bits
         self.n_hashes = n_hashes
         self.seed = seed
+        self.hash_kind = hash_kind
 
     def make(self) -> BloomFilter:
-        return BloomFilter(self.n_bits, self.n_hashes, self.seed)
+        return BloomFilter(self.n_bits, self.n_hashes, self.seed, self.hash_kind)
 
     def add_arrow(self, state: BloomFilter, table: pa.Table) -> None:
         state.add_batch(_keys_from_arrow(table.column(self.value_col)))
@@ -355,10 +356,81 @@ def cms_state(df: DataFrame, value_col: str, by: Sequence[str] | None = None,
                             by=by, **kw)
 
 
+def _bloom_native(df: DataFrame, value_col: str, by: Sequence[str],
+                  n_bits: int, n_hashes: int):
+    from pyspark.sql import functions as F
+
+    is_array = dict(df.dtypes)[value_col].startswith("array")
+    cols = [F.col(c) for c in by]
+    if is_array:
+        base = df.select(*cols, F.explode(value_col).alias("_x"))
+    else:
+        base = df.select(*cols, F.col(value_col).alias("_x"))
+    base = base.where(F.col("_x").isNotNull())
+    probes = F.array(*[
+        F.pmod(F.xxhash64(F.col("_x"), F.lit(i)), F.lit(n_bits))
+        for i in range(n_hashes)
+    ])
+    # n_added must count KEYS, not probe rows: count distinct via a separate
+    # cheap agg; positions dedupe via groupBy
+    pos = (base.select(*cols, F.explode(probes).alias("_pos"))
+           .groupBy(*by, "_pos").agg(F.count(F.lit(1)).alias("_c")))
+    counts = base.groupBy(*by).agg(F.count(F.lit(1)).alias("_n"))
+    return pos, counts
+
+
+def _bloom_from_rows(positions, n_added: int, n_bits: int, n_hashes: int) -> BloomFilter:
+    bf = BloomFilter(n_bits, n_hashes, 0, "spark")
+    idx = np.asarray(positions, dtype=np.int64).view(np.uint64)
+    np.bitwise_or.at(bf.words, (idx >> np.uint64(6)).astype(np.int64),
+                     np.uint64(1) << (idx & np.uint64(63)))
+    bf.n_added = int(n_added)
+    return bf
+
+
 def bloom_state(df: DataFrame, value_col: str, by: Sequence[str] | None = None,
-                n_bits: int = 1 << 20, n_hashes: int = 7, seed: int = 0, **kw):
+                n_bits: int = 1 << 20, n_hashes: int = 7, seed: int = 0,
+                engine: str = "arrow", hash_kind: str = "generic", **kw):
+    """Bloom filter state per group.
+
+    engine="native": JVM xxhash64 probes; only DISTINCT set-bit positions
+    (<= n_bits per group, typically far fewer) leave the JVM — bit-identical
+    to hash_kind='spark' NumPy builds (integer keys)."""
+    if engine == "native":
+        by = list(by or [])
+        pos, counts = _bloom_native(df, value_col, by, n_bits, n_hashes)
+        if not by:
+            rows = pos.collect()
+            n = counts.collect()
+            n_added = n[0]["_n"] if n else 0
+            bf = _bloom_from_rows([r["_pos"] for r in rows], n_added, n_bits, n_hashes)
+            return {"n_added": bf.n_added, "fill_ratio": bf.fill_ratio,
+                    "state": bf.to_bytes()}
+        from pyspark.sql.types import BinaryType, DoubleType, LongType, StructField, StructType
+
+        key_fields = [f for f in pos.schema.fields if f.name in by]
+        schema = StructType(key_fields + [
+            StructField("n_added", LongType()),
+            StructField("fill_ratio", DoubleType()),
+            StructField("state", BinaryType()),
+        ])
+        joined = pos.join(counts, by)
+
+        def assemble(pdf):
+            import pandas as pd
+
+            bf = _bloom_from_rows(pdf["_pos"].to_numpy(), pdf["_n"].iloc[0],
+                                  n_bits, n_hashes)
+            row = {k: [pdf[k].iloc[0]] for k in by}
+            row["n_added"] = [bf.n_added]
+            row["fill_ratio"] = [bf.fill_ratio]
+            row["state"] = [bf.to_bytes()]
+            return pd.DataFrame(row)
+
+        return joined.groupBy(*by).applyInPandas(assemble, schema)
     kw.setdefault("keep_state", True)
-    return sketch_aggregate(df, BloomAggregator(value_col, n_bits, n_hashes, seed), by=by, **kw)
+    return sketch_aggregate(df, BloomAggregator(value_col, n_bits, n_hashes, seed, hash_kind),
+                            by=by, **kw)
 
 
 def tdigest_quantiles(df: DataFrame, value_col: str, by: Sequence[str] | None = None,

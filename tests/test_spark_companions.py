@@ -128,6 +128,37 @@ def test_bloom_no_false_negatives_distributed(spark, token_table_path):
     assert bf.n_added == len(docs)
 
 
+def test_bloom_native_engine_bitwise_matches_arrow(spark, token_table_path):
+    df = read_tokens(spark, token_table_path)
+    nat = bloom_state(df, "n_tok", n_bits=1 << 16, n_hashes=5, engine="native")
+    arr = bloom_state(df, "n_tok", n_bits=1 << 16, n_hashes=5, engine="arrow",
+                      hash_kind="spark")
+    a = BloomFilter.from_bytes(nat["state"])
+    b = BloomFilter.from_bytes(arr["state"])
+    assert a == b
+    assert nat["n_added"] == arr["n_added"] == df.count()
+    # membership with the stored key dtype (int32 n_tok)
+    vals = np.unique(
+        np.asarray([r["n_tok"] for r in df.select("n_tok").collect()], dtype=np.int32))
+    assert a.contains_batch(vals).all()
+
+
+def test_bloom_native_grouped(spark, token_table_path):
+    df = read_tokens(spark, token_table_path)
+    out = {r["source"]: r for r in
+           bloom_state(df, "n_tok", by=["source"], n_bits=1 << 14, n_hashes=4,
+                       engine="native").collect()}
+    exact = {r["source"]: r["c"] for r in
+             df.groupBy("source").agg(F.count(F.lit(1)).alias("c")).collect()}
+    for s, r in out.items():
+        assert r["n_added"] == exact[s], s
+        bf = BloomFilter.from_bytes(r["state"])
+        vals = np.asarray(
+            [x["n_tok"] for x in df.filter(F.col("source") == s)
+             .select("n_tok").collect()], dtype=np.int32)
+        assert bf.contains_batch(vals).all(), s
+
+
 def test_tdigest_spark_vs_exact(spark, token_table_path):
     df = read_tokens(spark, token_table_path)
     out = tdigest_quantiles(df, "n_tok", delta=200, quantiles=(0.5, 0.9, 0.99))
