@@ -6,6 +6,14 @@ import pytest
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+try:  # deterministic property tests: the driver's gate must not flake
+    from hypothesis import settings
+
+    settings.register_profile("ci", derandomize=True, deadline=None)
+    settings.load_profile("ci")
+except ImportError:
+    pass
+
 
 @pytest.fixture(scope="session")
 def spark():
