@@ -94,6 +94,11 @@ def main() -> None:
 
     ensure_token_table()
     spark = get_spark("bench", master=f"local[{CPUS}]", shuffle_partitions=CPUS)
+    # warm the session (codegen compiler, Python worker pool, parquet reader)
+    # so q1 measures the query rather than JVM startup
+    ddsketch_quantiles(
+        spark.read.parquet(f"{SF_DIR}/events.parquet").limit(1000), "value",
+        quantiles=(0.5,))
     queries = {}
     t_suite = time.perf_counter()
 
