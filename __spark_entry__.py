@@ -508,6 +508,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["revenue_by_customer_broadcast"] = revenue_by_customer_broadcast
+
+    def mg_heavy_users(spark, sf):
+        """Misra-Gries heavy hitters over events.user_id: exact counts
+        cross-check SQL; the no-missed-heavy-hitter guarantee and the
+        underestimate bound are materialized as booleans."""
+        from ddsketchy_spark.core.misra_gries import MisraGries
+        from ddsketchy_spark.spark.companions import misra_gries_state
+
+        df = _load(spark, sf, "events")
+        out = misra_gries_state(df, "user_id", k=256)
+        mg = MisraGries.from_bytes(out["state"])
+        exact = {r["user_id"]: r["cnt"] for r in
+                 df.groupBy("user_id").agg(F.count(F.lit(1)).alias("cnt")).collect()}
+        n = sum(exact.values())
+        thresh = n // 257
+        rows = []
+        for uid in sorted(exact):
+            f = exact[uid]
+            if f <= thresh:
+                continue
+            est = mg.estimate(uid)
+            rows.append((int(uid), int(f),
+                         bool(uid in mg.counters),
+                         bool(est <= f <= est + mg.err_bound)))
+        return spark.createDataFrame(
+            rows, "user_id long, cnt long, found boolean, bound_ok boolean")
+
+    q["mg_heavy_users"] = mg_heavy_users
     return q
 
 
@@ -677,6 +705,16 @@ JOIN customer c ON o.o_custkey = c.c_custkey
 WHERE c.c_custkey < 50
 GROUP BY c.c_custkey, c.c_name
 ORDER BY c.c_custkey
+"""
+    o["mg_heavy_users"] = """
+WITH counts AS (
+  SELECT user_id, count(*) AS cnt FROM events GROUP BY user_id
+),
+tot AS (SELECT sum(cnt) AS n FROM counts)
+SELECT user_id, cnt, TRUE AS found, TRUE AS bound_ok
+FROM counts, tot
+WHERE cnt > n // 257
+ORDER BY user_id
 """
     return o
 

@@ -353,9 +353,17 @@ class DDSketch:
             }
         )
 
+    _JSON_FIELDS = frozenset(
+        {"alpha", "gamma", "count", "sum", "min", "max", "zero_count",
+         "max_bins", "positive_store", "negative_store"}
+    )
+
     @classmethod
     def from_json(cls, s: str) -> "DDSketch":
         d = json.loads(s)
+        unknown = set(d) - cls._JSON_FIELDS
+        if unknown:  # reference serde is deny_unknown_fields
+            raise ValueError(f"unknown fields in DDSketch JSON: {sorted(unknown)}")
         sk = cls(d["alpha"], d["max_bins"])
         sk.zero_count = d["zero_count"]
         sk._sum = d["sum"]

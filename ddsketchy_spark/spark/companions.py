@@ -137,6 +137,48 @@ class BloomAggregator(SketchAggregator):
         return [StructField("n_added", LongType()), StructField("fill_ratio", DoubleType())]
 
 
+class MisraGriesAggregator(SketchAggregator):
+    """Heavy-hitters summary per group via Misra-Gries."""
+
+    def __init__(self, value_col: str, k: int = 256, key_kind: str = "int") -> None:
+        self.value_cols = [value_col]
+        self.value_col = value_col
+        self.k = k
+        self.key_kind = key_kind
+
+    def make(self):
+        from ..core.misra_gries import MisraGries
+
+        return MisraGries(self.k, self.key_kind)
+
+    def add_arrow(self, state, table: pa.Table) -> None:
+        state.add_batch(_keys_from_arrow(table.column(self.value_col)))
+
+    def merge_blobs(self, blobs) -> bytes:
+        from ..core.misra_gries import MisraGries
+
+        it = iter(blobs)
+        acc = MisraGries.from_bytes(next(it))
+        for b in it:
+            acc.merge(MisraGries.from_bytes(b))
+        return acc.to_bytes()
+
+    def finalize(self, blob: bytes) -> dict[str, Any]:
+        from ..core.misra_gries import MisraGries
+
+        mg = MisraGries.from_bytes(blob)
+        return {"total": mg.n, "err_bound": mg.err_bound}
+
+    def output_fields(self) -> list[StructField]:
+        return [StructField("total", LongType()), StructField("err_bound", LongType())]
+
+
+def misra_gries_state(df: DataFrame, value_col: str, by: Sequence[str] | None = None,
+                      k: int = 256, key_kind: str = "int", **kw):
+    kw.setdefault("keep_state", True)
+    return sketch_aggregate(df, MisraGriesAggregator(value_col, k, key_kind), by=by, **kw)
+
+
 class _QuantileCompanionAggregator(SketchAggregator):
     quantiles: Sequence[float]
 

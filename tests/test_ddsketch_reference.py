@@ -395,6 +395,17 @@ def test_json_roundtrip_and_shape():
     assert back == sk
 
 
+def test_json_deny_unknown_fields():
+    import json as _json
+
+    sk = DDSketch(0.01)
+    sk.add(1.0)
+    d = _json.loads(sk.to_json())
+    d["bogus_field"] = 1
+    with pytest.raises(ValueError, match="unknown fields"):
+        DDSketch.from_json(_json.dumps(d))
+
+
 def test_serialize_continue_adding():
     sk = DDSketch.from_values(range(1, 5001), alpha=0.01)
     back = DDSketch.from_bytes(sk.to_bytes())
