@@ -132,6 +132,24 @@ def main() -> None:
     hll_out = hll_distinct(tdf, "tokens", p=14, engine="native")
     queries["q7_hll_distinct_tokens_native"] = round(time.perf_counter() - t0, 3)
 
+    # q8/q9: pipeline operators on the SF tables (dedup + similarity)
+    from pyspark.sql import functions as F
+
+    from ddsketchy_spark.pipeline.dedup import minhash_lsh_pairs
+    from ddsketchy_spark.pipeline.similarity import lsh_cosine_topk
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    dupdocs = docs.unionByName(
+        docs.filter("doc_id < 50").withColumn("doc_id", F.col("doc_id") + 100000))
+    t0 = time.perf_counter()
+    minhash_lsh_pairs(dupdocs, num_perm=128, bands=32).count()
+    queries["q8_minhash_lsh_dedup_docs"] = round(time.perf_counter() - t0, 3)
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    t0 = time.perf_counter()
+    lsh_cosine_topk(emb, k=3, n_planes=16, bands=8, dim=64).count()
+    queries["q9_lsh_cosine_topk_embeddings"] = round(time.perf_counter() - t0, 3)
+
     # accuracy: max relative error of the n_tok estimates vs exact quantiles
     import duckdb
 
