@@ -138,6 +138,19 @@ def minhash_signatures(
     return pruned.mapInArrow(run, schema)
 
 
+def _band_buckets(sig_matrix: np.ndarray, bands: int, r: int) -> np.ndarray:
+    """(n, bands) bucket hashes: fold each band's r signature slots through
+    splitmix64 (vectorized over rows)."""
+    n = sig_matrix.shape[0]
+    out = np.empty((n, bands), dtype=np.int64)
+    for b in range(bands):
+        h = np.zeros(n, dtype=np.int64)
+        for j in range(b * r, (b + 1) * r):
+            h = splitmix64(h ^ sig_matrix[:, j], b).view(np.int64)
+        out[:, b] = h
+    return out
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -146,42 +159,73 @@ def minhash_lsh_pairs(
     bands: int = 32,
     shingle_k: int = 3,
     seed: int = 1,
+    max_broadcast_rows: int = 2_000_000,
 ) -> DataFrame:
     """Candidate near-duplicate pairs via banded LSH over MinHash signatures,
     with the estimated Jaccard (fraction of agreeing signature slots).
 
-    rows-per-band r = num_perm/bands; candidate prob ~ 1-(1-J^r)^bands."""
+    rows-per-band r = num_perm/bands; candidate prob ~ 1-(1-J^r)^bands.
+
+    Plan shape: signatures + band buckets are computed in one vectorized
+    NumPy pass (mapInArrow); the candidate self-join shuffles ONLY
+    (band, bucket, id) ints; slot-agreement verification scores candidate
+    id pairs against a broadcast signature matrix with one NumPy pass —
+    no per-element SQL higher-order functions anywhere. The broadcast is
+    num_perm*8 bytes per doc (1 GB per ~1M docs); beyond max_broadcast_rows,
+    verify bucket-locally instead (join sig arrays back per bucket)."""
     if num_perm % bands:
         raise ValueError("bands must divide num_perm")
     r = num_perm // bands
     sigs = minhash_signatures(df, text_col, id_col, num_perm, shingle_k, seed)
-    banded = sigs.select(
-        F.col(id_col).alias("id"),
-        F.col("sig"),
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.xxhash64(F.concat_ws(",", F.slice(
-                    F.transform("sig", lambda x: x.cast("string")),
-                    b * r + 1, r))),
-            )
-        ).alias("band", "bucket"),
-    )
-    a = banded.alias("a")
-    b = banded.alias("b")
+    pdf = sigs.toPandas()
+    if len(pdf) > max_broadcast_rows:
+        raise ValueError(
+            f"{len(pdf)} docs exceed max_broadcast_rows={max_broadcast_rows}")
+    # ids may be any type (input_hint doc_id is string): join on dense row
+    # indices, map back to original ids when scoring
+    id_values = pdf[id_col].to_numpy()
+    order = np.argsort(id_values, kind="stable")
+    id_sorted = id_values[order]
+    sig_matrix = np.stack(pdf["sig"].to_numpy()[order]).astype(np.int64)
+    buckets = _band_buckets(sig_matrix, bands, r)
+    n = len(id_sorted)
+
+    spark = df.sparkSession
+    bc = spark.sparkContext.broadcast((id_sorted.tolist(), sig_matrix))
+
+    import pandas as pd
+
+    slim = spark.createDataFrame(pd.DataFrame({
+        "idx": np.repeat(np.arange(n, dtype=np.int64), bands),
+        "band": np.tile(np.arange(bands, dtype=np.int64), n),
+        "bucket": buckets.ravel(),
+    }))
+    a = slim.alias("a")
+    b = slim.alias("b")
     cand = (
         a.join(b, (F.col("a.band") == F.col("b.band"))
                & (F.col("a.bucket") == F.col("b.bucket"))
-               & (F.col("a.id") < F.col("b.id")))
-        .select("a.id", "b.id", "a.sig", "b.sig")
-        .toDF("id_a", "id_b", "sig_a", "sig_b")
-        .dropDuplicates(["id_a", "id_b"])
+               & (F.col("a.idx") < F.col("b.idx")))
+        .select(F.col("a.idx").alias("ia"), F.col("b.idx").alias("ib"))
+        .dropDuplicates(["ia", "ib"])
     )
-    agree = F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
-                            lambda v: v))
-    return cand.select(
-        "id_a", "id_b", (agree / F.lit(num_perm)).alias("est_jaccard")
-    )
+    id_field = df.schema[id_col]
+    out_schema = (f"id_a {id_field.dataType.simpleString()}, "
+                  f"id_b {id_field.dataType.simpleString()}, est_jaccard double")
+
+    def score(batches):
+        idlist, mat = bc.value
+        idarr = np.asarray(idlist)
+        for batch in batches:
+            ia = batch.column(0).to_numpy()
+            ib = batch.column(1).to_numpy()
+            agree = (mat[ia] == mat[ib]).mean(axis=1)
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(idarr[ia].tolist()), pa.array(idarr[ib].tolist()),
+                 pa.array(agree)],
+                names=["id_a", "id_b", "est_jaccard"])
+
+    return cand.mapInArrow(score, out_schema)
 
 
 # ---------------------------------------------------------------------------

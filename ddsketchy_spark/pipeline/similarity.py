@@ -80,9 +80,20 @@ def lsh_cosine_topk(
     bands: int = 4,
     seed: int = 7,
     dim: int | None = None,
+    verify: str = "broadcast",
+    max_broadcast_rows: int = 2_000_000,
 ) -> DataFrame:
     """Approximate top-k via random-hyperplane LSH: candidates share at
-    least one signature band; exact cosine ranks candidates."""
+    least one signature band; exact cosine ranks candidates.
+
+    verify="broadcast" (default): candidate pairs carry ONLY integer ids;
+    cosines come from a broadcast row-normalized embedding matrix scored
+    with one NumPy matmul pass per Arrow batch. Candidate sets are large
+    whenever the data demands recall (weakly-similar embeddings), so the
+    verification must be vectorized — the SQL higher-order-function path
+    ("sql") evaluates per element, ~50x slower on millions of pairs, and is
+    kept for embedding tables too large to broadcast (> max_broadcast_rows;
+    at that scale verify bucket-locally instead)."""
     from pyspark.sql import Window
 
     if dim is None:
@@ -93,30 +104,82 @@ def lsh_cosine_topk(
     planes = _hyperplanes(dim, n_planes, seed)
     v = df.select(F.col(id_col).alias("id"),
                   F.col(vec_col).cast("array<double>").alias("vec"))
-    sig = v.withColumn("sig", rh_signature_col(F.col("vec"), planes))
-    banded = sig.select(
-        "id", "vec",
-        F.explode(F.array(*[
-            F.struct(
-                F.lit(bnd).alias("blk"),
-                F.shiftrightunsigned(F.col("sig"), bnd * width)
-                .bitwiseAND(F.lit((1 << width) - 1)).alias("key"),
-            )
-            for bnd in range(bands)
-        ])).alias("p"),
-    ).select("id", "vec", "p.blk", "p.key")
-    a, b = banded.alias("a"), banded.alias("b")
-    cand = (
-        a.join(b, (F.col("a.blk") == F.col("b.blk")) & (F.col("a.key") == F.col("b.key"))
-               & (F.col("a.id") != F.col("b.id")))
-        .select(F.col("a.id").alias("id"), F.col("b.id").alias("neighbor"),
-                F.col("a.vec").alias("va"), F.col("b.vec").alias("vb"))
-        .dropDuplicates(["id", "neighbor"])
-        .withColumn("cos", cosine_expr(F.col("va"), F.col("vb")))
-        .drop("va", "vb")
-    )
+
+    if verify == "broadcast":
+        import pandas as pd
+        import pyarrow as pa
+
+        pdf = v.toPandas()
+        if len(pdf) > max_broadcast_rows:
+            raise ValueError(
+                f"{len(pdf)} embeddings exceed max_broadcast_rows="
+                f"{max_broadcast_rows}; use verify='sql' or raise the limit")
+        ids = np.asarray(pdf["id"].to_numpy(), dtype=np.int64)
+        order = np.argsort(ids)
+        ids_sorted = ids[order]
+        E = np.stack(pdf["vec"].to_numpy()[order]).astype(np.float64)
+        E /= np.linalg.norm(E, axis=1, keepdims=True)
+        spark = df.sparkSession
+        bc = spark.sparkContext.broadcast((ids_sorted, E))
+
+        # signatures in one NumPy matmul (same math as rh_signature_col,
+        # without compiling a bands*dim-literal SQL expression)
+        bits = (E @ planes.T >= 0).astype(np.int64)
+        sigs = (bits << np.arange(n_planes, dtype=np.int64)).sum(axis=1)
+        mask = (1 << width) - 1
+        rows = {
+            "id": np.repeat(ids_sorted, bands),
+            "blk": np.tile(np.arange(bands, dtype=np.int64), len(ids_sorted)),
+            "key": (
+                (sigs[:, None] >> (np.arange(bands, dtype=np.int64)[None, :] * width))
+                & mask
+            ).ravel(),
+        }
+        slim = spark.createDataFrame(pd.DataFrame(rows))
+        sa, sb = slim.alias("a"), slim.alias("b")
+        cand = (
+            sa.join(sb, (F.col("a.blk") == F.col("b.blk")) & (F.col("a.key") == F.col("b.key"))
+                    & (F.col("a.id") != F.col("b.id")))
+            .select(F.col("a.id").alias("id"), F.col("b.id").alias("neighbor"))
+            .dropDuplicates(["id", "neighbor"])
+        )
+
+        def score(batches):
+            ids_s, mat = bc.value
+            for batch in batches:
+                ia = np.searchsorted(ids_s, batch.column(0).to_numpy())
+                ib = np.searchsorted(ids_s, batch.column(1).to_numpy())
+                cos = np.einsum("ij,ij->i", mat[ia], mat[ib])
+                yield pa.RecordBatch.from_arrays(
+                    [batch.column(0), batch.column(1), pa.array(cos)],
+                    names=["id", "neighbor", "cos"])
+
+        scored = cand.mapInArrow(score, "id long, neighbor long, cos double")
+    else:
+        sig = v.withColumn("sig", rh_signature_col(F.col("vec"), planes))
+        banded = sig.select(
+            "id", "vec",
+            F.explode(F.array(*[
+                F.struct(
+                    F.lit(bnd).alias("blk"),
+                    F.shiftrightunsigned(F.col("sig"), bnd * width)
+                    .bitwiseAND(F.lit((1 << width) - 1)).alias("key"),
+                )
+                for bnd in range(bands)
+            ])).alias("p"),
+        ).select("id", "vec", "p.blk", "p.key")
+        a, b = banded.alias("a"), banded.alias("b")
+        scored = (
+            a.join(b, (F.col("a.blk") == F.col("b.blk")) & (F.col("a.key") == F.col("b.key"))
+                   & (F.col("a.id") != F.col("b.id")))
+            .select(F.col("a.id").alias("id"), F.col("b.id").alias("neighbor"),
+                    F.col("a.vec").alias("va"), F.col("b.vec").alias("vb"))
+            .dropDuplicates(["id", "neighbor"])
+            .withColumn("cos", cosine_expr(F.col("va"), F.col("vb")))
+            .drop("va", "vb")
+        )
     w = Window.partitionBy("id").orderBy(F.desc("cos"), F.asc("neighbor"))
-    return (cand.withColumn("rk", F.row_number().over(w))
+    return (scored.withColumn("rk", F.row_number().over(w))
             .filter(F.col("rk") <= k).drop("rk"))
 
 
