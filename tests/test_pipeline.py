@@ -108,6 +108,25 @@ def test_cosine_topk_and_lsh(spark, sf001_dir):
     assert hits / len(true_nn) > 0.6, hits / len(true_nn)
 
 
+def test_ivf_cosine_topk(spark, sf001_dir):
+    from ddsketchy_spark.pipeline.similarity import ivf_cosine_topk
+
+    emb = spark.read.parquet(f"{sf001_dir}/embeddings.parquet")
+    exact = cosine_topk(emb, k=1)
+    true_nn = {r["id"]: r["neighbor"] for r in exact.collect()}
+    approx = ivf_cosine_topk(emb, k=3, n_clusters=8, n_probe=3)
+    rows = approx.collect()
+    by_id = {}
+    for r in rows:
+        by_id.setdefault(r["id"], set()).add(r["neighbor"])
+    hits = sum(1 for i, nn in true_nn.items() if nn in by_id.get(i, set()))
+    assert hits / len(true_nn) > 0.5, hits / len(true_nn)
+    # deterministic across runs
+    again = {(r["id"], r["neighbor"]) for r in
+             ivf_cosine_topk(emb, k=3, n_clusters=8, n_probe=3).collect()}
+    assert {(r["id"], r["neighbor"]) for r in rows} == again
+
+
 def test_ann_query(spark, sf001_dir):
     emb = spark.read.parquet(f"{sf001_dir}/embeddings.parquet")
     qvec = emb.filter("vec_id = 0").select("embedding").first()[0]
