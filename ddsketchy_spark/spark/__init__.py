@@ -1,5 +1,15 @@
 from .agg import SketchAggregator, build_partials, merge_global, merge_grouped, sketch_aggregate
+from .checkpoint import checkpointed_sketch_aggregate
+from .companions import (
+    bloom_state,
+    cms_state,
+    hll_distinct,
+    kll_quantiles,
+    misra_gries_state,
+    tdigest_quantiles,
+)
 from .ddsketch_agg import DDSketchAggregator, ddsketch_quantiles, ddsketch_state
+from .functions import register_sql_functions
 from .session import get_spark
 
 __all__ = [
@@ -8,8 +18,16 @@ __all__ = [
     "merge_global",
     "merge_grouped",
     "sketch_aggregate",
+    "checkpointed_sketch_aggregate",
     "DDSketchAggregator",
     "ddsketch_quantiles",
     "ddsketch_state",
+    "hll_distinct",
+    "cms_state",
+    "bloom_state",
+    "tdigest_quantiles",
+    "kll_quantiles",
+    "misra_gries_state",
+    "register_sql_functions",
     "get_spark",
 ]

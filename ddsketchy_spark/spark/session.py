@@ -17,8 +17,12 @@ def get_spark(
     master: str | None = None,
     shuffle_partitions: int | None = None,
     arrow_batch_rows: int = 131072,
+    max_partition_bytes: str = "128m",
     extra_conf: dict | None = None,
 ) -> SparkSession:
+    """``max_partition_bytes`` sizes scan partitions to fit executor memory
+    (spill-awareness): lower it (e.g. "32m") for wide media/binary tables so
+    one partition of large rows never exceeds the executor heap."""
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
     master = master or f"local[{cpus}]"
     shuffle_partitions = shuffle_partitions or cpus
@@ -33,6 +37,7 @@ def get_spark(
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", str(arrow_batch_rows))
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.sql.parquet.filterPushdown", "true")
+        .config("spark.sql.files.maxPartitionBytes", max_partition_bytes)
     )
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)

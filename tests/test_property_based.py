@@ -69,6 +69,31 @@ def test_codec_roundtrip_identity(vals):
     assert back2 == sk
 
 
+@settings(max_examples=100, deadline=None)
+@given(
+    st.lists(st.floats(min_value=1e-8, max_value=1e15,
+                       allow_nan=False, allow_infinity=False),
+             min_size=3, max_size=400),
+    st.integers(8, 64),
+    st.integers(1, 399),
+)
+def test_collapse_fuzz_invariants(vals, max_bins, cut):
+    """Tiny bin limits force collapse constantly; invariants that must
+    survive: exact count, preserved max-key mass (top quantile), bounded
+    store size, and split-merge == whole (same collapse law both ways)."""
+    cut = cut % len(vals) or 1
+    whole = DDSketch.from_values(vals, alpha=0.05, max_bins=max_bins)
+    assert whole.count == len(vals)
+    assert whole.positive_store.length <= max_bins
+    assert whole.quantile(1.0) == whole.value(whole.key(max(vals)))
+    a = DDSketch.from_values(vals[:cut], alpha=0.05, max_bins=max_bins)
+    b = DDSketch.from_values(vals[cut:], alpha=0.05, max_bins=max_bins)
+    a.merge(b)
+    assert a.count == whole.count
+    # top-of-range agreement (collapse only sacrifices the LOW end)
+    assert a.quantile(1.0) == whole.quantile(1.0)
+
+
 @settings(max_examples=40, deadline=None)
 @given(st.lists(finite_floats, min_size=1, max_size=200))
 def test_quantiles_monotone(vals):
