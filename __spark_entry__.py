@@ -40,6 +40,11 @@ def _r6(c):
 
 
 def _load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    # The driver may create its own SparkSession from any cwd; make sure the
+    # package reaches the executors (idempotent addPyFile shipping).
+    from ddsketchy_spark.spark.session import _ship_package
+
+    _ship_package(spark)
     return spark.read.parquet(f"{sf_dir}/{table}.parquet")
 
 
