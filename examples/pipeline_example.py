@@ -1,0 +1,52 @@
+"""End-to-end training-data pipeline demo over the documents/embeddings
+tables: quality filtering -> language ID -> exact + near dedup -> similarity
+search -> per-source sequence-length sketches.
+Run: python examples/pipeline_example.py [sf_dir]"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from ddsketchy_spark.pipeline.dedup import dedup_exact, minhash_lsh_pairs
+from ddsketchy_spark.pipeline.similarity import ann_query, lsh_cosine_topk
+from ddsketchy_spark.pipeline.text import lang_id, quality_scores, token_stats
+from ddsketchy_spark.spark.ddsketch_agg import ddsketch_quantiles
+from ddsketchy_spark.spark.session import get_spark
+
+
+def main(sf_dir: str = "/root/testdata/sf0.001") -> None:
+    spark = get_spark("pipeline-example", master="local[4]")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+    # 1. token counts + quality features (all native projections)
+    enriched = quality_scores(token_stats(docs))
+    kept = enriched.filter((F.col("n_words") >= 10) & (F.col("stopword_ratio") < 0.5))
+    print(f"quality filter: {docs.count()} -> {kept.count()} docs")
+
+    # 2. language ID distribution
+    lang_id(kept).groupBy("pred_lang").count().orderBy("pred_lang").show()
+
+    # 3. dedup: exact (hash-groupBy) then near-dup candidates (MinHash LSH)
+    deduped = dedup_exact(kept)
+    pairs = minhash_lsh_pairs(kept, num_perm=128, bands=32)
+    near = pairs.filter("est_jaccard > 0.8").count()
+    print(f"exact dedup kept {deduped.count()}; near-dup pairs (J>0.8): {near}")
+
+    # 4. similarity search over embeddings
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qvec = emb.first()["embedding"]
+    print("nearest neighbors of vec 0:")
+    ann_query(emb, qvec, k=4).show()
+    print(f"LSH top-k pairs: {lsh_cosine_topk(emb, k=2).count()} rows")
+
+    # 5. distribution sketch of document lengths per source
+    ddsketch_quantiles(kept, "n_chars", by=["source"],
+                       quantiles=(0.5, 0.99)).orderBy("source").show(5)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main(*(sys.argv[1:2]))
