@@ -146,7 +146,14 @@ class DDSketch:
     # -- merge -------------------------------------------------------------
 
     def merge(self, other: "DDSketch") -> "DDSketch":
-        """Merge ``other`` into ``self``; returns self for chaining."""
+        """Merge ``other`` into ``self``; returns self for chaining.
+
+        Like the reference, only gamma is validated — max_bins is NOT
+        (the reference declares BinCountMismatch but never raises it,
+        `/root/reference/src/ddsketchy.rs:11-38`), and merging into an
+        empty sketch inherits the other store's bin_limit
+        (`/root/reference/src/store.rs:219-227`). Keep max_bins uniform
+        across sketches you intend to merge."""
         if abs(self._m.gamma - other._m.gamma) > 1e-10:
             raise ValueError(
                 f"alpha mismatch: cannot merge sketches with alpha "

@@ -39,7 +39,8 @@ def hash64(values, seed: int = 0) -> np.ndarray:
         return splitmix64(arr.astype(np.float64).view(np.int64), seed)
     import pandas as pd
 
-    key = f"{seed:016d}"  # 16-byte hash key derived from the seed
+    # exactly-16-byte hash key for any seed (negative/huge seeds included)
+    key = f"{seed & 0xFFFFFFFFFFFFFFFF:016x}"
     h = pd.util.hash_array(arr if arr.dtype == object else arr.astype(object),
                            hash_key=key, categorize=False)
     return h.astype(_U64)

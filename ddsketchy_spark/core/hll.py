@@ -53,9 +53,10 @@ class HyperLogLog:
             return
         idx = (h >> np.uint64(64 - self.p)).astype(np.int64)
         rest = h << np.uint64(self.p)  # low 64-p bits shifted to the top
-        # rho = leading zeros of `rest` within 64 bits + 1
-        rho = (64 - bit_length_u64(rest) + 1).astype(np.uint8)
-        # take the max rho per register (sort by (idx, rho) then last-wins)
+        # rho = leading zeros of `rest` + 1, capped at 64-p+1 (an all-zero
+        # remainder must not claim more zeros than it has bits)
+        rho = np.minimum(64 - bit_length_u64(rest) + 1,
+                         64 - self.p + 1).astype(np.uint8)
         np.maximum.at(self.registers, idx, rho)
 
     def merge(self, other: "HyperLogLog") -> "HyperLogLog":

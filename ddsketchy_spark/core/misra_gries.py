@@ -89,9 +89,10 @@ class MisraGries:
         return self.counters.get(key, 0)
 
     def heavy_hitters(self, phi: float) -> dict:
-        """Keys that MAY have frequency > phi*n; guaranteed to include every
-        key with true frequency > phi*n + err_bound."""
-        thresh = phi * self.n - self.err_bound
+        """Keys that MAY have frequency > phi*n: est + err_bound > phi*n.
+        Since f(x) <= est(x) + err_bound, every key with true frequency
+        > phi*n is guaranteed included."""
+        thresh = phi * self.n
         return {key: c for key, c in self.counters.items() if c + self.err_bound > thresh}
 
     def top_items(self, m: int = 20) -> list:

@@ -282,7 +282,8 @@ def _hll_from_rows(idx: np.ndarray, minu: np.ndarray, p: int) -> HyperLogLog:
 
     h = HyperLogLog(p, 0, "spark")
     rest = (np.asarray(minu, dtype=np.int64) ^ np.int64(-(1 << 63))).view(np.uint64)
-    rho = (64 - bit_length_u64(rest) + 1).clip(0, 255).astype(np.uint8)
+    # same cap as HyperLogLog.add_batch so engines stay bit-identical
+    rho = np.minimum(64 - bit_length_u64(rest) + 1, 64 - p + 1).astype(np.uint8)
     np.maximum.at(h.registers, np.asarray(idx, dtype=np.int64), rho)
     return h
 
