@@ -3,10 +3,13 @@
 Scale design notes (the part that matters at 100 TB):
 - Exact dedup is a hash-groupBy on a 16-byte digest — shuffle carries only
   (digest, id), never the text.
-- MinHash/LSH shuffles (band_hash, id) pairs: bands * n rows of ~24 bytes.
-  Candidate generation is a self-join on band buckets, which Spark executes
-  as a shuffled hash join on the bucket key; verification runs exact
-  Jaccard only on candidates (quadratic blowup is confined to buckets).
+- MinHash/LSH shuffles (band_hash, idx) int rows: bands * n rows of ~24
+  bytes. Candidate generation is a self-join on band buckets (shuffled hash
+  join; quadratic blowup confined to buckets). Slot-agreement verification
+  here scores candidates against a BROADCAST signature matrix (num_perm*8
+  bytes per doc, bounded by max_broadcast_rows ~2M docs); beyond that,
+  verify bucket-locally by joining sig arrays back per bucket — candidate
+  generation itself has no scale ceiling.
 - SimHash reduces each doc to one 64-bit signature; near-dup candidates at
   Hamming distance <= d come from d+1-way table rotations (pigeonhole),
   all native joins.
@@ -46,7 +49,8 @@ def exact_dup_groups(df: DataFrame, text_col: str = "text",
     if collect_ids:
         aggs.append(F.sort_array(F.collect_list(id_col)).alias("ids"))
     return (
-        df.select(fp.alias("fingerprint"), F.col(id_col))
+        df.filter(F.col(text_col).isNotNull())  # null texts are not duplicates
+        .select(fp.alias("fingerprint"), F.col(id_col))
         .groupBy("fingerprint")
         .agg(*aggs)
         .filter(F.col("n_docs") > 1)
@@ -54,11 +58,17 @@ def exact_dup_groups(df: DataFrame, text_col: str = "text",
 
 
 def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Keep one representative (min id) per identical-text group."""
+    """Keep one representative (min id) per identical-text group.
+
+    Rows with NULL text are never treated as duplicates of anything — they
+    pass through untouched (an equi-join on a NULL fingerprint would
+    otherwise silently drop them all)."""
+    nulls = df.filter(F.col(text_col).isNull())
+    nonnull = df.filter(F.col(text_col).isNotNull())
     fp = F.md5(F.lower(F.trim(F.col(text_col))))
-    w = df.withColumn("_fp", fp)
+    w = nonnull.withColumn("_fp", fp)
     keep = w.groupBy("_fp").agg(F.min(id_col).alias(id_col)).select("_fp", id_col)
-    return w.join(keep, ["_fp", id_col], "inner").drop("_fp")
+    return w.join(keep, ["_fp", id_col], "inner").drop("_fp").unionByName(nulls)
 
 
 def word_jaccard_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
@@ -176,11 +186,14 @@ def minhash_lsh_pairs(
     if num_perm % bands:
         raise ValueError("bands must divide num_perm")
     r = num_perm // bands
+    # cheap guard BEFORE collecting signatures to the driver
+    n_docs = df.count()
+    if n_docs > max_broadcast_rows:
+        raise ValueError(
+            f"{n_docs} docs exceed max_broadcast_rows={max_broadcast_rows}; "
+            "at that scale verify bucket-locally (join sig arrays per bucket)")
     sigs = minhash_signatures(df, text_col, id_col, num_perm, shingle_k, seed)
     pdf = sigs.toPandas()
-    if len(pdf) > max_broadcast_rows:
-        raise ValueError(
-            f"{len(pdf)} docs exceed max_broadcast_rows={max_broadcast_rows}")
     # ids may be any type (input_hint doc_id is string): join on dense row
     # indices, map back to original ids when scoring
     id_values = pdf[id_col].to_numpy()

@@ -137,7 +137,10 @@ def fake_feature_extract(df: DataFrame, dim: int = 16) -> DataFrame:
 def frame_sample_plan(df: DataFrame, every_n: int = 10) -> DataFrame:
     """Native projection computing which frames to sample per video row —
     the planning half of frame sampling (decode half is the stub above)."""
+    n_frames = F.col("meta.n_frames")
+    idxs = F.when(
+        n_frames > 0,
+        F.sequence(F.lit(0), n_frames - 1, F.lit(every_n)),
+    ).otherwise(F.array().cast("array<int>"))  # 0-frame rows: empty plan, not a crash
     return df.filter(F.col("modality") == "video").select(
-        "media_id",
-        F.sequence(F.lit(0), F.col("meta.n_frames") - 1, F.lit(every_n)).alias("frame_idxs"),
-    )
+        "media_id", idxs.alias("frame_idxs"))

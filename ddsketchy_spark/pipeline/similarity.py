@@ -114,13 +114,15 @@ def lsh_cosine_topk(
             raise ValueError(
                 f"{len(pdf)} embeddings exceed max_broadcast_rows="
                 f"{max_broadcast_rows}; use verify='sql' or raise the limit")
-        ids = np.asarray(pdf["id"].to_numpy(), dtype=np.int64)
-        order = np.argsort(ids)
-        ids_sorted = ids[order]
+        # ids may be any type: join on dense row indices, map back on output
+        id_values = pdf["id"].to_numpy()
+        order = np.argsort(id_values, kind="stable")
+        id_sorted = id_values[order]
         E = np.stack(pdf["vec"].to_numpy()[order]).astype(np.float64)
         E /= np.linalg.norm(E, axis=1, keepdims=True)
+        n = len(E)
         spark = df.sparkSession
-        bc = spark.sparkContext.broadcast((ids_sorted, E))
+        bc = spark.sparkContext.broadcast((id_sorted.tolist(), E))
 
         # signatures in one NumPy matmul (same math as rh_signature_col,
         # without compiling a bands*dim-literal SQL expression)
@@ -128,8 +130,8 @@ def lsh_cosine_topk(
         sigs = (bits << np.arange(n_planes, dtype=np.int64)).sum(axis=1)
         mask = (1 << width) - 1
         rows = {
-            "id": np.repeat(ids_sorted, bands),
-            "blk": np.tile(np.arange(bands, dtype=np.int64), len(ids_sorted)),
+            "idx": np.repeat(np.arange(n, dtype=np.int64), bands),
+            "blk": np.tile(np.arange(bands, dtype=np.int64), n),
             "key": (
                 (sigs[:, None] >> (np.arange(bands, dtype=np.int64)[None, :] * width))
                 & mask
@@ -139,22 +141,27 @@ def lsh_cosine_topk(
         sa, sb = slim.alias("a"), slim.alias("b")
         cand = (
             sa.join(sb, (F.col("a.blk") == F.col("b.blk")) & (F.col("a.key") == F.col("b.key"))
-                    & (F.col("a.id") != F.col("b.id")))
-            .select(F.col("a.id").alias("id"), F.col("b.id").alias("neighbor"))
-            .dropDuplicates(["id", "neighbor"])
+                    & (F.col("a.idx") != F.col("b.idx")))
+            .select(F.col("a.idx").alias("ia"), F.col("b.idx").alias("ib"))
+            .dropDuplicates(["ia", "ib"])
         )
+        id_field = df.schema[id_col]
+        out_schema = (f"id {id_field.dataType.simpleString()}, "
+                      f"neighbor {id_field.dataType.simpleString()}, cos double")
 
         def score(batches):
-            ids_s, mat = bc.value
+            idlist, mat = bc.value
+            idarr = np.asarray(idlist)
             for batch in batches:
-                ia = np.searchsorted(ids_s, batch.column(0).to_numpy())
-                ib = np.searchsorted(ids_s, batch.column(1).to_numpy())
+                ia = batch.column(0).to_numpy()
+                ib = batch.column(1).to_numpy()
                 cos = np.einsum("ij,ij->i", mat[ia], mat[ib])
                 yield pa.RecordBatch.from_arrays(
-                    [batch.column(0), batch.column(1), pa.array(cos)],
+                    [pa.array(idarr[ia].tolist()), pa.array(idarr[ib].tolist()),
+                     pa.array(cos)],
                     names=["id", "neighbor", "cos"])
 
-        scored = cand.mapInArrow(score, "id long, neighbor long, cos double")
+        scored = cand.mapInArrow(score, out_schema)
     else:
         sig = v.withColumn("sig", rh_signature_col(F.col("vec"), planes))
         banded = sig.select(

@@ -163,18 +163,21 @@ def build_partials(
 
 
 def _group_ids(tbl: pa.Table, by: Sequence[str]) -> tuple[np.ndarray, list[tuple]]:
-    """Vectorized group-id assignment for the key columns of one batch."""
-    import pandas as pd
+    """Group-id assignment for the key columns of one batch.
 
-    kdf = tbl.select(list(by)).to_pandas()
-    grouped = kdf.groupby(list(by), sort=False, dropna=False)
-    gids = np.empty(len(kdf), dtype=np.int64)
+    Keys go through ``to_pylist`` (not pandas) so nullable integer keys keep
+    None instead of becoming float NaN — a NaN key cannot be written back to
+    an Arrow int64 column and would crash the executor."""
+    cols = [tbl.column(k).to_pylist() for k in by]
+    gids = np.empty(len(cols[0]), dtype=np.int64)
+    seen: dict[tuple, int] = {}
     uniques: list[tuple] = []
-    for g, (key, idx) in enumerate(grouped.indices.items()):
-        if not isinstance(key, tuple):
-            key = (key,)
-        uniques.append(key)
-        gids[idx] = g
+    for i, key in enumerate(zip(*cols)):
+        g = seen.get(key)
+        if g is None:
+            g = seen[key] = len(uniques)
+            uniques.append(key)
+        gids[i] = g
     return gids, uniques
 
 

@@ -414,12 +414,11 @@ def _bloom_native(df: DataFrame, value_col: str, by: Sequence[str],
         F.pmod(F.xxhash64(F.col("_x"), F.lit(i)), F.lit(n_bits))
         for i in range(n_hashes)
     ])
-    # n_added must count KEYS, not probe rows: count distinct via a separate
-    # cheap agg; positions dedupe via groupBy
-    pos = (base.select(*cols, F.explode(probes).alias("_pos"))
-           .groupBy(*by, "_pos").agg(F.count(F.lit(1)).alias("_c")))
-    counts = base.groupBy(*by).agg(F.count(F.lit(1)).alias("_n"))
-    return pos, counts
+    # every non-null key contributes exactly n_hashes probe rows, so
+    # n_added = sum(_c) / n_hashes per group — no extra aggregation or join
+    # (an equi-join on group keys would silently drop NULL-key groups)
+    return (base.select(*cols, F.explode(probes).alias("_pos"))
+            .groupBy(*by, "_pos").agg(F.count(F.lit(1)).alias("_c")))
 
 
 def _bloom_from_rows(positions, n_added: int, n_bits: int, n_hashes: int) -> BloomFilter:
@@ -441,11 +440,10 @@ def bloom_state(df: DataFrame, value_col: str, by: Sequence[str] | None = None,
     to hash_kind='spark' NumPy builds (integer keys)."""
     if engine == "native":
         by = list(by or [])
-        pos, counts = _bloom_native(df, value_col, by, n_bits, n_hashes)
+        pos = _bloom_native(df, value_col, by, n_bits, n_hashes)
         if not by:
             rows = pos.collect()
-            n = counts.collect()
-            n_added = n[0]["_n"] if n else 0
+            n_added = sum(r["_c"] for r in rows) // n_hashes
             bf = _bloom_from_rows([r["_pos"] for r in rows], n_added, n_bits, n_hashes)
             return {"n_added": bf.n_added, "fill_ratio": bf.fill_ratio,
                     "state": bf.to_bytes()}
@@ -457,12 +455,12 @@ def bloom_state(df: DataFrame, value_col: str, by: Sequence[str] | None = None,
             StructField("fill_ratio", DoubleType()),
             StructField("state", BinaryType()),
         ])
-        joined = pos.join(counts, by)
 
         def assemble(pdf):
             import pandas as pd
 
-            bf = _bloom_from_rows(pdf["_pos"].to_numpy(), pdf["_n"].iloc[0],
+            n_added = int(pdf["_c"].sum()) // n_hashes
+            bf = _bloom_from_rows(pdf["_pos"].to_numpy(), n_added,
                                   n_bits, n_hashes)
             row = {k: [pdf[k].iloc[0]] for k in by}
             row["n_added"] = [bf.n_added]
@@ -470,7 +468,7 @@ def bloom_state(df: DataFrame, value_col: str, by: Sequence[str] | None = None,
             row["state"] = [bf.to_bytes()]
             return pd.DataFrame(row)
 
-        return joined.groupBy(*by).applyInPandas(assemble, schema)
+        return pos.groupBy(*by).applyInPandas(assemble, schema)
     kw.setdefault("keep_state", True)
     return sketch_aggregate(df, BloomAggregator(value_col, n_bits, n_hashes, seed, hash_kind),
                             by=by, **kw)

@@ -287,6 +287,8 @@ def ddsketch_state(
 ):
     """Return the merged sketch itself (driver-side DDSketch for global, or
     a DataFrame with a ``state`` blob column per key)."""
+    if engine not in ("native", "arrow"):
+        raise ValueError(f"unknown engine {engine!r}")
     if engine == "native":
         if by:
             return _native_grouped(df, value_col, by, alpha, max_bins, (), keep_state=True)
