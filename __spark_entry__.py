@@ -329,17 +329,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["word_jaccard_near_dups"] = word_jaccard_near_dups
 
-    def minhash_lsh_exact_dup_recall(spark, sf):
-        from ddsketchy_spark.pipeline.dedup import minhash_lsh_pairs
 
-        dfd = _docs_with_dups(spark, sf)
-        md5_pairs = (
+    def _exact_dup_pair_count(dfd):
+        return (
             dfd.select(F.md5(F.lower(F.trim(F.col("text")))).alias("fp"))
             .groupBy("fp").count()
             .select(F.sum(F.col("count") * (F.col("count") - 1) / 2).cast("long")
                     .alias("p"))
             .collect()[0]["p"]
         )
+
+    def minhash_lsh_exact_dup_recall(spark, sf):
+        from ddsketchy_spark.pipeline.dedup import minhash_lsh_pairs
+
+        dfd = _docs_with_dups(spark, sf)
+        md5_pairs = _exact_dup_pair_count(dfd)
         lsh = minhash_lsh_pairs(dfd, num_perm=128, bands=32)
         sigs_equal = lsh.filter(F.col("est_jaccard") == 1.0)
         fp = dfd.select(F.col("doc_id"), F.md5(F.lower(F.trim(F.col("text")))).alias("fp"))
@@ -357,13 +361,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         from ddsketchy_spark.pipeline.dedup import simhash_near_pairs
 
         dfd = _docs_with_dups(spark, sf)
-        md5_pairs = (
-            dfd.select(F.md5(F.lower(F.trim(F.col("text")))).alias("fp"))
-            .groupBy("fp").count()
-            .select(F.sum(F.col("count") * (F.col("count") - 1) / 2).cast("long")
-                    .alias("p"))
-            .collect()[0]["p"]
-        )
+        md5_pairs = _exact_dup_pair_count(dfd)
         zero = simhash_near_pairs(dfd, max_hamming=3).filter("hamming = 0")
         fp = dfd.select(F.col("doc_id"), F.md5(F.lower(F.trim(F.col("text")))).alias("fp"))
         found = (zero

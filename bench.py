@@ -183,6 +183,10 @@ def main() -> None:
                 capture_output=True, text=True,
                 env={**os.environ, "SPARK_GRAFT_BENCH_SCALING": "0"},
             )
+            if r.returncode != 0 or not r.stdout.strip():
+                raise RuntimeError(
+                    f"token probe local[{c}] failed (rc={r.returncode}): "
+                    f"{r.stderr.strip()[-2000:]}")
             return json.loads(r.stdout.strip().splitlines()[-1])
 
         pairs = []

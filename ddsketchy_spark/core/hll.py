@@ -36,6 +36,8 @@ class HyperLogLog:
             raise ValueError(f"precision p must be in [4, 18], got {p}")
         if hash_kind not in self._KINDS:
             raise ValueError(f"hash_kind must be one of {self._KINDS}")
+        if not 0 <= seed < 2**32:
+            raise ValueError(f"seed must be in [0, 2^32), got {seed}")
         if hash_kind == "spark" and seed != 0:
             raise ValueError("hash_kind='spark' requires seed=0 (F.xxhash64 has a fixed seed)")
         self.p = p

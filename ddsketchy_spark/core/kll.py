@@ -57,13 +57,15 @@ class KLLSketch:
         self._compact_all()
 
     def _compact_all(self) -> None:
-        level = 0
-        while level < len(self.levels):
-            if len(self.levels[level]) > self._capacity(level):
-                self._compact(level)
-                level = max(level, 0)
-            else:
-                level += 1
+        # fixed point: appending a new top level shrinks every lower level's
+        # capacity, so re-scan until nothing is over budget
+        changed = True
+        while changed:
+            changed = False
+            for level in range(len(self.levels)):
+                if len(self.levels[level]) > self._capacity(level):
+                    self._compact(level)
+                    changed = True
 
     def _compact(self, level: int) -> None:
         items = np.sort(self.levels[level])

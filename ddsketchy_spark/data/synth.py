@@ -46,9 +46,14 @@ def row_block(seed: int, start: int, count: int) -> pa.Table:
     tok = np.minimum(
         (u ** (-1.0 / 1.1) - 1.0) * 100.0, VOCAB_SIZE - 1
     ).astype(np.int32)
-    offsets = np.zeros(count + 1, dtype=np.int32)
+    offsets = np.zeros(count + 1, dtype=np.int64)
     np.cumsum(n_tok, out=offsets[1:])
-    tokens = pa.ListArray.from_arrays(pa.array(offsets), pa.array(tok, type=pa.int32()))
+    if offsets[-1] <= 2**31 - 1:
+        tokens = pa.ListArray.from_arrays(
+            pa.array(offsets.astype(np.int32)), pa.array(tok, type=pa.int32()))
+    else:  # >2^31 tokens per block: 64-bit offsets (large_list)
+        tokens = pa.LargeListArray.from_arrays(
+            pa.array(offsets), pa.array(tok, type=pa.int32()))
     doc_id = pa.array([f"doc-{i:012d}" for i in range(start, start + count)], type=pa.string())
     source = pa.array([SOURCE_NAMES[i] for i in src_idx], type=pa.string())
     return pa.table(

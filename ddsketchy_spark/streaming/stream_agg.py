@@ -30,22 +30,25 @@ from ..spark.ddsketch_agg import DDSketchAggregator
 class StreamingSketch:
     """Running sketch state with idempotent micro-batch merges."""
 
+    _HDR_LEN = 8  # little-endian batch_id prefixed to the blob
+
     def __init__(self, agg: SketchAggregator, state_dir: str) -> None:
         self.agg = agg
         self.state_dir = state_dir
         os.makedirs(state_dir, exist_ok=True)
+        # batch_id and blob live in ONE file committed by ONE atomic rename:
+        # a crash can never leave the id and the state out of sync (two
+        # separate files would double-merge a replayed batch if the process
+        # died between the writes)
         self._state_path = os.path.join(state_dir, "state.bin")
-        self._meta_path = os.path.join(state_dir, "meta.json")
 
     def _load(self) -> tuple[bytes | None, int]:
-        blob = None
-        last_batch = -1
-        if os.path.exists(self._state_path):
-            with open(self._state_path, "rb") as f:
-                blob = f.read()
-        if os.path.exists(self._meta_path):
-            last_batch = json.load(open(self._meta_path)).get("last_batch", -1)
-        return blob, last_batch
+        if not os.path.exists(self._state_path):
+            return None, -1
+        with open(self._state_path, "rb") as f:
+            raw = f.read()
+        last_batch = int.from_bytes(raw[: self._HDR_LEN], "little", signed=True)
+        return raw[self._HDR_LEN:], last_batch
 
     def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
         blob, last_batch = self._load()
@@ -57,12 +60,9 @@ class StreamingSketch:
                   if blob is not None else batch_blob)
         tmp = f"{self._state_path}.tmp-{time.time_ns()}"
         with open(tmp, "wb") as f:
+            f.write(int(batch_id).to_bytes(self._HDR_LEN, "little", signed=True))
             f.write(merged)
         os.replace(tmp, self._state_path)
-        tmp = f"{self._meta_path}.tmp-{time.time_ns()}"
-        with open(tmp, "w") as f:
-            json.dump({"last_batch": batch_id, "updated_at": time.time()}, f)
-        os.replace(tmp, self._meta_path)
 
     def current_blob(self) -> bytes | None:
         return self._load()[0]
