@@ -150,6 +150,19 @@ def main() -> None:
     lsh_cosine_topk(emb, k=3, n_planes=16, bands=8, dim=64).count()
     queries["q9_lsh_cosine_topk_embeddings"] = round(time.perf_counter() - t0, 3)
 
+    # q10: generic-aggregator hot path — pyarrow-direct row-group scan
+    # (the engine t-digest/KLL-style sketches use; bypasses the JVM Arrow
+    # writer whose per-element array<int32> serialization bounds mapInArrow)
+    from ddsketchy_spark.spark.arrow_scan import sketch_aggregate_parquet
+    from ddsketchy_spark.spark.ddsketch_agg import DDSketchAggregator
+
+    dagg = DDSketchAggregator("tokens", alpha=ALPHA, quantiles=(0.5, 0.99))
+    t0 = time.perf_counter()
+    direct_out = sketch_aggregate_parquet(spark, TOKEN_DIR, dagg)
+    dt = time.perf_counter() - t0
+    queries["q10_arrow_direct_tokens_global"] = round(dt, 3)
+    queries["q10_arrow_direct_tokens_per_sec"] = round(direct_out["count"] / dt)
+
     # accuracy: max relative error of the n_tok estimates vs exact quantiles
     import duckdb
 

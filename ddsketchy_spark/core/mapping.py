@@ -68,8 +68,10 @@ class LogMapping:
         Caller guarantees values >= min_indexable_value (positive-store
         magnitudes); zero/sign routing happens before this call.
         """
-        k = np.ceil(np.log(values) * self.inv_ln_gamma)
-        return k.astype(np.int64).astype(np.int32)
+        buf = np.log(values)
+        buf *= self.inv_ln_gamma          # in-place: same fp ops, fewer temporaries
+        np.ceil(buf, out=buf)
+        return buf.astype(np.int64).astype(np.int32)
 
     def values_for(self, keys: np.ndarray) -> np.ndarray:
         """Vectorized value(k) for an array of keys."""

@@ -1,4 +1,5 @@
 from .agg import SketchAggregator, build_partials, merge_global, merge_grouped, sketch_aggregate
+from .arrow_scan import build_partials_direct, parquet_splits, sketch_aggregate_parquet
 from .checkpoint import checkpointed_sketch_aggregate
 from .companions import (
     bloom_state,
@@ -18,6 +19,9 @@ __all__ = [
     "merge_global",
     "merge_grouped",
     "sketch_aggregate",
+    "sketch_aggregate_parquet",
+    "build_partials_direct",
+    "parquet_splits",
     "checkpointed_sketch_aggregate",
     "DDSketchAggregator",
     "ddsketch_quantiles",

@@ -121,45 +121,63 @@ def build_partials(
     in_fields = {f.name: f for f in pruned.schema.fields}
     out_schema = StructType([in_fields[k] for k in by] + [StructField("state", BinaryType())])
     in_arrow = to_arrow_schema(pruned.schema)
-    arrow_key_fields = [pa.field(k, in_arrow.field(k).type) for k in by]
-    arrow_schema = pa.schema(arrow_key_fields + [pa.field("state", pa.binary())])
+    arrow_schema = partial_arrow_schema(in_arrow, by)
 
     def build(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
-        states: dict[tuple, Any] = {}
-        key_values: dict[tuple, tuple] = {}
-        for batch in batches:
-            tbl = pa.Table.from_batches([batch])
-            if not by:
-                key = ()
-                st = states.get(key)
-                if st is None:
-                    st = states[key] = agg.make()
-                    key_values[key] = ()
-                agg.add_arrow(st, tbl)
-                continue
-            # group rows by key columns via numpy unique over a row-key codec
-            gids, uniques_rows = _group_ids(tbl, by)
-            for g, krow in enumerate(uniques_rows):
-                idx = np.nonzero(gids == g)[0]
-                sub = tbl.take(pa.array(idx, type=pa.int64()))
-                kt = tuple(krow)
-                st = states.get(kt)
-                if st is None:
-                    st = states[kt] = agg.make()
-                    key_values[kt] = kt
-                agg.add_arrow(st, sub)
-
-        if not states:
-            return
-        keys = list(states.keys())
-        blobs = [agg.state_bytes(states[k]) for k in keys]
-        cols: list[pa.Array] = []
-        for j, kcol in enumerate(by):
-            cols.append(pa.array([key_values[k][j] for k in keys], type=arrow_schema.field(kcol).type))
-        cols.append(pa.array(blobs, type=pa.binary()))
-        yield pa.RecordBatch.from_arrays(cols, schema=arrow_schema)
+        yield from build_state_batches(batches, agg, by, arrow_schema)
 
     return pruned.mapInArrow(build, out_schema)
+
+
+def partial_arrow_schema(in_arrow: pa.Schema, by: Sequence[str]) -> pa.Schema:
+    """Arrow schema of a partial-state batch: key columns + binary state."""
+    arrow_key_fields = [pa.field(k, in_arrow.field(k).type) for k in by]
+    return pa.schema(arrow_key_fields + [pa.field("state", pa.binary())])
+
+
+def build_state_batches(
+    batches: Iterator[pa.RecordBatch],
+    agg: SketchAggregator,
+    by: Sequence[str],
+    arrow_schema: pa.Schema,
+) -> Iterator[pa.RecordBatch]:
+    """Fold a stream of Arrow batches into one partial-state row per key.
+
+    Shared by the JVM-scan path (``build_partials``) and the pyarrow-direct
+    parquet scan (``arrow_scan.build_partials_direct``)."""
+    states: dict[tuple, Any] = {}
+    key_values: dict[tuple, tuple] = {}
+    for batch in batches:
+        tbl = pa.Table.from_batches([batch])
+        if not by:
+            key = ()
+            st = states.get(key)
+            if st is None:
+                st = states[key] = agg.make()
+                key_values[key] = ()
+            agg.add_arrow(st, tbl)
+            continue
+        # group rows by key columns via numpy unique over a row-key codec
+        gids, uniques_rows = _group_ids(tbl, by)
+        for g, krow in enumerate(uniques_rows):
+            idx = np.nonzero(gids == g)[0]
+            sub = tbl.take(pa.array(idx, type=pa.int64()))
+            kt = tuple(krow)
+            st = states.get(kt)
+            if st is None:
+                st = states[kt] = agg.make()
+                key_values[kt] = kt
+            agg.add_arrow(st, sub)
+
+    if not states:
+        return
+    keys = list(states.keys())
+    blobs = [agg.state_bytes(states[k]) for k in keys]
+    cols: list[pa.Array] = []
+    for j, kcol in enumerate(by):
+        cols.append(pa.array([key_values[k][j] for k in keys], type=arrow_schema.field(kcol).type))
+    cols.append(pa.array(blobs, type=pa.binary()))
+    yield pa.RecordBatch.from_arrays(cols, schema=arrow_schema)
 
 
 def _group_ids(tbl: pa.Table, by: Sequence[str]) -> tuple[np.ndarray, list[tuple]]:

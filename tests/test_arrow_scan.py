@@ -1,0 +1,100 @@
+"""pyarrow-direct parquet scan engine tests.
+
+Gate: ``sketch_aggregate_parquet`` (workers read row groups with pyarrow,
+bypassing the JVM Arrow writer) must produce bit-identical estimates to the
+JVM-scan arrow engine and to a local single-sketch build, for global and
+grouped paths, scalar and token-array columns."""
+
+import numpy as np
+import pyarrow.parquet as pq
+import pytest
+
+from ddsketchy_spark import DDSketch
+from ddsketchy_spark.data.synth import read_tokens
+from ddsketchy_spark.spark.agg import sketch_aggregate
+from ddsketchy_spark.spark.arrow_scan import (
+    build_partials_direct,
+    parquet_splits,
+    sketch_aggregate_parquet,
+)
+from ddsketchy_spark.spark.ddsketch_agg import DDSketchAggregator, quantile_label
+
+QS = [0.5, 0.9, 0.99, 0.999]
+
+
+def test_parquet_splits_cover_all_row_groups(token_table_path):
+    splits = parquet_splits(token_table_path)
+    assert len(splits) >= 4  # 20k rows / 5k rows_per_file -> >=4 files
+    total = sum(
+        pq.ParquetFile(f).metadata.row_group(rg).num_rows for f, rg in splits
+    )
+    assert total == 20_000
+
+
+def test_direct_global_matches_local_bitwise(spark, token_table_path):
+    agg = DDSketchAggregator("n_tok", quantiles=QS)
+    res = sketch_aggregate_parquet(spark, token_table_path, agg)
+
+    tbl = pq.read_table(token_table_path, columns=["n_tok"])
+    local = DDSketch(0.01)
+    local.add_batch(tbl.column("n_tok").to_numpy().astype(np.float64))
+
+    assert res["count"] == local.count == 20_000
+    for q in QS:
+        assert res[quantile_label(q)] == local.quantile(q), q
+    assert res["mean"] == pytest.approx(local.mean, rel=1e-12)
+
+
+def test_direct_matches_jvm_scan_engine(spark, token_table_path):
+    """Same estimates whether the values crossed the JVM Arrow writer or
+    were read by pyarrow in the worker (tokens array column)."""
+    agg = DDSketchAggregator("tokens", quantiles=QS)
+    direct = sketch_aggregate_parquet(spark, token_table_path, agg)
+    jvm = sketch_aggregate(read_tokens(spark, token_table_path), agg)
+    assert direct["count"] == jvm["count"]
+    for q in QS:
+        assert direct[quantile_label(q)] == jvm[quantile_label(q)], q
+    assert direct["sum"] == pytest.approx(jvm["sum"], rel=1e-12)
+
+
+def test_direct_grouped_matches_jvm_scan(spark, token_table_path):
+    agg = DDSketchAggregator("n_tok", quantiles=QS)
+    direct = {
+        r["source"]: r
+        for r in sketch_aggregate_parquet(
+            spark, token_table_path, agg, by=["source"]
+        ).collect()
+    }
+    jvm = {
+        r["source"]: r
+        for r in sketch_aggregate(
+            read_tokens(spark, token_table_path), agg, by=["source"]
+        ).collect()
+    }
+    assert set(direct) == set(jvm) and len(direct) >= 2
+    for src, row in direct.items():
+        assert row["count"] == jvm[src]["count"]
+        for q in QS:
+            assert row[quantile_label(q)] == jvm[src][quantile_label(q)], (src, q)
+
+
+def test_direct_empty_input(spark, tmp_path):
+    agg = DDSketchAggregator("n_tok")
+    empty = str(tmp_path / "empty")
+    import os
+
+    os.makedirs(empty, exist_ok=True)
+    with pytest.raises(FileNotFoundError):
+        sketch_aggregate_parquet(spark, empty, agg)
+
+
+def test_direct_partials_shape(spark, token_table_path):
+    agg = DDSketchAggregator("n_tok")
+    partials = build_partials_direct(spark, token_table_path, agg, by=["source"])
+    assert [f.name for f in partials.schema.fields] == ["source", "state"]
+    n_splits = len(parquet_splits(token_table_path))
+    # at most one state row per (split x key)
+    n_sources = (
+        read_tokens(spark, token_table_path).select("source").distinct().count()
+    )
+    assert partials.count() <= n_splits * n_sources
