@@ -539,6 +539,48 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             rows, "user_id long, cnt long, found boolean, bound_ok boolean")
 
     q["mg_heavy_users"] = mg_heavy_users
+
+    def theta_user_overlap(spark, sf):
+        """Theta/KMV set algebra: distinct-user overlap between the click
+        and view event streams. k=4096 keeps the sketches in exact mode at
+        oracle scale, so estimates equal exact set cardinalities; the same
+        code path handles 10^9 users in estimation mode (~1.6% RSE)."""
+        from ddsketchy_spark.core.theta import ThetaSketch
+        from ddsketchy_spark.spark.companions import theta_state
+
+        df = _load(spark, sf, "events")
+        states = {r["event_type"]: ThetaSketch.from_bytes(r["state"])
+                  for r in theta_state(df, "user_id", by=["event_type"],
+                                       k=4096, engine="native").collect()}
+        a, b = states["click"], states["view"]
+        union = ThetaSketch(a.k, a.seed, a.hash_kind).merge(a).merge(b)
+        row = (float(a.estimate()), float(b.estimate()),
+               float(a.intersect(b).estimate()),
+               float(union.estimate()),
+               float(a.a_not_b(b).estimate()))
+        out = spark.createDataFrame(
+            [row], "users_click double, users_view double, overlap double, "
+                   "union_cnt double, click_not_view double")
+        return out.select(*[_r6(F.col(c)).alias(c) for c in out.columns])
+
+    q["theta_user_overlap_click_view"] = theta_user_overlap
+
+    def theta_orderkeys_estimation(spark, sf):
+        """Theta sketch in ESTIMATION mode (k=512 << distinct orderkeys):
+        exact count cross-checks SQL; the KMV error bound (4x RSE) is
+        materialized as a boolean the oracle asserts TRUE."""
+        from ddsketchy_spark.spark.companions import theta_state
+
+        df = _load(spark, sf, "lineitem")
+        out = theta_state(df, "l_orderkey", k=512, engine="native")
+        exact = df.select("l_orderkey").distinct().count()
+        rse = 1.0 / (512 - 1) ** 0.5
+        ok = (not out["exact_mode"]) and \
+            abs(out["distinct_est"] - exact) <= 4.0 * rse * exact
+        return spark.createDataFrame(
+            [(int(exact), bool(ok))], "exact_cnt long, theta_ok boolean")
+
+    q["theta_orderkeys_estimation"] = theta_orderkeys_estimation
     return q
 
 
@@ -718,6 +760,18 @@ SELECT user_id, cnt, TRUE AS found, TRUE AS bound_ok
 FROM counts, tot
 WHERE cnt > n // 257
 ORDER BY user_id
+"""
+    o["theta_user_overlap_click_view"] = """
+WITH c AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'click'),
+     v AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'view')
+SELECT round(CAST((SELECT count(*) FROM c) AS DOUBLE), 6) AS users_click,
+       round(CAST((SELECT count(*) FROM v) AS DOUBLE), 6) AS users_view,
+       round(CAST((SELECT count(*) FROM c WHERE user_id IN (SELECT user_id FROM v)) AS DOUBLE), 6) AS overlap,
+       round(CAST((SELECT count(*) FROM (SELECT user_id FROM c UNION SELECT user_id FROM v)) AS DOUBLE), 6) AS union_cnt,
+       round(CAST((SELECT count(*) FROM c WHERE user_id NOT IN (SELECT user_id FROM v)) AS DOUBLE), 6) AS click_not_view
+"""
+    o["theta_orderkeys_estimation"] = """
+SELECT count(DISTINCT l_orderkey) AS exact_cnt, TRUE AS theta_ok FROM lineitem
 """
     return o
 

@@ -8,6 +8,7 @@ from .companions import (
     kll_quantiles,
     misra_gries_state,
     tdigest_quantiles,
+    theta_state,
 )
 from .ddsketch_agg import DDSketchAggregator, ddsketch_quantiles, ddsketch_state
 from .functions import register_sql_functions
@@ -32,6 +33,7 @@ __all__ = [
     "tdigest_quantiles",
     "kll_quantiles",
     "misra_gries_state",
+    "theta_state",
     "register_sql_functions",
     "get_spark",
 ]

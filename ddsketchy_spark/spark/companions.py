@@ -22,6 +22,7 @@ from ..core.cms import CountMinSketch
 from ..core.hll import HyperLogLog
 from ..core.kll import KLLSketch
 from ..core.tdigest import TDigest
+from ..core.theta import ThetaSketch
 from .agg import SketchAggregator, numeric_values, raw_column, sketch_aggregate
 from .ddsketch_agg import quantile_label
 
@@ -484,3 +485,120 @@ def kll_quantiles(df: DataFrame, value_col: str, by: Sequence[str] | None = None
                   k: int = 200,
                   quantiles: Sequence[float] = (0.5, 0.9, 0.99, 0.999), **kw):
     return sketch_aggregate(df, KLLAggregator(value_col, k, quantiles), by=by, **kw)
+
+
+class ThetaAggregator(SketchAggregator):
+    """Theta/KMV sketch per group: distinct count + set-algebra state
+    (union / intersect / a-not-b downstream of the blobs)."""
+
+    def __init__(self, value_col: str, k: int = 4096, seed: int = 0,
+                 hash_kind: str = "generic") -> None:
+        self.value_cols = [value_col]
+        self.value_col = value_col
+        self.k = k
+        self.seed = seed
+        self.hash_kind = hash_kind
+
+    def make(self) -> ThetaSketch:
+        return ThetaSketch(self.k, self.seed, self.hash_kind)
+
+    def add_arrow(self, state: ThetaSketch, table: pa.Table) -> None:
+        state.add_batch(_keys_from_arrow(table.column(self.value_col)))
+
+    def merge_blobs(self, blobs) -> bytes:
+        it = iter(blobs)
+        acc = ThetaSketch.from_bytes(next(it))
+        for b in it:
+            acc.merge(ThetaSketch.from_bytes(b))
+        return acc.to_bytes()
+
+    def finalize(self, blob: bytes) -> dict[str, Any]:
+        sk = ThetaSketch.from_bytes(blob)
+        return {"distinct_est": sk.estimate(), "retained": len(sk),
+                "exact_mode": not sk.is_estimation_mode()}
+
+    def output_fields(self) -> list[StructField]:
+        from pyspark.sql.types import BooleanType
+
+        return [StructField("distinct_est", DoubleType()),
+                StructField("retained", LongType()),
+                StructField("exact_mode", BooleanType())]
+
+
+# -- native (JVM-side) theta engine --------------------------------------------
+#
+# The retained set of a theta sketch with hash_kind="spark" is exactly the
+# k smallest distinct unsigned xxhash64 values (plus the (k+1)-th as theta),
+# so the JVM can compute it relationally: hash, DISTINCT (map-side partial
+# dedupe), then top-(k+1) in unsigned order (sign-bit flip makes signed
+# order == unsigned order). Global: sort+limit (TakeOrdered, per-partition
+# top-k then driver merge — no full sort). Grouped: window row_number.
+# Only <= k+1 hash rows per group ever leave the JVM.
+
+
+def _theta_native_hashes(df: DataFrame, value_col: str, by: Sequence[str], k: int):
+    from pyspark.sql import Window, functions as F
+
+    is_array = dict(df.dtypes)[value_col].startswith("array")
+    cols = [F.col(c) for c in by]
+    if is_array:
+        base = df.select(*cols, F.explode(value_col).alias("_x"))
+    else:
+        base = df.select(*cols, F.col(value_col).alias("_x"))
+    base = base.where(F.col("_x").isNotNull())
+    u = F.xxhash64(F.col("_x")).bitwiseXOR(F.lit(-(1 << 63)))
+    dedup = base.select(*cols, u.alias("_u")).distinct()
+    if not by:
+        return dedup.orderBy("_u").limit(k + 1)
+    w = Window.partitionBy(*by).orderBy("_u")
+    return (dedup.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") <= k + 1).drop("_rn"))
+
+
+def _theta_from_rows(u_signed: np.ndarray, k: int) -> ThetaSketch:
+    sk = ThetaSketch(k, 0, "spark")
+    h = (np.asarray(u_signed, dtype=np.int64) ^ np.int64(-(1 << 63))).view(np.uint64)
+    sk.add_hashes(h)
+    return sk
+
+
+def theta_state(df: DataFrame, value_col: str, by: Sequence[str] | None = None,
+                k: int = 4096, seed: int = 0, engine: str = "arrow",
+                hash_kind: str = "generic", **kw):
+    """Theta sketch per group (global: dict with state + estimate).
+
+    engine="native": JVM hashing + distinct + unsigned top-(k+1); retained
+    hashes are bit-identical to hash_kind='spark' NumPy builds (integer
+    keys). engine="arrow": the generic blob harness (any key type)."""
+    if engine == "native":
+        by = list(by or [])
+        kc = _theta_native_hashes(df, value_col, by, k)
+        if not by:
+            sk = _theta_from_rows(np.asarray([r["_u"] for r in kc.collect()]), k)
+            return {"distinct_est": sk.estimate(), "retained": len(sk),
+                    "exact_mode": not sk.is_estimation_mode(),
+                    "state": sk.to_bytes()}
+        from pyspark.sql.types import BinaryType, BooleanType, StructType
+
+        key_fields = [f for f in kc.schema.fields if f.name in by]
+        schema = StructType(key_fields + [
+            StructField("distinct_est", DoubleType()),
+            StructField("retained", LongType()),
+            StructField("exact_mode", BooleanType()),
+            StructField("state", BinaryType())])
+
+        def assemble(pdf):
+            import pandas as pd
+
+            sk = _theta_from_rows(pdf["_u"].to_numpy(), k)
+            row = {c: [pdf[c].iloc[0]] for c in by}
+            row["distinct_est"] = [sk.estimate()]
+            row["retained"] = [len(sk)]
+            row["exact_mode"] = [not sk.is_estimation_mode()]
+            row["state"] = [sk.to_bytes()]
+            return pd.DataFrame(row)
+
+        return kc.groupBy(*by).applyInPandas(assemble, schema)
+    kw.setdefault("keep_state", True)
+    return sketch_aggregate(df, ThetaAggregator(value_col, k, seed, hash_kind),
+                            by=by, **kw)
