@@ -581,6 +581,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             [(int(exact), bool(ok))], "exact_cnt long, theta_ok boolean")
 
     q["theta_orderkeys_estimation"] = theta_orderkeys_estimation
+
+    def dedup_semantic_embeddings(spark, sf):
+        """Embedding-cosine near-dup dedup: threshold pairs -> connected
+        components (distributed min-label propagation) -> canonical
+        representative per cluster. Duplicates are planted deterministically
+        (ids <20 copied once, <10 twice -> chained 3-clusters); the DuckDB
+        oracle recomputes components with a recursive CTE."""
+        from ddsketchy_spark.pipeline.dedup import dedup_semantic
+
+        emb = _load(spark, sf, "embeddings").select("vec_id", "embedding")
+        d1 = emb.filter("vec_id < 20").withColumn(
+            "vec_id", F.col("vec_id") + 100000)
+        d2 = emb.filter("vec_id < 10").withColumn(
+            "vec_id", F.col("vec_id") + 200000)
+        all_ = emb.unionByName(d1).unionByName(d2)
+        return dedup_semantic(all_, threshold=0.9, method="exact").orderBy("vec_id")
+
+    q["dedup_semantic_embeddings"] = dedup_semantic_embeddings
     return q
 
 
@@ -772,6 +790,28 @@ SELECT round(CAST((SELECT count(*) FROM c) AS DOUBLE), 6) AS users_click,
 """
     o["theta_orderkeys_estimation"] = """
 SELECT count(DISTINCT l_orderkey) AS exact_cnt, TRUE AS theta_ok FROM lineitem
+"""
+    o["dedup_semantic_embeddings"] = """
+WITH RECURSIVE base AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL SELECT vec_id + 100000, embedding FROM embeddings WHERE vec_id < 20
+  UNION ALL SELECT vec_id + 200000, embedding FROM embeddings WHERE vec_id < 10
+),
+pairs AS (
+  SELECT a.vec_id AS src, b.vec_id AS dst
+  FROM base a JOIN base b ON a.vec_id < b.vec_id
+  WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.9
+),
+sym AS (SELECT src, dst FROM pairs UNION SELECT dst AS src, src AS dst FROM pairs),
+r(node, comp) AS (
+  SELECT vec_id, vec_id FROM base
+  UNION
+  SELECT s.dst, r.comp FROM r JOIN sym s ON s.src = r.node
+)
+SELECT b.vec_id, g.comp AS component, (g.comp = b.vec_id) AS keep
+FROM base b
+JOIN (SELECT node, min(comp) AS comp FROM r GROUP BY node) g ON g.node = b.vec_id
+ORDER BY b.vec_id
 """
     return o
 

@@ -320,3 +320,105 @@ def simhash_near_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .dropDuplicates(["id_a", "id_b"])
     )
+
+
+# ---------------------------------------------------------------------------
+# Connected components + semantic (embedding-cosine) dedup
+# ---------------------------------------------------------------------------
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components of an undirected edge list -> (node, component),
+    component = min node id reachable.
+
+    Min-label propagation: each round every node takes the min of its own
+    label and its neighbors' labels. Converges in O(graph diameter) rounds —
+    near-dup graphs are unions of small dense clusters, so 2-4 rounds in
+    practice. Each round is two native shuffles (join + min-aggregate) over
+    (node, label) int rows only; ``localCheckpoint`` truncates the lineage so
+    the plan stays flat at any round count (the iterative-algorithm pattern
+    Catalyst cannot unroll)."""
+    sym = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    sym = sym.union(sym.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct()
+    sym = sym.localCheckpoint()
+    labels = (sym.select(F.col("a").alias("node")).distinct()
+              .withColumn("comp", F.col("node")))
+    for _ in range(max_iter):
+        msgs = sym.join(labels, sym["a"] == labels["node"]).select(
+            F.col("b").alias("node"), F.col("comp"))
+        new = (labels.unionByName(msgs)
+               .groupBy("node").agg(F.min("comp").alias("comp"))
+               .localCheckpoint())
+        changed = (new.alias("n")
+                   .join(labels.alias("o"), "node")
+                   .filter(F.col("n.comp") != F.col("o.comp")).count())
+        labels = new
+        if changed == 0:
+            break
+    return labels
+
+
+def cosine_near_pairs(
+    df: DataFrame,
+    threshold: float,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    method: str = "exact",
+    k: int = 32,
+    **lsh_kw,
+) -> DataFrame:
+    """Undirected near-duplicate pairs (src < dst) with cosine >= threshold.
+
+    method="exact": all-pairs self-join — the oracle baseline, O(n^2), test
+    scale only. method="lsh": random-hyperplane LSH candidates scored
+    against a broadcast normalized matrix (see ``lsh_cosine_topk``); ``k``
+    caps per-node degree, which is what a dedup graph wants anyway."""
+    if method == "exact":
+        from .similarity import cosine_expr
+
+        v = df.select(F.col(id_col).alias("id"),
+                      F.col(vec_col).cast("array<double>").alias("vec"))
+        a, b = v.alias("a"), v.alias("b")
+        return (a.join(b, F.col("a.id") < F.col("b.id"))
+                .select(F.col("a.id").alias("src"), F.col("b.id").alias("dst"),
+                        cosine_expr(F.col("a.vec"), F.col("b.vec")).alias("cos"))
+                .filter(F.col("cos") >= threshold))
+    if method == "lsh":
+        from .similarity import lsh_cosine_topk
+
+        topk = lsh_cosine_topk(df, vec_col=vec_col, id_col=id_col, k=k, **lsh_kw)
+        return (topk.filter((F.col("cos") >= threshold) & (F.col("id") < F.col("neighbor")))
+                .select(F.col("id").alias("src"), F.col("neighbor").alias("dst"), "cos")
+                .dropDuplicates(["src", "dst"]))
+    raise ValueError(f"unknown method {method!r}")
+
+
+def dedup_semantic(
+    df: DataFrame,
+    threshold: float = 0.9,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    method: str = "exact",
+    **kw,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate dedup: rows whose vectors are
+    transitively connected by cosine >= threshold form one duplicate
+    cluster; the minimum id is the kept canonical representative.
+
+    Returns (id_col, component, keep): component = cluster id (min member),
+    keep = this row is the cluster's canonical survivor. Singletons keep
+    themselves."""
+    pairs = cosine_near_pairs(df, threshold, vec_col, id_col, method, **kw)
+    comp = connected_components(pairs, "src", "dst")
+    ids = df.select(F.col(id_col))
+    joined = ids.join(comp, ids[id_col] == comp["node"], "left")
+    return joined.select(
+        F.col(id_col),
+        F.coalesce(F.col("comp"), F.col(id_col)).alias("component"),
+        (F.coalesce(F.col("comp"), F.col(id_col)) == F.col(id_col)).alias("keep"),
+    )

@@ -201,3 +201,66 @@ def test_multimodal_plumbing(spark):
     # decode without a decoder must fail loudly at execution
     with pytest.raises(Exception, match="NotImplementedError|decoder"):
         decode_media(media).collect()
+
+
+# -- connected components + semantic dedup ------------------------------------
+
+
+def test_connected_components_basic(spark):
+    from ddsketchy_spark.pipeline.dedup import connected_components
+
+    # two chains and a triangle: {1-2-3}, {10-11}, {20-21-22 triangle}
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (20, 22)],
+        "src long, dst long")
+    out = {r["node"]: r["comp"] for r in connected_components(edges).collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
+
+
+def test_connected_components_long_chain(spark):
+    from ddsketchy_spark.pipeline.dedup import connected_components
+
+    # a path graph needs O(diameter) rounds — exercises the iteration loop
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(12)], "src long, dst long")
+    out = {r["node"]: r["comp"] for r in connected_components(edges).collect()}
+    assert set(out.values()) == {0} and len(out) == 13
+
+
+def test_dedup_semantic(spark, sf001_dir):
+    from ddsketchy_spark.pipeline.dedup import dedup_semantic
+
+    emb = spark.read.parquet(f"{sf001_dir}/embeddings.parquet").select(
+        "vec_id", "embedding")
+    # plant exact duplicate vectors: ids 0-4 copied twice (chained clusters
+    # of size 3 through the shared original)
+    d1 = emb.filter("vec_id < 5").withColumn("vec_id", F.col("vec_id") + 1000)
+    d2 = emb.filter("vec_id < 5").withColumn("vec_id", F.col("vec_id") + 2000)
+    all_ = emb.unionByName(d1).unionByName(d2)
+    out = dedup_semantic(all_, threshold=0.9, method="exact")
+    rows = {r["vec_id"]: r for r in out.collect()}
+    n = emb.count()
+    assert len(rows) == n + 10
+    for i in range(5):
+        assert rows[i]["component"] == i and rows[i]["keep"]
+        assert rows[i + 1000]["component"] == i and not rows[i + 1000]["keep"]
+        assert rows[i + 2000]["component"] == i and not rows[i + 2000]["keep"]
+    # everything else is a singleton that keeps itself
+    singles = [r for vid, r in rows.items() if 5 <= vid < 1000]
+    assert all(r["keep"] and r["component"] == r["vec_id"] for r in singles)
+
+
+def test_dedup_semantic_lsh_matches_exact(spark, sf001_dir):
+    from ddsketchy_spark.pipeline.dedup import cosine_near_pairs
+
+    emb = spark.read.parquet(f"{sf001_dir}/embeddings.parquet").select(
+        "vec_id", "embedding")
+    d1 = emb.filter("vec_id < 8").withColumn("vec_id", F.col("vec_id") + 1000)
+    all_ = emb.unionByName(d1)
+    exact = {(r["src"], r["dst"]) for r in
+             cosine_near_pairs(all_, 0.9, method="exact").collect()}
+    lsh = {(r["src"], r["dst"]) for r in
+           cosine_near_pairs(all_, 0.9, method="lsh", n_planes=16, bands=8,
+                             dim=64).collect()}
+    # identical vectors share every band -> LSH recall is 1.0 on exact dups
+    assert exact == lsh and len(exact) == 8
