@@ -1,3 +1,13 @@
-from .stream_agg import StreamingSketch, stream_ddsketch, stream_ddsketch_by_key
+from .stream_agg import (
+    StreamingSketch,
+    stream_ddsketch,
+    stream_ddsketch_by_key,
+    stream_ddsketch_windowed,
+)
 
-__all__ = ["StreamingSketch", "stream_ddsketch", "stream_ddsketch_by_key"]
+__all__ = [
+    "StreamingSketch",
+    "stream_ddsketch",
+    "stream_ddsketch_by_key",
+    "stream_ddsketch_windowed",
+]

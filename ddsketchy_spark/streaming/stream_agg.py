@@ -147,3 +147,113 @@ def stream_ddsketch_by_key(
     return stream_df.groupBy(*key_cols).applyInPandasWithState(
         update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
     )
+
+
+def stream_ddsketch_windowed(
+    stream_df: DataFrame,
+    value_col: str,
+    ts_col: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    window_duration: str = "1 minute",
+    watermark_delay: str = "30 seconds",
+    by: list[str] | None = None,
+    alpha: float = 0.01,
+    max_bins: int = 4096,
+    quantiles: tuple[float, ...] = (0.5, 0.99),
+    trigger: dict | None = None,
+):
+    """Event-time tumbling-window sketches with late-data handling.
+
+    Plan shape (scale-first): the log-bucketing law runs as native streaming
+    SQL — ``withWatermark`` + ``groupBy(window(ts), keys, region, key)`` —
+    so streaming state is BOUNDED bucket counts (<= ~2*max_bins rows per
+    open window x key), never raw values. Append mode emits a window's
+    bucket rows exactly once, after the watermark passes; ``foreachBatch``
+    assembles them into DDSketch estimate rows and writes one parquet
+    partition per micro-batch (overwrite by batch_id => idempotent under
+    replay). Late rows beyond ``watermark_delay`` are dropped by Spark —
+    the documented streaming trade-off.
+
+    Returns (StreamingQuery, out_dir); read results with
+    ``spark.read.parquet(out_dir)`` — columns (window_start, window_end,
+    by..., count, sum, mean, min, max, pXX...).
+    """
+    from pyspark.sql import functions as F
+
+    from ..core.mapping import LogMapping
+    from ..spark.ddsketch_agg import (
+        _estimates,
+        quantile_label,
+        sketch_from_key_counts,
+    )
+
+    by = list(by or [])
+    m = LogMapping(alpha)
+    x = F.col(value_col).cast("double")
+    inf = float("inf")
+    region = (
+        F.when(x >= F.lit(m.min_indexable_value), F.lit(1))
+        .when(x <= F.lit(-m.min_indexable_value), F.lit(-1))
+        .otherwise(F.lit(0))
+    )
+    key = (
+        F.when(region != 0,
+               F.ceil(F.log(F.abs(x)) * F.lit(m.inv_ln_gamma)).cast("int"))
+        .otherwise(F.lit(0))
+    )
+    bucketed = (
+        stream_df.withWatermark(ts_col, watermark_delay)
+        .where(~F.isnan(x) & (x < F.lit(inf)) & (x > F.lit(-inf)))
+        .groupBy(F.window(ts_col, window_duration).alias("window"), *by,
+                 region.alias("region"), key.alias("key"))
+        .agg(F.count(F.lit(1)).alias("c"), F.sum(x).alias("s"),
+             F.min(x).alias("mn"), F.max(x).alias("mx"))
+    )
+
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        flat = batch_df.select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            *by, "region", "key", "c", "s", "mn", "mx")
+        key_fields = [StructField("window_start", TimestampType()),
+                      StructField("window_end", TimestampType())] + [
+            flat.schema[k] for k in by]
+        schema = StructType(
+            key_fields
+            + [StructField("count", LongType()), StructField("sum", DoubleType()),
+               StructField("mean", DoubleType()), StructField("min", DoubleType()),
+               StructField("max", DoubleType())]
+            + [StructField(quantile_label(q), DoubleType()) for q in quantiles])
+        group_cols = ["window_start", "window_end", *by]
+
+        def assemble(pdf):
+            import pandas as pd
+
+            sk = sketch_from_key_counts(
+                pdf["region"].to_numpy(), pdf["key"].to_numpy(),
+                pdf["c"].to_numpy(), pdf["s"].to_numpy(),
+                pdf["mn"].to_numpy(), pdf["mx"].to_numpy(), alpha, max_bins)
+            row = {k: [pdf[k].iloc[0]] for k in group_cols}
+            for name, val in _estimates(sk, quantiles).items():
+                row[name] = [val]
+            return pd.DataFrame(row)
+
+        out = flat.groupBy(*group_cols).applyInPandas(assemble, schema)
+        # one finalized parquet dir per micro-batch; replays overwrite the
+        # same path, so the sink is idempotent
+        out.write.mode("overwrite").parquet(f"{out_dir}/batch_id={batch_id}")
+
+    writer = (bucketed.writeStream.outputMode("append").foreachBatch(_sink)
+              .option("checkpointLocation", checkpoint_dir))
+    trigger = trigger or {"processingTime": "2 seconds"}
+    query = writer.trigger(**trigger).start()
+    return query, out_dir

@@ -166,3 +166,59 @@ def test_streaming_ddsketch(spark, token_table_path, tmp_path):
                                quantiles=(0.5, 0.99), engine="arrow")
     assert final.quantile(0.5) == batch["p50"]
     assert final.quantile(0.99) == batch["p99"]
+
+
+def test_streaming_windowed_watermark(spark, tmp_path):
+    """Event-time tumbling windows with a watermark: closed windows emit
+    exactly-once sketch rows that match the batch computation; the
+    still-open sentinel window does not emit."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from ddsketchy_spark.spark.ddsketch_agg import ddsketch_quantiles
+    from ddsketchy_spark.streaming import stream_ddsketch_windowed
+
+    base = dt.datetime(2026, 1, 1, 0, 0, 0)
+    rows = []
+    rng = np.random.default_rng(11)
+    for w in range(3):  # three 1-minute windows
+        for src in ("a", "b"):
+            for i in range(200):
+                ts = base + dt.timedelta(seconds=w * 60 + int(rng.integers(0, 60)))
+                rows.append((ts, src, float(rng.exponential(50.0) + w * 10)))
+    # sentinel far in the future: advances the watermark past all 3 windows,
+    # but its own window stays open (never emitted)
+    sentinel = [(base + dt.timedelta(seconds=100_000), "a", 1.0)]
+
+    in_dir = tmp_path / "win_in"
+    in_dir.mkdir()
+    df_all = spark.createDataFrame(rows, "ts timestamp, source string, value double")
+    df_all.coalesce(1).write.mode("overwrite").parquet(str(in_dir / "f1"))
+    spark.createDataFrame(sentinel, "ts timestamp, source string, value double") \
+        .coalesce(1).write.mode("overwrite").parquet(str(in_dir / "f2"))
+
+    schema = "ts timestamp, source string, value double"
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", "1")
+              .parquet(str(in_dir / "*")))
+    out_dir = str(tmp_path / "win_out")
+    query, _ = stream_ddsketch_windowed(
+        stream, "value", "ts", out_dir, str(tmp_path / "win_ck"),
+        window_duration="1 minute", watermark_delay="10 seconds",
+        by=["source"], quantiles=(0.5, 0.99),
+        trigger={"availableNow": True})
+    query.awaitTermination(180)
+
+    got = spark.read.parquet(out_dir)
+    rows_out = {(r["window_start"].minute, r["source"]): r for r in got.collect()}
+    assert len(rows_out) == 6  # 3 closed windows x 2 sources; sentinel open
+
+    batch = df_all.withColumn("wmin", F.minute(F.window("ts", "1 minute").start))
+    for (minute, src), r in rows_out.items():
+        ref = ddsketch_quantiles(
+            batch.where((F.col("wmin") == minute) & (F.col("source") == src)),
+            "value", quantiles=(0.5, 0.99))
+        assert r["count"] == ref["count"], (minute, src)
+        assert r["p50"] == ref["p50"], (minute, src)
+        assert r["p99"] == ref["p99"], (minute, src)
