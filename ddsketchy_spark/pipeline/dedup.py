@@ -348,6 +348,7 @@ def connected_components(
     sym = sym.localCheckpoint()
     labels = (sym.select(F.col("a").alias("node")).distinct()
               .withColumn("comp", F.col("node")))
+    changed = -1
     for _ in range(max_iter):
         msgs = sym.join(labels, sym["a"] == labels["node"]).select(
             F.col("b").alias("node"), F.col("comp"))
@@ -360,6 +361,11 @@ def connected_components(
         labels = new
         if changed == 0:
             break
+    if changed != 0:
+        raise RuntimeError(
+            f"connected_components did not converge in max_iter={max_iter} "
+            f"rounds ({changed} labels still changing); the graph diameter "
+            f"exceeds max_iter — raise it (labels would be silently wrong)")
     return labels
 
 
@@ -378,6 +384,9 @@ def cosine_near_pairs(
     scale only. method="lsh": random-hyperplane LSH candidates scored
     against a broadcast normalized matrix (see ``lsh_cosine_topk``); ``k``
     caps per-node degree, which is what a dedup graph wants anyway."""
+    # NaN guard: Spark orders NaN above every number, so `NaN >= threshold`
+    # is TRUE — one NaN-poisoned embedding would link the whole corpus into
+    # a single cluster without it
     if method == "exact":
         from .similarity import cosine_expr
 
@@ -387,13 +396,16 @@ def cosine_near_pairs(
         return (a.join(b, F.col("a.id") < F.col("b.id"))
                 .select(F.col("a.id").alias("src"), F.col("b.id").alias("dst"),
                         cosine_expr(F.col("a.vec"), F.col("b.vec")).alias("cos"))
-                .filter(F.col("cos") >= threshold))
+                .filter(~F.isnan(F.col("cos")) & (F.col("cos") >= threshold)))
     if method == "lsh":
         from .similarity import lsh_cosine_topk
 
         topk = lsh_cosine_topk(df, vec_col=vec_col, id_col=id_col, k=k, **lsh_kw)
-        return (topk.filter((F.col("cos") >= threshold) & (F.col("id") < F.col("neighbor")))
-                .select(F.col("id").alias("src"), F.col("neighbor").alias("dst"), "cos")
+        # canonicalize BEFORE dedup: a pair truncated out of the lower id's
+        # top-k may still appear as (hi, lo) in the higher id's list
+        return (topk.filter(~F.isnan(F.col("cos")) & (F.col("cos") >= threshold))
+                .select(F.least("id", "neighbor").alias("src"),
+                        F.greatest("id", "neighbor").alias("dst"), "cos")
                 .dropDuplicates(["src", "dst"]))
     raise ValueError(f"unknown method {method!r}")
 

@@ -51,11 +51,20 @@ SPLIT_SCHEMA = StructType(
 )
 
 
+def _is_hidden(path: str, root: str) -> bool:
+    """True if ANY path component below root is hidden/staging ('_'/'.'
+    prefixed) — same rule as Spark's file index, so _temporary attempt
+    files from a crashed write are never double-counted."""
+    rel = os.path.relpath(path, root) if root else path
+    return any(part.startswith(("_", ".")) for part in rel.split(os.sep))
+
+
 def parquet_files(path: str) -> list[str]:
     """Parquet data files under ``path`` (a directory, file, or glob)."""
     if os.path.isdir(path):
         files = sorted(glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True))
-    elif os.path.isfile(path):
+        return [f for f in files if not _is_hidden(f, path)]
+    if os.path.isfile(path):
         files = [path]
     else:
         files = sorted(glob.glob(path))
@@ -110,10 +119,16 @@ def build_partials_direct(
 
     def build(batches):
         def scan():
+            open_file: tuple[str, pq.ParquetFile] | None = None
             for b in batches:
                 for frow, rgrow in zip(b.column(0), b.column(1)):
-                    pf = pq.ParquetFile(frow.as_py())
-                    tbl = pf.read_row_group(rgrow.as_py(), columns=list(needed))
+                    fname = frow.as_py()
+                    # reuse the handle for consecutive splits of one file:
+                    # re-opening re-parses the footer (a round trip on
+                    # object storage) once per row group otherwise
+                    if open_file is None or open_file[0] != fname:
+                        open_file = (fname, pq.ParquetFile(fname))
+                    tbl = open_file[1].read_row_group(rgrow.as_py(), columns=list(needed))
                     yield from tbl.to_batches()
 
         yield from build_state_batches(scan(), agg, by, state_schema)

@@ -105,25 +105,18 @@ class DDSketchAggregator(SketchAggregator):
 # ---------------------------------------------------------------------------
 
 
-def _native_key_counts(
-    df: DataFrame, value_col: str, by: Sequence[str], alpha: float
-) -> DataFrame:
-    """(by..., region, key, c, s, mn, mx) — one row per occupied bucket.
+def bucket_exprs(x, alpha: float):
+    """The reference bucketing law as Spark SQL expressions over a double
+    column ``x``: (finite_condition, region, key). THE single source of the
+    native law — shared by the batch engine here and the streaming windowed
+    path (`streaming/stream_agg.py`), so fixes cannot diverge.
 
-    The whole pipeline (scan, optional explode, finite filter, log bucketing,
-    hash aggregate with map-side combine) is native Spark SQL: it stays in
-    whole-stage codegen and shuffles at most ~2*max_bins+1 rows per group.
-    """
+    region: +1 positive store, -1 negative store, 0 zero bucket
+    key:    ceil(ln|x| * inv_ln_gamma), the reference mapping
+            (`/root/reference/src/mapping.rs:6-12`)."""
     m = LogMapping(alpha)
-    is_array = dict(df.dtypes)[value_col].startswith("array")
-    cols = [F.col(c) for c in by]
-    if is_array:
-        base = df.select(*cols, F.explode(value_col).alias("_x"))
-    else:
-        base = df.select(*cols, F.col(value_col).alias("_x"))
-    x = F.col("_x").cast("double")
     inf = float("inf")
-    finite = base.where(~F.isnan(x) & (x < F.lit(inf)) & (x > F.lit(-inf)))
+    finite = ~F.isnan(x) & (x < F.lit(inf)) & (x > F.lit(-inf))
     region = (
         F.when(x >= F.lit(m.min_indexable_value), F.lit(1))
         .when(x <= F.lit(-m.min_indexable_value), F.lit(-1))
@@ -136,6 +129,27 @@ def _native_key_counts(
         )
         .otherwise(F.lit(0))
     )
+    return finite, region, key
+
+
+def _native_key_counts(
+    df: DataFrame, value_col: str, by: Sequence[str], alpha: float
+) -> DataFrame:
+    """(by..., region, key, c, s, mn, mx) — one row per occupied bucket.
+
+    The whole pipeline (scan, optional explode, finite filter, log bucketing,
+    hash aggregate with map-side combine) is native Spark SQL: it stays in
+    whole-stage codegen and shuffles at most ~2*max_bins+1 rows per group.
+    """
+    is_array = dict(df.dtypes)[value_col].startswith("array")
+    cols = [F.col(c) for c in by]
+    if is_array:
+        base = df.select(*cols, F.explode(value_col).alias("_x"))
+    else:
+        base = df.select(*cols, F.col(value_col).alias("_x"))
+    x = F.col("_x").cast("double")
+    finite_cond, region, key = bucket_exprs(x, alpha)
+    finite = base.where(finite_cond)
     return finite.select(*cols, region.alias("region"), key.alias("key"), x.alias("_x")).groupBy(
         *by, "region", "key"
     ).agg(

@@ -181,30 +181,19 @@ def stream_ddsketch_windowed(
     """
     from pyspark.sql import functions as F
 
-    from ..core.mapping import LogMapping
     from ..spark.ddsketch_agg import (
         _estimates,
+        bucket_exprs,
         quantile_label,
         sketch_from_key_counts,
     )
 
     by = list(by or [])
-    m = LogMapping(alpha)
     x = F.col(value_col).cast("double")
-    inf = float("inf")
-    region = (
-        F.when(x >= F.lit(m.min_indexable_value), F.lit(1))
-        .when(x <= F.lit(-m.min_indexable_value), F.lit(-1))
-        .otherwise(F.lit(0))
-    )
-    key = (
-        F.when(region != 0,
-               F.ceil(F.log(F.abs(x)) * F.lit(m.inv_ln_gamma)).cast("int"))
-        .otherwise(F.lit(0))
-    )
+    finite_cond, region, key = bucket_exprs(x, alpha)
     bucketed = (
         stream_df.withWatermark(ts_col, watermark_delay)
-        .where(~F.isnan(x) & (x < F.lit(inf)) & (x > F.lit(-inf)))
+        .where(finite_cond)
         .groupBy(F.window(ts_col, window_duration).alias("window"), *by,
                  region.alias("region"), key.alias("key"))
         .agg(F.count(F.lit(1)).alias("c"), F.sum(x).alias("s"),

@@ -264,3 +264,36 @@ def test_dedup_semantic_lsh_matches_exact(spark, sf001_dir):
                              dim=64).collect()}
     # identical vectors share every band -> LSH recall is 1.0 on exact dups
     assert exact == lsh and len(exact) == 8
+
+
+def test_cosine_near_pairs_nan_guard(spark):
+    """A NaN-poisoned embedding must not link rows (Spark orders NaN above
+    every number, so an unguarded `cos >= thr` filter would pass)."""
+    from ddsketchy_spark.pipeline.dedup import dedup_semantic
+
+    rows = [(0, [1.0, 0.0]), (1, [1.0, 0.0]),           # true dup pair
+            (2, [0.0, 1.0]), (3, [float("nan"), 1.0])]  # poisoned row
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {r["vec_id"]: r for r in dedup_semantic(df, 0.9).collect()}
+    assert out[0]["component"] == 0 and out[1]["component"] == 0
+    assert out[2]["component"] == 2 and out[2]["keep"]
+    assert out[3]["component"] == 3 and out[3]["keep"]
+
+
+def test_cosine_near_pairs_lsh_degree_over_k(spark):
+    """Pair orientation: with cluster degree > k, a qualifying pair may
+    survive only in the higher id's top-k list — it must still be emitted."""
+    from ddsketchy_spark.pipeline.dedup import connected_components, cosine_near_pairs
+
+    # 12 identical vectors, k=4: every pair qualifies, each node's top-k
+    # keeps only 4 neighbors
+    rows = [(i, [1.0, 2.0, 3.0]) for i in range(12)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    pairs = cosine_near_pairs(df, 0.99, method="lsh", k=4, n_planes=8,
+                              bands=4, dim=3)
+    got = pairs.collect()
+    assert all(r["src"] < r["dst"] for r in got)
+    assert len(got) >= 12  # enough edges to connect all 12 nodes
+    comp = {r["node"]: r["comp"] for r in
+            connected_components(pairs, "src", "dst").collect()}
+    assert set(comp.values()) == {0} and len(comp) == 12
