@@ -136,6 +136,76 @@ def build_partials_direct(
     return sdf.mapInArrow(build, out_schema)
 
 
+def build_partials_direct_checkpointed(
+    spark: SparkSession,
+    path: str,
+    agg: SketchAggregator,
+    ckpt_dir: str,
+) -> DataFrame:
+    """Direct scan with SPLIT-level checkpoint/resume: one state blob +
+    lineage manifest per parquet row group.
+
+    The checkpoint key is the (file, row_group) split itself — not the
+    Spark partition id — so a resumed job reuses completed splits under ANY
+    task placement or parallelism, and the manifest records exactly which
+    physical input each blob covers (file, row group, rows, bytes, build
+    seconds). Completed splits are never re-read; a restarted 100 TB job
+    pays only for the splits it had not finished. Global aggregation-level
+    analogue of the reference's serialize -> restore -> continue lifecycle
+    (`/root/reference/src/serde_tests.rs:166-218`)."""
+    import hashlib
+    import json
+    import time
+
+    from .checkpoint import _atomic_write
+
+    os.makedirs(ckpt_dir, exist_ok=True)
+    by: list[str] = []
+    needed = list(agg.value_cols)
+    in_arrow = _arrow_schema_for(path, needed)
+    state_schema = partial_arrow_schema(in_arrow, by)
+    out_schema = StructType([StructField("state", BinaryType())])
+
+    splits = parquet_splits(path)
+    if not splits:
+        return spark.createDataFrame([], out_schema)
+    sdf = spark.createDataFrame(splits, schema=SPLIT_SCHEMA).repartition(len(splits))
+
+    def split_key(fname: str, rg: int) -> str:
+        digest = hashlib.sha1(fname.encode()).hexdigest()[:10]
+        return f"{os.path.basename(fname)}-{digest}-rg{rg:05d}"
+
+    def build(batches):
+        for b in batches:
+            for frow, rgrow in zip(b.column(0), b.column(1)):
+                fname, rg = frow.as_py(), rgrow.as_py()
+                key = split_key(fname, rg)
+                bpath = os.path.join(ckpt_dir, key + ".bin")
+                mpath = os.path.join(ckpt_dir, key + ".json")
+                if os.path.exists(mpath) and os.path.exists(bpath):
+                    with open(bpath, "rb") as f:
+                        blob = f.read()
+                else:
+                    t0 = time.perf_counter()
+                    st = agg.make()
+                    tbl = pq.ParquetFile(fname).read_row_group(rg, columns=needed)
+                    agg.add_arrow(st, tbl)
+                    blob = agg.state_bytes(st)
+                    _atomic_write(bpath, blob)
+                    manifest = {
+                        "file": fname, "row_group": rg,
+                        "rows": tbl.num_rows, "input_bytes": tbl.nbytes,
+                        "blob_bytes": len(blob),
+                        "build_seconds": round(time.perf_counter() - t0, 4),
+                        "completed_at": time.time(),
+                    }
+                    _atomic_write(mpath, json.dumps(manifest).encode())
+                yield pa.RecordBatch.from_arrays(
+                    [pa.array([blob], type=pa.binary())], names=["state"])
+
+    return sdf.mapInArrow(build, out_schema)
+
+
 def sketch_aggregate_parquet(
     spark: SparkSession,
     path: str,
@@ -144,14 +214,21 @@ def sketch_aggregate_parquet(
     merge_rounds: int = 1,
     fanout: int = DEFAULT_FANOUT,
     keep_state: bool = False,
+    ckpt_dir: str | None = None,
 ):
     """Two-phase sketch aggregation straight off parquet files.
 
     Same contract as ``agg.sketch_aggregate`` (grouped -> DataFrame,
     global -> finalize() dict) but phase 1 scans with pyarrow in the
     workers — use for raw-parquet hot paths where the input needs no
-    pre-transformation in Spark."""
-    partials = build_partials_direct(spark, path, agg, by)
+    pre-transformation in Spark. Pass ``ckpt_dir`` for split-level
+    checkpoint/resume (global aggregation only)."""
+    if ckpt_dir is not None:
+        if by:
+            raise ValueError("ckpt_dir is supported for global aggregation only")
+        partials = build_partials_direct_checkpointed(spark, path, agg, ckpt_dir)
+    else:
+        partials = build_partials_direct(spark, path, agg, by)
     if by:
         return merge_grouped(
             partials, agg, list(by), merge_rounds=merge_rounds, fanout=fanout,

@@ -98,3 +98,39 @@ def test_direct_partials_shape(spark, token_table_path):
         read_tokens(spark, token_table_path).select("source").distinct().count()
     )
     assert partials.count() <= n_splits * n_sources
+
+
+def test_direct_checkpoint_resume(spark, token_table_path, tmp_path):
+    """Split-level resume: delete a few split manifests, re-run, and get
+    bit-identical estimates with only the missing splits recomputed."""
+    import glob
+    import json
+    import os
+
+    from ddsketchy_spark.spark.arrow_scan import sketch_aggregate_parquet
+
+    ckpt = str(tmp_path / "direct_ckpt")
+    agg = DDSketchAggregator("n_tok", quantiles=QS)
+    first = sketch_aggregate_parquet(spark, token_table_path, agg, ckpt_dir=ckpt)
+    manifests = sorted(glob.glob(os.path.join(ckpt, "*.json")))
+    assert len(manifests) == len(parquet_splits(token_table_path))
+    total_rows = sum(json.load(open(m))["rows"] for m in manifests)
+    assert total_rows == 20_000
+
+    # simulate a killed job: drop 3 completed splits
+    kept_times = {}
+    for m in manifests[:3]:
+        os.remove(m)
+        os.remove(m.replace(".json", ".bin"))
+    for m in manifests[3:]:
+        kept_times[m] = json.load(open(m))["completed_at"]
+
+    second = sketch_aggregate_parquet(spark, token_table_path, agg, ckpt_dir=ckpt)
+    for q in QS:
+        assert second[quantile_label(q)] == first[quantile_label(q)], q
+    assert second["count"] == first["count"]
+    # untouched splits were NOT recomputed (manifest timestamps unchanged)
+    for m, t in kept_times.items():
+        assert json.load(open(m))["completed_at"] == t, m
+    # dropped splits were rebuilt
+    assert len(glob.glob(os.path.join(ckpt, "*.json"))) == len(manifests)
