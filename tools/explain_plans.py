@@ -111,6 +111,20 @@ def main() -> None:
         reject=[r"SortMergeJoin"],
     )
 
+    # theta native global: hash -> DISTINCT (partial agg both sides of the
+    # exchange) -> unsigned top-(k+1) as TakeOrdered (never a full sort)
+    from ddsketchy_spark.spark.companions import _theta_native_hashes
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    th = _theta_native_hashes(ev, "user_id", [], 4096)
+    results["theta_native_global"] = audit(
+        "theta_native_global", th,
+        want=[r"ReadSchema: struct<user_id:bigint>", r"xxhash64",
+              r"HashAggregate[\s\S]*Exchange[\s\S]*HashAggregate",
+              r"TakeOrderedAndProject"],
+        reject=[r"\bSort\b.*global=true"],
+    )
+
     print("\nsummary:", {k: ("OK" if v else "FAIL") for k, v in results.items()})
     spark.stop()
     sys.exit(0 if all(results.values()) else 1)
