@@ -108,10 +108,18 @@ class SketchAggregator:
 # ---------------------------------------------------------------------------
 
 
+# Grouped builds keep one open sketch per key per task; beyond this many
+# open states the task flushes them as partial rows and starts fresh —
+# bounded executor memory at ANY key cardinality, at the cost of extra
+# (mergeable) partials. 8192 * a ~KB-scale state ~= tens of MB.
+MAX_OPEN_STATES = 8192
+
+
 def build_partials(
     df: DataFrame,
     agg: SketchAggregator,
     by: Sequence[str] | None = None,
+    max_open_states: int = MAX_OPEN_STATES,
 ) -> DataFrame:
     """One state blob per (input partition x group key). Never shuffles rows."""
     by = list(by or [])
@@ -124,7 +132,8 @@ def build_partials(
     arrow_schema = partial_arrow_schema(in_arrow, by)
 
     def build(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
-        yield from build_state_batches(batches, agg, by, arrow_schema)
+        yield from build_state_batches(batches, agg, by, arrow_schema,
+                                       max_open_states=max_open_states)
 
     return pruned.mapInArrow(build, out_schema)
 
@@ -140,13 +149,28 @@ def build_state_batches(
     agg: SketchAggregator,
     by: Sequence[str],
     arrow_schema: pa.Schema,
+    max_open_states: int = MAX_OPEN_STATES,
 ) -> Iterator[pa.RecordBatch]:
     """Fold a stream of Arrow batches into one partial-state row per key.
 
     Shared by the JVM-scan path (``build_partials``) and the pyarrow-direct
-    parquet scan (``arrow_scan.build_partials_direct``)."""
+    parquet scan (``arrow_scan.build_partials_direct``). When the number of
+    open per-key states reaches ``max_open_states``, they are flushed as
+    partial rows and rebuilt on demand — executor memory stays bounded at
+    any key cardinality (a key seen across flushes simply yields several
+    mergeable partials)."""
     states: dict[tuple, Any] = {}
-    key_values: dict[tuple, tuple] = {}
+
+    def flush() -> pa.RecordBatch:
+        keys = list(states.keys())
+        blobs = [agg.state_bytes(states[k]) for k in keys]
+        cols: list[pa.Array] = []
+        for j, kcol in enumerate(by):
+            cols.append(pa.array([k[j] for k in keys], type=arrow_schema.field(kcol).type))
+        cols.append(pa.array(blobs, type=pa.binary()))
+        states.clear()
+        return pa.RecordBatch.from_arrays(cols, schema=arrow_schema)
+
     for batch in batches:
         tbl = pa.Table.from_batches([batch])
         if not by:
@@ -154,7 +178,6 @@ def build_state_batches(
             st = states.get(key)
             if st is None:
                 st = states[key] = agg.make()
-                key_values[key] = ()
             agg.add_arrow(st, tbl)
             continue
         # group rows by key columns via numpy unique over a row-key codec
@@ -166,18 +189,12 @@ def build_state_batches(
             st = states.get(kt)
             if st is None:
                 st = states[kt] = agg.make()
-                key_values[kt] = kt
             agg.add_arrow(st, sub)
+        if len(states) >= max_open_states:
+            yield flush()
 
-    if not states:
-        return
-    keys = list(states.keys())
-    blobs = [agg.state_bytes(states[k]) for k in keys]
-    cols: list[pa.Array] = []
-    for j, kcol in enumerate(by):
-        cols.append(pa.array([key_values[k][j] for k in keys], type=arrow_schema.field(kcol).type))
-    cols.append(pa.array(blobs, type=pa.binary()))
-    yield pa.RecordBatch.from_arrays(cols, schema=arrow_schema)
+    if states:
+        yield flush()
 
 
 def _group_ids(tbl: pa.Table, by: Sequence[str]) -> tuple[np.ndarray, list[tuple]]:

@@ -221,3 +221,25 @@ def test_events_value_testdata(spark, sf001_dir):
         exact = vals[int(q * (len(vals) - 1))]
         est = res[quantile_label(q)]
         assert abs(est - exact) <= 0.011 * abs(exact) + 1e-9
+
+
+def test_grouped_state_flush_cap(spark, token_table_path):
+    """With a tiny max_open_states cap, grouped builds flush mid-stream and
+    emit several partials per key — the merged result must be unchanged."""
+    from ddsketchy_spark.data.synth import read_tokens
+    from ddsketchy_spark.spark.agg import build_partials, merge_grouped
+    from ddsketchy_spark.spark.ddsketch_agg import DDSketchAggregator
+
+    df = read_tokens(spark, token_table_path)
+    agg = DDSketchAggregator("n_tok", quantiles=QS)
+    capped = merge_grouped(
+        build_partials(df, agg, by=["source"], max_open_states=1),
+        agg, ["source"])
+    normal = merge_grouped(build_partials(df, agg, by=["source"]), agg, ["source"])
+    a = {r["source"]: r for r in capped.collect()}
+    b = {r["source"]: r for r in normal.collect()}
+    assert a.keys() == b.keys()
+    for s in a:
+        assert a[s]["count"] == b[s]["count"], s
+        for q in QS:
+            assert a[s][quantile_label(q)] == b[s][quantile_label(q)], (s, q)
