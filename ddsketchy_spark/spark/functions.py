@@ -23,6 +23,7 @@ from ..core.ddsketch import DDSketch
 from ..core.hll import HyperLogLog
 from ..core.kll import KLLSketch
 from ..core.tdigest import TDigest
+from ..core.theta import ThetaSketch
 
 
 @lru_cache(maxsize=1)
@@ -86,6 +87,30 @@ def sketch_udfs() -> dict:
             dtype="float64",
         )
 
+    def _theta_estimate(state):
+        return pd.Series(
+            [None if b is None else ThetaSketch.from_bytes(bytes(b)).estimate()
+             for b in state],
+            dtype="float64",
+        )
+
+    def _theta_binop(op):
+        def fn(a, b):
+            out = []
+            for x, y in zip(a, b):
+                if x is None or y is None:
+                    out.append(None)
+                    continue
+                sa = ThetaSketch.from_bytes(bytes(x))
+                sb = ThetaSketch.from_bytes(bytes(y))
+                out.append(op(sa, sb))
+            return pd.Series(out, dtype="float64")
+        return fn
+
+    _theta_inter = _theta_binop(lambda a, b: a.intersect(b).estimate())
+    _theta_anotb = _theta_binop(lambda a, b: a.a_not_b(b).estimate())
+    _theta_jac = _theta_binop(ThetaSketch.jaccard)
+
     return {
         "ddsketch_quantile": pandas_udf(_dds_quantile, "double"),
         "ddsketch_count": pandas_udf(_dds_count, "long"),
@@ -94,6 +119,10 @@ def sketch_udfs() -> dict:
         "hll_cardinality": pandas_udf(_hll_card, "long"),
         "tdigest_quantile": pandas_udf(_td_quantile, "double"),
         "kll_quantile": pandas_udf(_kll_quantile, "double"),
+        "theta_estimate": pandas_udf(_theta_estimate, "double"),
+        "theta_intersect_estimate": pandas_udf(_theta_inter, "double"),
+        "theta_a_not_b_estimate": pandas_udf(_theta_anotb, "double"),
+        "theta_jaccard": pandas_udf(_theta_jac, "double"),
     }
 
 

@@ -50,3 +50,36 @@ def test_sql_merge_pair(spark, token_table_path):
     for r in merged.collect():
         assert r["p50"] == whole[r["source"]]["p50"], r["source"]
         assert r["cnt"] == whole[r["source"]]["count"]
+
+
+def test_sql_theta_set_algebra(spark, token_table_path):
+    """SQL users can intersect/diff/jaccard per-source theta states without
+    leaving SparkSQL."""
+    from ddsketchy_spark.core.theta import ThetaSketch
+    from ddsketchy_spark.data.synth import read_tokens
+    from ddsketchy_spark.spark.companions import theta_state
+    from ddsketchy_spark.spark.functions import register_sql_functions
+
+    register_sql_functions(spark)
+    df = read_tokens(spark, token_table_path)
+    states = theta_state(df, "tokens", by=["source"], k=4096, engine="native")
+    states.createOrReplaceTempView("theta_by_source")
+    rows = spark.sql("""
+        SELECT a.source AS sa, b.source AS sb,
+               theta_estimate(a.state) AS est_a,
+               theta_intersect_estimate(a.state, b.state) AS inter,
+               theta_a_not_b_estimate(a.state, b.state) AS diff,
+               theta_jaccard(a.state, b.state) AS jac
+        FROM theta_by_source a JOIN theta_by_source b ON a.source < b.source
+    """).collect()
+    assert rows
+    local = {r["source"]: ThetaSketch.from_bytes(r["state"])
+             for r in states.collect()}
+    for r in rows:
+        a, b = local[r["sa"]], local[r["sb"]]
+        assert r["est_a"] == a.estimate()
+        assert r["inter"] == a.intersect(b).estimate()
+        assert r["diff"] == a.a_not_b(b).estimate()
+        assert r["jac"] == ThetaSketch.jaccard(a, b)
+        # sanity: inter + diff ~= est_a when thetas align
+        assert r["inter"] >= 0 and r["diff"] >= 0
