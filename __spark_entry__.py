@@ -599,6 +599,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return dedup_semantic(all_, threshold=0.9, method="exact").orderBy("vec_id")
 
     q["dedup_semantic_embeddings"] = dedup_semantic_embeddings
+
+    def bloom_semi_join_revenue(spark, sf):
+        """Bloom-filtered semi-join: lineitem probed against a Bloom of
+        finished orders' keys before the join shuffle. No false negatives
+        => identical result to the plain SQL join the oracle runs."""
+        from ddsketchy_spark.spark.joins import bloom_semi_join
+
+        lineitem = _load(spark, sf, "lineitem")
+        orders_f = (_load(spark, sf, "orders")
+                    .where(F.col("o_orderstatus") == "F")
+                    .select("o_orderkey"))
+        j = bloom_semi_join(lineitem, orders_f, ["l_orderkey", "o_orderkey"],
+                            fpr=0.01)
+        return (j.groupBy("l_returnflag")
+                .agg(F.count(F.lit(1)).alias("n_items"),
+                     F.round(F.sum("l_extendedprice"), 2).alias("gross"))
+                .orderBy("l_returnflag"))
+
+    q["bloom_semi_join_revenue"] = bloom_semi_join_revenue
     return q
 
 
@@ -812,6 +831,15 @@ SELECT b.vec_id, g.comp AS component, (g.comp = b.vec_id) AS keep
 FROM base b
 JOIN (SELECT node, min(comp) AS comp FROM r GROUP BY node) g ON g.node = b.vec_id
 ORDER BY b.vec_id
+"""
+    o["bloom_semi_join_revenue"] = """
+SELECT l.l_returnflag, count(*) AS n_items,
+       round(sum(l.l_extendedprice), 2) AS gross
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+WHERE o.o_orderstatus = 'F'
+GROUP BY l.l_returnflag
+ORDER BY l.l_returnflag
 """
     return o
 

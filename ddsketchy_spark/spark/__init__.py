@@ -12,6 +12,7 @@ from .companions import (
 )
 from .ddsketch_agg import DDSketchAggregator, ddsketch_quantiles, ddsketch_state
 from .functions import register_sql_functions
+from .joins import bloom_probe_column, bloom_semi_join
 from .session import get_spark
 
 __all__ = [
@@ -35,5 +36,7 @@ __all__ = [
     "misra_gries_state",
     "theta_state",
     "register_sql_functions",
+    "bloom_semi_join",
+    "bloom_probe_column",
     "get_spark",
 ]

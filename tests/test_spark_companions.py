@@ -196,3 +196,36 @@ def test_companions_partitioning_invariance(spark, token_table_path):
     t1 = tdigest_quantiles(df.repartition(7), "n_tok", quantiles=(0.5, 0.99))
     t2 = tdigest_quantiles(df.repartition(7), "n_tok", quantiles=(0.5, 0.99))
     assert t1 == t2  # same layout -> deterministic
+
+
+def test_bloom_semi_join_equals_plain_join(spark, sf001_dir):
+    """Bloom pre-filter must not change join results (no false negatives),
+    and must actually drop non-matching rows before the shuffle."""
+    from ddsketchy_spark.core.bloom import BloomFilter
+    from ddsketchy_spark.spark.companions import bloom_state
+    from ddsketchy_spark.spark.joins import bloom_probe_column, bloom_semi_join
+
+    lineitem = spark.read.parquet(f"{sf001_dir}/lineitem.parquet")
+    orders = (spark.read.parquet(f"{sf001_dir}/orders.parquet")
+              .where("o_orderstatus = 'F'").select("o_orderkey", "o_totalprice"))
+
+    plain = lineitem.join(orders, lineitem["l_orderkey"] == orders["o_orderkey"])
+    fast = bloom_semi_join(lineitem, orders, ["l_orderkey", "o_orderkey"],
+                           fpr=0.01)
+    assert fast.count() == plain.count()
+    assert (fast.agg(F.sum("l_quantity")).first()[0]
+            == plain.agg(F.sum("l_quantity")).first()[0])
+
+    # the probe itself: every matching key passes; selectivity is real
+    blob = bloom_state(orders, "o_orderkey")["state"]
+    probed = lineitem.withColumn("hit", bloom_probe_column(
+        lineitem, "l_orderkey", blob))
+    n_match = (lineitem.join(orders.select("o_orderkey").distinct(),
+                             lineitem["l_orderkey"] == F.col("o_orderkey"))
+               .count())
+    n_pass = probed.where("hit").count()
+    n_all = lineitem.count()
+    assert n_pass >= n_match               # no false negatives
+    bf = BloomFilter.from_bytes(blob)
+    assert n_pass - n_match <= max(50, 3 * bf.estimated_fpr() * n_all)
+    assert n_pass < n_all                  # it does filter something
