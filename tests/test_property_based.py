@@ -102,3 +102,50 @@ def test_quantiles_monotone(vals):
     ests = sk.quantiles(qs)
     for a, b in zip(ests, ests[1:]):
         assert a <= b + 1e-9
+
+
+# -- Theta/KMV properties ------------------------------------------------------
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(st.integers(-2**40, 2**40), max_size=400), st.integers(0, 399))
+def test_theta_split_merge_equals_whole(ids, cut):
+    from ddsketchy_spark.core.theta import ThetaSketch
+
+    cut = cut % (len(ids) or 1)
+    whole = ThetaSketch(k=64)
+    whole.add_batch(np.asarray(ids, dtype=np.int64))
+    a = ThetaSketch(k=64)
+    a.add_batch(np.asarray(ids[:cut], dtype=np.int64))
+    b = ThetaSketch(k=64)
+    b.add_batch(np.asarray(ids[cut:], dtype=np.int64))
+    a.merge(b)
+    assert a.theta == whole.theta
+    assert np.array_equal(a.entries, whole.entries)
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(st.integers(0, 500), max_size=300))
+def test_theta_exact_mode_is_exact(ids):
+    from ddsketchy_spark.core.theta import ThetaSketch
+
+    sk = ThetaSketch(k=1024)  # domain <= 501 < k: never trims
+    sk.add_batch(np.asarray(ids, dtype=np.int64))
+    assert not sk.is_estimation_mode()
+    assert sk.estimate() == len(set(ids))
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.sets(st.integers(0, 10_000), max_size=150),
+       st.sets(st.integers(0, 10_000), max_size=150))
+def test_theta_set_algebra_exact_mode(sa, sb):
+    from ddsketchy_spark.core.theta import ThetaSketch
+
+    a = ThetaSketch(k=1024)
+    a.add_batch(np.asarray(sorted(sa), dtype=np.int64))
+    b = ThetaSketch(k=1024)
+    b.add_batch(np.asarray(sorted(sb), dtype=np.int64))
+    assert a.intersect(b).estimate() == len(sa & sb)
+    assert a.a_not_b(b).estimate() == len(sa - sb)
+    u = ThetaSketch(k=1024).merge(a).merge(b)
+    assert u.estimate() == len(sa | sb)
