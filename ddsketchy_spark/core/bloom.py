@@ -57,13 +57,20 @@ class BloomFilter:
         mask = np.uint64(self.n_bits - 1)
         return np.stack([(h1 + np.uint64(i) * h2) & mask for i in range(self.n_hashes)])
 
-    @classmethod
-    def for_capacity(cls, n: int, fpr: float = 0.01, seed: int = 0) -> "BloomFilter":
-        """Size for ~n keys at the target false-positive rate."""
+    @staticmethod
+    def params_for_capacity(n: int, fpr: float = 0.01) -> tuple[int, int]:
+        """(n_bits, n_hashes) for ~n keys at the target false-positive rate
+        — arithmetic only, no bit-array allocation."""
         m = max(64, int(-n * math.log(fpr) / (math.log(2) ** 2)))
         m = 1 << (m - 1).bit_length()  # round up to power of two
         k = max(1, round(m / max(n, 1) * math.log(2)))
-        return cls(m, min(k, 16), seed)
+        return m, min(k, 16)
+
+    @classmethod
+    def for_capacity(cls, n: int, fpr: float = 0.01, seed: int = 0) -> "BloomFilter":
+        """Size for ~n keys at the target false-positive rate."""
+        m, k = cls.params_for_capacity(n, fpr)
+        return cls(m, k, seed)
 
     def add_batch(self, values) -> None:
         pos = self._positions(values)

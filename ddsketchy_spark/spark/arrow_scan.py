@@ -160,10 +160,7 @@ def build_partials_direct_checkpointed(
     from .checkpoint import _atomic_write
 
     os.makedirs(ckpt_dir, exist_ok=True)
-    by: list[str] = []
     needed = list(agg.value_cols)
-    in_arrow = _arrow_schema_for(path, needed)
-    state_schema = partial_arrow_schema(in_arrow, by)
     out_schema = StructType([StructField("state", BinaryType())])
 
     splits = parquet_splits(path)
@@ -171,29 +168,51 @@ def build_partials_direct_checkpointed(
         return spark.createDataFrame([], out_schema)
     sdf = spark.createDataFrame(splits, schema=SPLIT_SCHEMA).repartition(len(splits))
 
+    # lineage fingerprints: a resumed run must be reading the SAME bytes
+    # with the SAME aggregator config, else reuse silently yields wrong
+    # estimates. File identity = size+mtime (cheap, no data read on skip);
+    # agg identity = class + public config attrs.
+    agg_fp = hashlib.sha1(repr(
+        (type(agg).__name__,
+         sorted((k, repr(v)) for k, v in vars(agg).items()
+                if not k.startswith("_")))).encode()).hexdigest()[:16]
+
     def split_key(fname: str, rg: int) -> str:
         digest = hashlib.sha1(fname.encode()).hexdigest()[:10]
         return f"{os.path.basename(fname)}-{digest}-rg{rg:05d}"
 
     def build(batches):
+        open_file: tuple[str, pq.ParquetFile] | None = None
         for b in batches:
             for frow, rgrow in zip(b.column(0), b.column(1)):
                 fname, rg = frow.as_py(), rgrow.as_py()
+                stat = os.stat(fname)
+                file_id = [stat.st_size, int(stat.st_mtime_ns)]
                 key = split_key(fname, rg)
                 bpath = os.path.join(ckpt_dir, key + ".bin")
                 mpath = os.path.join(ckpt_dir, key + ".json")
                 if os.path.exists(mpath) and os.path.exists(bpath):
+                    manifest = json.load(open(mpath))
+                    if manifest.get("agg_fp") != agg_fp or \
+                            manifest.get("file_id") != file_id:
+                        raise RuntimeError(
+                            f"checkpoint lineage mismatch for split {key}: "
+                            f"input file or aggregator config changed since "
+                            f"the checkpoint; delete {ckpt_dir} to rebuild")
                     with open(bpath, "rb") as f:
                         blob = f.read()
                 else:
                     t0 = time.perf_counter()
+                    if open_file is None or open_file[0] != fname:
+                        open_file = (fname, pq.ParquetFile(fname))
                     st = agg.make()
-                    tbl = pq.ParquetFile(fname).read_row_group(rg, columns=needed)
+                    tbl = open_file[1].read_row_group(rg, columns=needed)
                     agg.add_arrow(st, tbl)
                     blob = agg.state_bytes(st)
                     _atomic_write(bpath, blob)
                     manifest = {
-                        "file": fname, "row_group": rg,
+                        "file": fname, "row_group": rg, "file_id": file_id,
+                        "agg_fp": agg_fp,
                         "rows": tbl.num_rows, "input_bytes": tbl.nbytes,
                         "blob_bytes": len(blob),
                         "build_seconds": round(time.perf_counter() - t0, 4),

@@ -6,7 +6,7 @@ side's keys. Rows with no possible match are dropped BEFORE the join
 shuffle — at typical selectivities that removes most of the shuffle bytes
 for the cost of one broadcast blob (n_bits/8 bytes) and a vectorized probe.
 
-No false negatives (Bloom guarantee) means the filtered join returns
+No false negatives (Bloom guarantee) means the filtered inner join returns
 exactly the same rows as the unfiltered one; false positives only cost
 wasted shuffle, bounded by the configured FPR.
 
@@ -26,32 +26,50 @@ from pyspark.sql import DataFrame, functions as F
 from ..core.bloom import BloomFilter
 from .companions import bloom_state
 
+_INTEGRAL_TYPES = ("tinyint", "smallint", "int", "bigint")
+
 
 def bloom_probe_column(df: DataFrame, key_col: str, blob: bytes):
     """Boolean column: key possibly-in the Bloom filter ``blob``.
 
-    Arrow-batched pandas UDF over a broadcast of the blob: one
-    deserialization per executor task, vectorized ``contains_batch`` per
-    batch. NULL keys probe False (they can never equi-join)."""
+    Arrow-batched pandas UDF over a broadcast of the blob; the filter is
+    deserialized once per worker (cached closure) and probed with
+    vectorized ``contains_batch`` per batch. NULL keys probe False (they
+    can never equi-join).
+
+    Integer keys: pandas coerces an int column to float64 whenever a batch
+    contains a NULL, which would silently hash the float bit pattern and
+    break the no-false-negative guarantee — the probe casts back to int64
+    (exact below 2^53) and raises on larger keys rather than miss rows."""
     import pandas as pd
 
     from pyspark.sql.functions import pandas_udf
 
     bc = df.sparkSession.sparkContext.broadcast(blob)
+    integral = dict(df.dtypes)[key_col] in _INTEGRAL_TYPES
+    _cache: dict = {}
 
     def _probe(keys):
         import numpy as np
 
-        bf = BloomFilter.from_bytes(bc.value)
+        bf = _cache.get("bf")
+        if bf is None:
+            bf = _cache["bf"] = BloomFilter.from_bytes(bc.value)
         mask = keys.notna().to_numpy()
         out = np.zeros(len(keys), dtype=bool)
         if mask.any():
-            vals = keys[mask].to_numpy()
-            out[mask] = bf.contains_batch(vals)
+            vals = keys[mask]
+            if integral and vals.dtype.kind == "f":
+                # NULL-in-batch coerced int64 -> float64; undo it exactly
+                if np.abs(vals.to_numpy()).max() >= 2.0**53:
+                    raise ValueError(
+                        "integer join key exceeds 2^53 after pandas "
+                        "null-coercion to float64; probe would be lossy")
+                vals = vals.astype("int64")
+            out[mask] = bf.contains_batch(vals.to_numpy())
         return pd.Series(out)
 
     probe = pandas_udf(_probe, "boolean")
-
     return probe(F.col(key_col))
 
 
@@ -62,15 +80,19 @@ def bloom_semi_join(
     fpr: float = 0.01,
     n_bits: int | None = None,
     n_hashes: int = 7,
-    how: str = "inner",
     blob: bytes | None = None,
 ) -> DataFrame:
-    """``large JOIN small ON on`` with a Bloom pre-filter on the large side.
+    """INNER ``large JOIN small ON on`` with a Bloom pre-filter on the
+    large side.
 
     ``on`` is a single key column name (string) or [large_col, small_col].
-    Result rows are identical to the plain join (no false negatives); the
-    Bloom pass drops non-matching large-side rows before the join shuffle.
-    Pass a prebuilt ``blob`` (e.g. from a checkpoint) to skip the build.
+    Result rows are identical to the plain inner join (no false
+    negatives); the Bloom pass drops non-matching large-side rows before
+    the join shuffle. Pass a prebuilt ``blob`` (e.g. from a checkpoint) to
+    skip the build.
+
+    Inner join only: outer/anti joins must keep (or return) the very rows
+    the pre-filter exists to drop, so pre-filtering would corrupt them.
     """
     if isinstance(on, str):
         lkey = skey = on
@@ -78,14 +100,13 @@ def bloom_semi_join(
         lkey, skey = on
     if blob is None:
         if n_bits is None:
-            n_keys = small.select(skey).distinct().count()
-            proto = BloomFilter.for_capacity(max(n_keys, 1), fpr)
-            n_bits, n_hashes = proto.n_bits, proto.n_hashes
+            # row count upper-bounds the distinct count; oversizing only
+            # lowers the FPR, and count() is one cheap shuffle-free job
+            n_keys = small.count()
+            n_bits, n_hashes = BloomFilter.params_for_capacity(max(n_keys, 1), fpr)
         out = bloom_state(small, skey, n_bits=n_bits, n_hashes=n_hashes,
                           engine="arrow")
         blob = out["state"]
     filtered = large.where(bloom_probe_column(large, lkey, blob))
-    cond = filtered[lkey] == small[skey] if lkey != skey else lkey
-    if isinstance(cond, str):
-        return filtered.join(small, on=cond, how=how)
-    return filtered.join(small, on=cond, how=how)
+    cond = lkey if lkey == skey else (filtered[lkey] == small[skey])
+    return filtered.join(small, on=cond, how="inner")

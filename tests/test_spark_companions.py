@@ -229,3 +229,45 @@ def test_bloom_semi_join_equals_plain_join(spark, sf001_dir):
     bf = BloomFilter.from_bytes(blob)
     assert n_pass - n_match <= max(50, 3 * bf.estimated_fpr() * n_all)
     assert n_pass < n_all                  # it does filter something
+
+
+def test_bloom_probe_null_coerced_int_keys(spark, sf001_dir):
+    """A NULL in an Arrow batch coerces the int key column to float64 in
+    pandas; the probe must cast back and keep the no-false-negative
+    guarantee (and the join must equal the plain inner join)."""
+    from ddsketchy_spark.spark.companions import bloom_state
+    from ddsketchy_spark.spark.joins import bloom_probe_column, bloom_semi_join
+
+    small = spark.createDataFrame([(i,) for i in range(0, 2000, 2)], "k long")
+    # large side: every key 0..3999 plus NULLs sprinkled in
+    rows = [(i if i % 7 else None,) for i in range(4000)]
+    large = spark.createDataFrame(rows, "k long").coalesce(1)  # one batch => coercion
+
+    blob = bloom_state(small, "k")["state"]
+    probed = large.withColumn("hit", bloom_probe_column(large, "k", blob))
+    hits = {r["k"] for r in probed.where("hit").collect()}
+    members = {i for i in range(0, 2000, 2) if i % 7}
+    assert members <= hits          # every true member passed (no false negs)
+    assert None not in hits
+
+    fast = bloom_semi_join(large, small, ["k", "k"])
+    plain = large.join(small, "k")
+    assert fast.count() == plain.count()
+
+
+def test_direct_checkpoint_lineage_mismatch(spark, token_table_path, tmp_path):
+    """Resuming with a different aggregator config must fail loudly, not
+    silently reuse stale blobs."""
+    import pytest as _pytest
+
+    from ddsketchy_spark.spark.arrow_scan import sketch_aggregate_parquet
+    from ddsketchy_spark.spark.ddsketch_agg import DDSketchAggregator
+
+    ckpt = str(tmp_path / "lineage_ckpt")
+    sketch_aggregate_parquet(spark, token_table_path,
+                             DDSketchAggregator("n_tok", alpha=0.01),
+                             ckpt_dir=ckpt)
+    with _pytest.raises(Exception, match="lineage mismatch"):
+        sketch_aggregate_parquet(spark, token_table_path,
+                                 DDSketchAggregator("n_tok", alpha=0.02),
+                                 ckpt_dir=ckpt)
