@@ -618,6 +618,49 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .orderBy("l_returnflag"))
 
     q["bloom_semi_join_revenue"] = bloom_semi_join_revenue
+
+    def profile_documents(spark, sf):
+        """One-call table profiler over documents: exact columns the oracle
+        recomputes; sketch estimates materialized as ok-booleans (HLL within
+        2% + 2; DDSketch p50 within alpha of the exact lower quantile)."""
+        from ddsketchy_spark.spark.profile import profile_table
+
+        df = _load(spark, sf, "documents")
+        prof = {r["column"]: r for r in profile_table(df).collect()}
+        exact_distinct = {c: df.select(c).distinct().count()
+                          for c in ("doc_id", "lang", "source", "n_chars")}
+        import math as _math
+
+        n = df.count()
+        exact_p50 = df.selectExpr(
+            f"sort_array(collect_list(CAST(n_chars AS DOUBLE)))[{(n - 1) // 2}] p50"
+        ).first()["p50"]
+        # sentinel -1.0 / 'n/a' instead of NULL: null booleans and NaN
+        # doubles sort non-deterministically in order-insensitive
+        # per-column comparisons
+        rows = []
+        for c in ("doc_id", "text", "lang", "source", "n_chars"):
+            r = prof[c]
+            hll_ok = "n/a"
+            if r["distinct_est"] is not None and c != "text":
+                e = exact_distinct[c]
+                hll_ok = "ok" if abs(r["distinct_est"] - e) <= 0.02 * e + 2 else "bad"
+            p50_ok = "n/a"
+            if c == "n_chars":
+                p50_ok = ("ok" if abs(r["p50"] - exact_p50) <= ALPHA * exact_p50
+                          else "bad")
+            avg_len = (-1.0 if r["avg_len"] is None
+                       else float(_math.floor(r["avg_len"] * 1e6 + 0.5) / 1e6))
+            mn = -1.0 if r["min"] is None else r["min"]
+            mx = -1.0 if r["max"] is None else r["max"]
+            rows.append((c, r["count"], r["nulls"], mn, mx,
+                         avg_len, hll_ok, p50_ok))
+        return spark.createDataFrame(
+            rows, "column string, cnt long, nulls long, min double, "
+                  "max double, avg_len double, hll_ok string, p50_ok string"
+        ).orderBy("column")
+
+    q["profile_documents_table"] = profile_documents
     return q
 
 
@@ -840,6 +883,31 @@ JOIN orders o ON l.l_orderkey = o.o_orderkey
 WHERE o.o_orderstatus = 'F'
 GROUP BY l.l_returnflag
 ORDER BY l.l_returnflag
+"""
+    o["profile_documents_table"] = """
+WITH stats AS (
+  SELECT 'doc_id' AS "column", count(doc_id) AS cnt,
+         count(*) - count(doc_id) AS nulls,
+         round(CAST(min(doc_id) AS DOUBLE), 6) AS min,
+         round(CAST(max(doc_id) AS DOUBLE), 6) AS max,
+         -1.0 AS avg_len, 'ok' AS hll_ok, 'n/a' AS p50_ok
+  FROM documents
+  UNION ALL
+  SELECT 'lang', count(lang), count(*) - count(lang), -1.0, -1.0,
+         round(avg(length(lang)), 6), 'ok', 'n/a' FROM documents
+  UNION ALL
+  SELECT 'n_chars', count(n_chars), count(*) - count(n_chars),
+         round(CAST(min(n_chars) AS DOUBLE), 6),
+         round(CAST(max(n_chars) AS DOUBLE), 6),
+         -1.0, 'ok', 'ok' FROM documents
+  UNION ALL
+  SELECT 'source', count(source), count(*) - count(source), -1.0, -1.0,
+         round(avg(length(source)), 6), 'ok', 'n/a' FROM documents
+  UNION ALL
+  SELECT 'text', count(text), count(*) - count(text), -1.0, -1.0,
+         round(avg(length(text)), 6), 'n/a', 'n/a' FROM documents
+)
+SELECT * FROM stats ORDER BY "column"
 """
     return o
 

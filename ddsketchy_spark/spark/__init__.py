@@ -13,6 +13,7 @@ from .companions import (
 from .ddsketch_agg import DDSketchAggregator, ddsketch_quantiles, ddsketch_state
 from .functions import register_sql_functions
 from .joins import bloom_probe_column, bloom_semi_join
+from .profile import profile_table
 from .session import get_spark
 
 __all__ = [
@@ -37,6 +38,7 @@ __all__ = [
     "theta_state",
     "register_sql_functions",
     "bloom_semi_join",
+    "profile_table",
     "bloom_probe_column",
     "get_spark",
 ]

@@ -1,0 +1,124 @@
+"""One-call table profiling: per-column sketch summaries.
+
+``profile_table(df)`` answers "what does this table look like" at any
+scale: one exact-stats pass (count/nulls/min/max/mean for every column in
+a single job — Catalyst fuses all the aggregates), plus per-column sketch
+passes that each shuffle only bucket/register rows:
+
+- numeric columns: DDSketch p50/p90/p99 (native engine, whole-stage
+  codegen) + HLL distinct estimate
+- string columns: HLL distinct estimate + exact avg length
+- array<numeric> columns: element-level quantiles + element HLL (explode
+  stays inside the JVM; no Python, no row shuffle)
+
+Output is long-format — one row per column — so it writes/joins like any
+other table. At 10^12 rows every pass is scan-bound with KB-scale state.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from .companions import hll_distinct
+from .ddsketch_agg import ddsketch_quantiles
+
+PROFILE_SCHEMA = StructType([
+    StructField("column", StringType()),
+    StructField("dtype", StringType()),
+    StructField("count", LongType()),
+    StructField("nulls", LongType()),
+    StructField("distinct_est", LongType()),
+    StructField("min", DoubleType()),
+    StructField("max", DoubleType()),
+    StructField("mean", DoubleType()),
+    StructField("avg_len", DoubleType()),
+    StructField("p50", DoubleType()),
+    StructField("p90", DoubleType()),
+    StructField("p99", DoubleType()),
+])
+
+_NUMERIC = ("tinyint", "smallint", "int", "bigint", "float", "double")
+
+
+def _classify(dtype: str) -> str:
+    if dtype in _NUMERIC or dtype.startswith("decimal"):
+        return "numeric"
+    if dtype == "string":
+        return "string"
+    if dtype.startswith("array<") and dtype[6:-1] in _NUMERIC:
+        return "numeric_array"
+    return "other"
+
+
+def profile_table(
+    df: DataFrame,
+    columns: Sequence[str] | None = None,
+    alpha: float = 0.01,
+    hll_p: int = 14,
+    quantiles: tuple[float, ...] = (0.5, 0.9, 0.99),
+) -> DataFrame:
+    """One row per profiled column (see PROFILE_SCHEMA). Columns of
+    unsupported types are reported with exact count/nulls only."""
+    dtypes = dict(df.dtypes)
+    cols = list(columns) if columns else list(dtypes)
+    n_total = df.count()
+
+    # ONE exact pass for every column: Catalyst computes all of these
+    # aggregates in a single scan
+    exprs = []
+    for c in cols:
+        kind = _classify(dtypes[c])
+        exprs.append(F.count(c).alias(f"{c}__cnt"))
+        if kind == "numeric":
+            x = F.col(c).cast("double")
+            exprs += [F.min(x).alias(f"{c}__min"), F.max(x).alias(f"{c}__max"),
+                      F.avg(x).alias(f"{c}__mean")]
+        elif kind == "string":
+            exprs.append(F.avg(F.length(c)).alias(f"{c}__avglen"))
+        elif kind == "numeric_array":
+            exprs.append(F.avg(F.size(c)).alias(f"{c}__avglen"))
+    exact = df.agg(*exprs).first()
+
+    qlabels = {0.5: "p50", 0.9: "p90", 0.99: "p99"}
+    rows = []
+    for c in cols:
+        kind = _classify(dtypes[c])
+        row = {f.name: None for f in PROFILE_SCHEMA.fields}
+        row["column"] = c
+        row["dtype"] = dtypes[c]
+        row["count"] = exact[f"{c}__cnt"]
+        row["nulls"] = n_total - exact[f"{c}__cnt"]
+        if kind in ("numeric", "string", "numeric_array") and row["count"] > 0:
+            row["distinct_est"] = int(round(
+                hll_distinct(df, c, p=hll_p, engine="native")["distinct_est"]))
+        if kind == "numeric":
+            row["min"] = _f(exact[f"{c}__min"])
+            row["max"] = _f(exact[f"{c}__max"])
+            row["mean"] = _f(exact[f"{c}__mean"])
+        elif kind in ("string", "numeric_array"):
+            row["avg_len"] = _f(exact[f"{c}__avglen"])
+        if kind in ("numeric", "numeric_array") and row["count"] > 0:
+            est = ddsketch_quantiles(df, c, alpha=alpha, quantiles=quantiles,
+                                     engine="native")
+            for q in quantiles:
+                lbl = qlabels.get(q)
+                if lbl:
+                    from .ddsketch_agg import quantile_label
+
+                    row[lbl] = _f(est[quantile_label(q)])
+        rows.append(tuple(row[f.name] for f in PROFILE_SCHEMA.fields))
+
+    return df.sparkSession.createDataFrame(rows, PROFILE_SCHEMA)
+
+
+def _f(v):
+    return None if v is None else float(v)
