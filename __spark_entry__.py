@@ -661,6 +661,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ).orderBy("column")
 
     q["profile_documents_table"] = profile_documents
+
+    def tdigest_direct_scan(spark, sf):
+        """pyarrow-direct row-group scan driving a t-digest (the engine for
+        sketches SQL cannot express): workers read l_quantity straight from
+        parquet, bypassing the JVM Arrow writer. Exact count cross-checks
+        SQL; rank accuracy is materialized as a boolean."""
+        import numpy as _np
+
+        from ddsketchy_spark.spark.arrow_scan import sketch_aggregate_parquet
+        from ddsketchy_spark.spark.companions import TDigestAggregator
+        from ddsketchy_spark.spark.ddsketch_agg import quantile_label as _ql
+
+        qs = (0.5, 0.9, 0.99)
+        agg = TDigestAggregator("l_quantity", delta=200.0, quantiles=qs)
+        out = sketch_aggregate_parquet(spark, f"{sf}/lineitem.parquet", agg)
+        df = _load(spark, sf, "lineitem")
+        vals = _np.sort(_np.asarray(
+            [r["l_quantity"] for r in df.select("l_quantity").collect()],
+            dtype=float))
+
+        def rank_ok(est, q, tol=0.02):
+            r = float(_np.searchsorted(vals, est) / len(vals))
+            return bool(abs(r - q) <= tol)
+
+        row = (int(len(vals)),
+               bool(all(rank_ok(out[_ql(q)], q) for q in qs)))
+        return spark.createDataFrame([row], "cnt long, tdigest_ok boolean")
+
+    q["tdigest_direct_scan_lineitem"] = tdigest_direct_scan
     return q
 
 
@@ -908,6 +937,9 @@ WITH stats AS (
          round(avg(length(text)), 6), 'n/a', 'n/a' FROM documents
 )
 SELECT * FROM stats ORDER BY "column"
+"""
+    o["tdigest_direct_scan_lineitem"] = """
+SELECT count(*) AS cnt, TRUE AS tdigest_ok FROM lineitem
 """
     return o
 
