@@ -149,6 +149,52 @@ def stream_ddsketch_by_key(
     )
 
 
+def stream_sketch_by_key(
+    stream_df: DataFrame,
+    agg: SketchAggregator,
+    key_cols: list[str],
+):
+    """Per-key running sketches for ANY aggregator (HLL, theta, t-digest,
+    KLL, CMS, Bloom, DDSketch) via ``applyInPandasWithState``: group state
+    is the serialized blob; each micro-batch folds its rows in through the
+    aggregator's vectorized ``add_arrow`` and emits the key's refreshed
+    ``finalize()`` outputs (Update mode). Sketch state is bounded, so this
+    is safe for unbounded keys x unbounded time."""
+    import pandas as pd
+    import pyarrow as pa
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+    from pyspark.sql.types import BinaryType, StructField, StructType
+
+    key_fields = [stream_df.schema[k] for k in key_cols]
+    out_schema = StructType(key_fields + agg.output_fields())
+    state_schema = StructType([StructField("blob", BinaryType())])
+
+    def update(key, pdf_iter, state):
+        if state.exists:
+            blob = bytes(state.get[0])
+        else:
+            blob = agg.state_bytes(agg.make())
+        sk = None
+        for pdf in pdf_iter:
+            if sk is None:
+                sk = agg.make()
+            tbl = pa.Table.from_pandas(pdf[list(agg.value_cols)],
+                                       preserve_index=False)
+            agg.add_arrow(sk, tbl)
+        if sk is not None:
+            blob = agg.merge_blobs([blob, agg.state_bytes(sk)])
+        state.update((bytearray(blob),))
+        row = {k: [v] for k, v in zip(key_cols, key)}
+        for name, val in agg.finalize(blob).items():
+            row[name] = [val]
+        yield pd.DataFrame(row)
+
+    return stream_df.groupBy(*key_cols).applyInPandasWithState(
+        update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )
+
+
 def stream_ddsketch_windowed(
     stream_df: DataFrame,
     value_col: str,

@@ -222,3 +222,33 @@ def test_streaming_windowed_watermark(spark, tmp_path):
         assert r["count"] == ref["count"], (minute, src)
         assert r["p50"] == ref["p50"], (minute, src)
         assert r["p99"] == ref["p99"], (minute, src)
+
+
+def test_streaming_generic_sketch_by_key(spark, token_table_path, tmp_path):
+    """The generic stateful operator works for non-DDSketch aggregators:
+    per-source streaming HLL converges to the batch distinct count."""
+    from ddsketchy_spark.spark.companions import HLLAggregator
+    from ddsketchy_spark.streaming import stream_sketch_by_key
+
+    schema = spark.read.parquet(token_table_path).schema
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", "2")
+              .parquet(token_table_path))
+    agg = HLLAggregator("doc_id", p=14)
+    out = stream_sketch_by_key(stream, agg, ["source"])
+    query = (out.writeStream.format("memory").queryName("ghll")
+             .outputMode("update")
+             .option("checkpointLocation", str(tmp_path / "ghllck"))
+             .trigger(availableNow=True).start())
+    query.awaitTermination(120)
+    rows = spark.sql(
+        "SELECT source, distinct_est FROM ("
+        "  SELECT *, row_number() OVER (PARTITION BY source ORDER BY distinct_est DESC) rn"
+        "  FROM ghll) WHERE rn = 1").collect()
+    got = {r["source"]: r["distinct_est"] for r in rows}
+    df = spark.read.parquet(token_table_path)
+    exact = {r["source"]: r["n"] for r in
+             df.groupBy("source").agg(F.countDistinct("doc_id").alias("n")).collect()}
+    assert got.keys() == exact.keys()
+    for s in got:
+        assert abs(got[s] - exact[s]) <= 0.05 * exact[s] + 2, s
