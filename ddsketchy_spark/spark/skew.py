@@ -60,3 +60,19 @@ def suggest_merge_rounds(n_partitions: int, n_groups: int,
         return 1, 64
     fanout = max(2, (n_partitions + max_blobs_per_task - 1) // max_blobs_per_task)
     return 2, fanout
+
+
+def deterministic_sample(df: DataFrame, n: int, key_col: str,
+                         salt: int = 0) -> DataFrame:
+    """Reproducible uniform sample of ~n rows: the n smallest
+    xxhash64(key, salt) values. Unlike ``df.sample()`` the result is a pure
+    function of the DATA (same rows on any partitioning, any cluster size,
+    any day), so samples taken by different jobs agree — and it compiles to
+    TakeOrdered (per-partition top-n, no global sort).
+
+    Rows with duplicate keys hash identically: for row-level sampling use a
+    unique id column. NULL keys are excluded."""
+    h = F.xxhash64(F.col(key_col), F.lit(salt))
+    return (df.where(F.col(key_col).isNotNull())
+            .withColumn("_h", h.bitwiseXOR(F.lit(-(1 << 63))))
+            .orderBy("_h").limit(n).drop("_h"))

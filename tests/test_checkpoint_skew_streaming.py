@@ -252,3 +252,25 @@ def test_streaming_generic_sketch_by_key(spark, token_table_path, tmp_path):
     assert got.keys() == exact.keys()
     for s in got:
         assert abs(got[s] - exact[s]) <= 0.05 * exact[s] + 2, s
+
+
+def test_deterministic_sample(spark, token_table_path):
+    from ddsketchy_spark.spark.skew import deterministic_sample
+
+    df = spark.read.parquet(token_table_path)
+    s1 = {r["doc_id"] for r in
+          deterministic_sample(df, 100, "doc_id").select("doc_id").collect()}
+    # same sample regardless of partitioning
+    s2 = {r["doc_id"] for r in
+          deterministic_sample(df.repartition(17), 100, "doc_id")
+          .select("doc_id").collect()}
+    assert s1 == s2 and len(s1) == 100
+    # different salt -> different (mostly disjoint) sample
+    s3 = {r["doc_id"] for r in
+          deterministic_sample(df, 100, "doc_id", salt=1)
+          .select("doc_id").collect()}
+    assert len(s1 & s3) < 20
+    # plan is TakeOrdered, not a global sort
+    plan = (deterministic_sample(df, 100, "doc_id")
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "TakeOrderedAndProject" in plan
