@@ -682,7 +682,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             dtype=float))
 
         def rank_ok(est, q, tol=0.02):
-            r = float(_np.searchsorted(vals, est) / len(vals))
+            # midpoint of the tie block: side='left' alone would report the
+            # block's lower edge for an estimate landing on a tied value
+            lo = float(_np.searchsorted(vals, est, side="left"))
+            hi = float(_np.searchsorted(vals, est, side="right"))
+            r = (lo + hi) / 2.0 / len(vals)
             return bool(abs(r - q) <= tol)
 
         row = (int(len(vals)),

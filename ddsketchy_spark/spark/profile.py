@@ -29,22 +29,26 @@ from pyspark.sql.types import (
 )
 
 from .companions import hll_distinct
-from .ddsketch_agg import ddsketch_quantiles
+from .ddsketch_agg import ddsketch_quantiles, quantile_label
 
-PROFILE_SCHEMA = StructType([
-    StructField("column", StringType()),
-    StructField("dtype", StringType()),
-    StructField("count", LongType()),
-    StructField("nulls", LongType()),
-    StructField("distinct_est", LongType()),
-    StructField("min", DoubleType()),
-    StructField("max", DoubleType()),
-    StructField("mean", DoubleType()),
-    StructField("avg_len", DoubleType()),
-    StructField("p50", DoubleType()),
-    StructField("p90", DoubleType()),
-    StructField("p99", DoubleType()),
-])
+
+def profile_schema(quantiles: tuple[float, ...] = (0.5, 0.9, 0.99)) -> StructType:
+    """Output schema: fixed stats columns + one pXX column per requested
+    quantile."""
+    return StructType([
+        StructField("column", StringType()),
+        StructField("dtype", StringType()),
+        StructField("count", LongType()),
+        StructField("nulls", LongType()),
+        StructField("distinct_est", LongType()),
+        StructField("min", DoubleType()),
+        StructField("max", DoubleType()),
+        StructField("mean", DoubleType()),
+        StructField("avg_len", DoubleType()),
+    ] + [StructField(quantile_label(q), DoubleType()) for q in quantiles])
+
+
+PROFILE_SCHEMA = profile_schema()
 
 _NUMERIC = ("tinyint", "smallint", "int", "bigint", "float", "double")
 
@@ -66,15 +70,15 @@ def profile_table(
     hll_p: int = 14,
     quantiles: tuple[float, ...] = (0.5, 0.9, 0.99),
 ) -> DataFrame:
-    """One row per profiled column (see PROFILE_SCHEMA). Columns of
-    unsupported types are reported with exact count/nulls only."""
+    """One row per profiled column (see ``profile_schema(quantiles)``).
+    Columns of unsupported types are reported with exact count/nulls only."""
     dtypes = dict(df.dtypes)
     cols = list(columns) if columns else list(dtypes)
-    n_total = df.count()
+    schema = profile_schema(quantiles)
 
     # ONE exact pass for every column: Catalyst computes all of these
-    # aggregates in a single scan
-    exprs = []
+    # aggregates (including the total row count) in a single scan
+    exprs = [F.count(F.lit(1)).alias("__total")]
     for c in cols:
         kind = _classify(dtypes[c])
         exprs.append(F.count(c).alias(f"{c}__cnt"))
@@ -87,12 +91,12 @@ def profile_table(
         elif kind == "numeric_array":
             exprs.append(F.avg(F.size(c)).alias(f"{c}__avglen"))
     exact = df.agg(*exprs).first()
+    n_total = exact["__total"]
 
-    qlabels = {0.5: "p50", 0.9: "p90", 0.99: "p99"}
     rows = []
     for c in cols:
         kind = _classify(dtypes[c])
-        row = {f.name: None for f in PROFILE_SCHEMA.fields}
+        row = {f.name: None for f in schema.fields}
         row["column"] = c
         row["dtype"] = dtypes[c]
         row["count"] = exact[f"{c}__cnt"]
@@ -110,14 +114,10 @@ def profile_table(
             est = ddsketch_quantiles(df, c, alpha=alpha, quantiles=quantiles,
                                      engine="native")
             for q in quantiles:
-                lbl = qlabels.get(q)
-                if lbl:
-                    from .ddsketch_agg import quantile_label
+                row[quantile_label(q)] = _f(est[quantile_label(q)])
+        rows.append(tuple(row[f.name] for f in schema.fields))
 
-                    row[lbl] = _f(est[quantile_label(q)])
-        rows.append(tuple(row[f.name] for f in PROFILE_SCHEMA.fields))
-
-    return df.sparkSession.createDataFrame(rows, PROFILE_SCHEMA)
+    return df.sparkSession.createDataFrame(rows, schema)
 
 
 def _f(v):

@@ -72,7 +72,7 @@ def deterministic_sample(df: DataFrame, n: int, key_col: str,
 
     Rows with duplicate keys hash identically: for row-level sampling use a
     unique id column. NULL keys are excluded."""
-    h = F.xxhash64(F.col(key_col), F.lit(salt))
-    return (df.where(F.col(key_col).isNotNull())
-            .withColumn("_h", h.bitwiseXOR(F.lit(-(1 << 63))))
-            .orderBy("_h").limit(n).drop("_h"))
+    # order by the expression directly (TakeOrdered still applies) — a
+    # temp column could clobber a user column of the same name
+    h = F.xxhash64(F.col(key_col), F.lit(salt)).bitwiseXOR(F.lit(-(1 << 63)))
+    return df.where(F.col(key_col).isNotNull()).orderBy(h.asc()).limit(n)

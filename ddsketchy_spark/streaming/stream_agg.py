@@ -163,12 +163,20 @@ def stream_sketch_by_key(
     import pandas as pd
     import pyarrow as pa
 
+    from pyspark.sql.pandas.types import to_arrow_schema
     from pyspark.sql.streaming.state import GroupStateTimeout
     from pyspark.sql.types import BinaryType, StructField, StructType
 
     key_fields = [stream_df.schema[k] for k in key_cols]
     out_schema = StructType(key_fields + agg.output_fields())
     state_schema = StructType([StructField("blob", BinaryType())])
+    # declared Arrow types for the value columns: pandas coerces an int
+    # column to float64 whenever a micro-batch contains a NULL, and a
+    # float-hashed key would land in different registers than the same key
+    # int-hashed in a null-free batch (silent HLL/CMS/Bloom/theta
+    # corruption). Arrays are rebuilt at the declared type, NaN -> null.
+    in_arrow = to_arrow_schema(
+        StructType([stream_df.schema[c] for c in agg.value_cols]))
 
     def update(key, pdf_iter, state):
         if state.exists:
@@ -179,8 +187,9 @@ def stream_sketch_by_key(
         for pdf in pdf_iter:
             if sk is None:
                 sk = agg.make()
-            tbl = pa.Table.from_pandas(pdf[list(agg.value_cols)],
-                                       preserve_index=False)
+            arrays = [pa.Array.from_pandas(pdf[c], type=in_arrow.field(c).type)
+                      for c in agg.value_cols]
+            tbl = pa.Table.from_arrays(arrays, schema=in_arrow)
             agg.add_arrow(sk, tbl)
         if sk is not None:
             blob = agg.merge_blobs([blob, agg.state_bytes(sk)])

@@ -274,3 +274,34 @@ def test_deterministic_sample(spark, token_table_path):
     plan = (deterministic_sample(df, 100, "doc_id")
             ._jdf.queryExecution().executedPlan().toString())
     assert "TakeOrderedAndProject" in plan
+
+
+def test_streaming_generic_sketch_null_keys(spark, tmp_path):
+    """A NULL in a micro-batch coerces int keys to float64 in pandas; the
+    generic stateful operator must hash them identically to null-free
+    batches (same HLL registers), or distinct counts silently inflate."""
+    from ddsketchy_spark.core.hll import HyperLogLog
+    from ddsketchy_spark.spark.companions import HLLAggregator
+    from ddsketchy_spark.streaming import stream_sketch_by_key
+
+    in_dir = tmp_path / "nullkeys"
+    in_dir.mkdir()
+    rows = [("g", i % 500 if i % 11 else None) for i in range(5000)]
+    spark.createDataFrame(rows, "grp string, uid long") \
+        .coalesce(1).write.parquet(str(in_dir / "f1"))
+
+    stream = (spark.readStream.schema("grp string, uid long")
+              .parquet(str(in_dir / "*")))
+    out = stream_sketch_by_key(stream, HLLAggregator("uid", p=12), ["grp"])
+    q = (out.writeStream.format("memory").queryName("nullhll")
+         .outputMode("update")
+         .option("checkpointLocation", str(tmp_path / "nhck"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = spark.sql("SELECT max(distinct_est) d FROM nullhll").first()["d"]
+    # batch-build the same non-null uids locally: estimates must MATCH
+    local = HyperLogLog(12)
+    import numpy as np
+    local.add_batch(np.array([u for _, u in rows if u is not None],
+                             dtype=np.int64))
+    assert got == local.cardinality()

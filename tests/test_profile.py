@@ -38,11 +38,7 @@ def test_profile_distinct_and_quantiles(prof):
     assert abs(p["doc_id"]["distinct_est"] - 20_000) <= 0.02 * 20_000
     # n_tok p50 within alpha of exact lower quantile
     import numpy as np
-    import pyarrow.parquet as pq2
 
-    col = np.sort(pq2.read_table(df.inputFiles()[0].replace("file:", ""))
-                  .column("n_tok").to_numpy())
-    # use the full table via spark for exactness instead
     vals = np.sort(np.array(
         [r["n_tok"] for r in df.select("n_tok").collect()], dtype=float))
     exact_p50 = vals[(len(vals) - 1) // 2]
