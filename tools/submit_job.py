@@ -48,7 +48,8 @@ def main() -> None:
     ap.add_argument("--max-bins", type=int, default=4096)
     ap.add_argument("--quantiles", default="0.5,0.9,0.99,0.999")
     ap.add_argument("--checkpoint", default=None)
-    ap.add_argument("--engine", default="native", choices=["native", "arrow"])
+    ap.add_argument("--engine", default="native",
+                    choices=["native", "arrow", "direct"])
     ap.add_argument("--master", default=None)
     args = ap.parse_args()
 
@@ -67,8 +68,24 @@ def main() -> None:
 
     qs = tuple(float(x) for x in args.quantiles.split(","))
     spark = get_spark("ddsketchy-job", master=args.master)
-    df = read_tokens(spark, args.input)
     t0 = time.perf_counter()
+
+    if args.engine == "direct":
+        # pyarrow-direct row-group scan, optional split-level resume
+        if args.by:
+            ap.error("--engine direct supports global aggregation only")
+        from ddsketchy_spark.spark.arrow_scan import sketch_aggregate_parquet
+
+        agg = DDSketchAggregator(args.value_col, alpha=args.alpha,
+                                 max_bins=args.max_bins, quantiles=qs)
+        out = sketch_aggregate_parquet(spark, args.input, agg,
+                                       ckpt_dir=args.checkpoint)
+        out["seconds"] = round(time.perf_counter() - t0, 3)
+        print(json.dumps({"scope": "global", "engine": "direct", **out}))
+        spark.stop()
+        return
+
+    df = read_tokens(spark, args.input)
 
     if args.checkpoint and not args.by:
         from ddsketchy_spark.spark.checkpoint import (
