@@ -12,6 +12,7 @@ import math
 import numpy as np
 import pyarrow.parquet as pq
 import pytest
+from pyspark.sql import functions as F
 
 from ddsketchy_spark import DDSketch
 from ddsketchy_spark.data.synth import read_tokens
@@ -243,3 +244,41 @@ def test_grouped_state_flush_cap(spark, token_table_path):
         assert a[s]["count"] == b[s]["count"], s
         for q in QS:
             assert a[s][quantile_label(q)] == b[s][quantile_label(q)], (s, q)
+
+
+def test_grouped_vectorized_matches_state_path(spark, token_table_path):
+    """The per-partition vectorized assembly must match the per-group
+    applyInPandas path (keep_state=True) bit-for-bit on quantiles,
+    including mixed-sign values and tiny max_bins (collapse emulation)."""
+    from ddsketchy_spark.data.synth import read_tokens
+
+    df = read_tokens(spark, token_table_path).withColumn(
+        "v", F.col("n_tok") - 650.0)  # mixed sign + zero-ish region
+    for mb in (4096, 8):
+        fast = {r["source"]: r for r in ddsketch_quantiles(
+            df, "v", by=["source"], max_bins=mb, quantiles=QS).collect()}
+        slow = {r["source"]: r for r in ddsketch_quantiles(
+            df, "v", by=["source"], max_bins=mb, quantiles=QS,
+            keep_state=True).collect()}
+        assert fast.keys() == slow.keys()
+        for s in fast:
+            assert fast[s]["count"] == slow[s]["count"], (mb, s)
+            for q in QS:
+                assert fast[s][quantile_label(q)] == slow[s][quantile_label(q)], (mb, s, q)
+            assert fast[s]["min"] == slow[s]["min"], (mb, s)
+            assert fast[s]["max"] == slow[s]["max"], (mb, s)
+            assert fast[s]["mean"] == pytest.approx(slow[s]["mean"], rel=1e-12)
+
+
+def test_grouped_vectorized_high_cardinality(spark):
+    """Sanity at 10k group keys: counts exact, quantiles within alpha."""
+    df = (spark.range(200_000)
+          .withColumn("k", (F.col("id") % 10_000).cast("long"))
+          .withColumn("v", (F.col("id") % 97).cast("double") + 1.0)
+          .select("k", "v"))
+    out = ddsketch_quantiles(df, "v", by=["k"], quantiles=(0.5,))
+    rows = out.collect()
+    assert len(rows) == 10_000
+    assert all(r["count"] == 20 for r in rows)
+    for r in rows[:50]:
+        assert r["min"] >= 1.0 * (1 - 0.01) and r["max"] <= 97.0 * (1 + 0.01)
