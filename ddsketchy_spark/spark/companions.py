@@ -289,6 +289,60 @@ def _hll_from_rows(idx: np.ndarray, minu: np.ndarray, p: int) -> HyperLogLog:
     return h
 
 
+def _hll_grouped_vectorized(kc: DataFrame, by: Sequence[str], p: int) -> DataFrame:
+    """Grouped HLL assembly with ONE Python call per Arrow partition
+    (applyInPandas costs ~150us per group — dominates at 10^5+ keys).
+    Register rows are hash-repartitioned by group key; a reused dense
+    register buffer walks each key slice, so estimates are bit-identical
+    to the per-group path."""
+    import pyarrow as pa
+
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from .agg import _group_ids, to_arrow_schema
+
+    by = list(by)
+    key_fields = [f for f in kc.schema.fields if f.name in by]
+    out_schema = StructType(key_fields + [StructField("distinct_est", LongType())])
+    in_arrow = to_arrow_schema(StructType(key_fields))
+
+    def assemble(batches):
+        tbls = [pa.Table.from_batches([b]) for b in batches]
+        if not tbls:
+            return
+        tbl = pa.concat_tables(tbls)
+        if tbl.num_rows == 0:
+            return
+        gids, uniques = _group_ids(tbl, by)
+        idx = tbl.column("_idx").to_numpy().astype(np.int64)
+        minu = tbl.column("_minu").to_numpy()
+        order = np.argsort(gids, kind="stable")
+        bounds = np.searchsorted(gids[order], np.arange(len(uniques) + 1))
+        h = HyperLogLog(p, 0, "spark")  # reused register buffer
+        key_cols: list[list] = [[] for _ in by]
+        ests: list[int] = []
+        for g, krow in enumerate(uniques):
+            sl = order[bounds[g]:bounds[g + 1]]
+            h.registers.fill(0)
+            rest = (np.asarray(minu[sl], dtype=np.int64)
+                    ^ np.int64(-(1 << 63))).view(np.uint64)
+            from ..core.hashing import bit_length_u64
+
+            rho = np.minimum(64 - bit_length_u64(rest) + 1,
+                             64 - p + 1).astype(np.uint8)
+            np.maximum.at(h.registers, idx[sl], rho)
+            ests.append(h.cardinality())
+            for j in range(len(by)):
+                key_cols[j].append(krow[j])
+        arrays = [pa.array(key_cols[j], type=in_arrow.field(k).type)
+                  for j, k in enumerate(by)]
+        arrays.append(pa.array(ests, type=pa.int64()))
+        yield pa.RecordBatch.from_arrays(arrays, names=by + ["distinct_est"])
+
+    n_parts = kc.sparkSession.sparkContext.defaultParallelism
+    return kc.repartition(n_parts, *by).mapInArrow(assemble, out_schema)
+
+
 def hll_distinct(df: DataFrame, value_col: str, by: Sequence[str] | None = None,
                  p: int = 14, seed: int = 0, engine: str = "arrow",
                  hash_kind: str = "generic", keep_state: bool = False, **kw):
@@ -308,6 +362,8 @@ def hll_distinct(df: DataFrame, value_col: str, by: Sequence[str] | None = None,
             if keep_state:
                 out["state"] = h.to_bytes()
             return out
+        if not keep_state:
+            return _hll_grouped_vectorized(kc, by, p)
         from pyspark.sql.types import BinaryType, LongType, StructField, StructType
 
         key_fields = [f for f in kc.schema.fields if f.name in by]

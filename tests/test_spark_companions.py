@@ -271,3 +271,31 @@ def test_direct_checkpoint_lineage_mismatch(spark, token_table_path, tmp_path):
         sketch_aggregate_parquet(spark, token_table_path,
                                  DDSketchAggregator("n_tok", alpha=0.02),
                                  ckpt_dir=ckpt)
+
+
+def test_hll_grouped_vectorized_matches_state_path(spark, token_table_path):
+    """Vectorized grouped HLL assembly == per-group applyInPandas path,
+    estimate-identical."""
+    from ddsketchy_spark.spark.companions import hll_distinct
+
+    df = read_tokens(spark, token_table_path)
+    fast = {r["source"]: r["distinct_est"] for r in
+            hll_distinct(df, "doc_id", by=["source"], p=12,
+                         engine="native").collect()}
+    slow = {r["source"]: r["distinct_est"] for r in
+            hll_distinct(df, "doc_id", by=["source"], p=12, engine="native",
+                         keep_state=True).collect()}
+    assert fast == slow and len(fast) >= 2
+
+
+def test_hll_grouped_vectorized_high_cardinality(spark):
+    from pyspark.sql import functions as F
+
+    from ddsketchy_spark.spark.companions import hll_distinct
+
+    df = (spark.range(200_000)
+          .withColumn("k", (F.col("id") % 5_000).cast("long"))
+          .select("k", ((F.col("id") / 5_000).cast("long") % 40).alias("u")))
+    rows = hll_distinct(df, "u", by=["k"], p=12, engine="native").collect()
+    assert len(rows) == 5_000
+    assert all(abs(r["distinct_est"] - 40) <= 2 for r in rows)
