@@ -175,6 +175,16 @@ def main() -> None:
     queries["q10_arrow_direct_tokens_global"] = round(dt, 3)
     queries["q10_arrow_direct_tokens_per_sec"] = round(direct_out["count"] / dt)
 
+    # q11: high-cardinality grouped quantiles (one sketch per order key) —
+    # exercises the vectorized per-partition assembly (one Python call per
+    # partition, not per key)
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    t0 = time.perf_counter()
+    n_groups = ddsketch_quantiles(li, "l_extendedprice", by=["l_orderkey"],
+                                  alpha=ALPHA, quantiles=(0.5, 0.99)).count()
+    queries["q11_grouped_highcard_orderkeys"] = round(time.perf_counter() - t0, 3)
+    queries["q11_group_count"] = n_groups
+
     # accuracy: max relative error of the n_tok estimates vs exact quantiles
     import duckdb
 
