@@ -14,6 +14,7 @@ from .ddsketch_agg import DDSketchAggregator, ddsketch_quantiles, ddsketch_state
 from .functions import register_sql_functions
 from .joins import bloom_probe_column, bloom_semi_join
 from .profile import profile_table
+from .rollup import read_rollup, read_rollup_states, update_rollup
 from .session import get_spark
 
 __all__ = [
@@ -39,6 +40,9 @@ __all__ = [
     "register_sql_functions",
     "bloom_semi_join",
     "profile_table",
+    "update_rollup",
+    "read_rollup",
+    "read_rollup_states",
     "bloom_probe_column",
     "get_spark",
 ]
