@@ -197,13 +197,25 @@ def build_state_batches(
         yield flush()
 
 
+# one shared NaN object: tuple/dict equality short-circuits on identity, so
+# canonicalizing every float NaN to THIS object makes NaN keys group together
+# (NaN != NaN would otherwise split one Spark group into one row per input row)
+_CANON_NAN = float("nan")
+
+
+def _norm_key(v):
+    return _CANON_NAN if isinstance(v, float) and v != v else v
+
+
 def _group_ids(tbl: pa.Table, by: Sequence[str]) -> tuple[np.ndarray, list[tuple]]:
     """Group-id assignment for the key columns of one batch.
 
     Keys go through ``to_pylist`` (not pandas) so nullable integer keys keep
     None instead of becoming float NaN — a NaN key cannot be written back to
-    an Arrow int64 column and would crash the executor."""
-    cols = [tbl.column(k).to_pylist() for k in by]
+    an Arrow int64 column and would crash the executor. Real NaN keys (from
+    a float key column) are canonicalized so they form ONE group, matching
+    Spark's groupBy NaN normalization."""
+    cols = [[_norm_key(v) for v in tbl.column(k).to_pylist()] for k in by]
     gids = np.empty(len(cols[0]), dtype=np.int64)
     seen: dict[tuple, int] = {}
     uniques: list[tuple] = []
@@ -234,9 +246,14 @@ def merge_grouped(
     merge_rounds: int = 1,
     fanout: int = DEFAULT_FANOUT,
     keep_state: bool = False,
+    states_only: bool = False,
 ) -> DataFrame:
     """Merge per-key partial states; returns one row per key with the
-    estimator outputs (and optionally the final state blob)."""
+    estimator outputs (and optionally the final state blob).
+
+    ``states_only=True`` skips the per-key ``finalize()`` entirely and
+    returns just (by..., state) — for state-to-state pipelines (rollups,
+    checkpoints) where estimator outputs would be discarded."""
     by = list(by)
     key_fields = [f for f in partials.schema.fields if f.name in by]
 
@@ -256,9 +273,12 @@ def merge_grouped(
 
         partials = salted.groupBy(*by, "_salt").applyInPandas(pre_merge, pre_schema)
 
-    out_fields = key_fields + agg.output_fields()
-    if keep_state:
-        out_fields = out_fields + [StructField("state", BinaryType())]
+    if states_only:
+        out_fields = key_fields + [StructField("state", BinaryType())]
+    else:
+        out_fields = key_fields + agg.output_fields()
+        if keep_state:
+            out_fields = out_fields + [StructField("state", BinaryType())]
     out_schema = StructType(out_fields)
 
     def final_merge(pdf):
@@ -266,9 +286,10 @@ def merge_grouped(
 
         blob = agg.merge_blobs(list(pdf["state"]))
         out = {k: [pdf[k].iloc[0]] for k in by}
-        for name, val in agg.finalize(blob).items():
-            out[name] = [val]
-        if keep_state:
+        if not states_only:
+            for name, val in agg.finalize(blob).items():
+                out[name] = [val]
+        if keep_state or states_only:
             out["state"] = [blob]
         return pd.DataFrame(out)
 

@@ -278,10 +278,18 @@ def _hll_native(df: DataFrame, value_col: str, by: Sequence[str], p: int):
         *by, "_idx").agg(F.min("_u").alias("_minu"))
 
 
-def _hll_from_rows(idx: np.ndarray, minu: np.ndarray, p: int) -> HyperLogLog:
+def _hll_from_rows(idx: np.ndarray, minu: np.ndarray, p: int,
+                   reuse: HyperLogLog | None = None) -> HyperLogLog:
+    """Registers from native (_idx, _minu) rows. Pass ``reuse`` to fill an
+    existing sketch's cleared registers instead of allocating (the grouped
+    vectorized assembly calls this once per key)."""
     from ..core.hashing import bit_length_u64
 
-    h = HyperLogLog(p, 0, "spark")
+    if reuse is None:
+        h = HyperLogLog(p, 0, "spark")
+    else:
+        h = reuse
+        h.registers.fill(0)
     rest = (np.asarray(minu, dtype=np.int64) ^ np.int64(-(1 << 63))).view(np.uint64)
     # same cap as HyperLogLog.add_batch so engines stay bit-identical
     rho = np.minimum(64 - bit_length_u64(rest) + 1, 64 - p + 1).astype(np.uint8)
@@ -323,14 +331,7 @@ def _hll_grouped_vectorized(kc: DataFrame, by: Sequence[str], p: int) -> DataFra
         ests: list[int] = []
         for g, krow in enumerate(uniques):
             sl = order[bounds[g]:bounds[g + 1]]
-            h.registers.fill(0)
-            rest = (np.asarray(minu[sl], dtype=np.int64)
-                    ^ np.int64(-(1 << 63))).view(np.uint64)
-            from ..core.hashing import bit_length_u64
-
-            rho = np.minimum(64 - bit_length_u64(rest) + 1,
-                             64 - p + 1).astype(np.uint8)
-            np.maximum.at(h.registers, idx[sl], rho)
+            _hll_from_rows(idx[sl], minu[sl], p, reuse=h)
             ests.append(h.cardinality())
             for j in range(len(by)):
                 key_cols[j].append(krow[j])
@@ -367,10 +368,8 @@ def hll_distinct(df: DataFrame, value_col: str, by: Sequence[str] | None = None,
         from pyspark.sql.types import BinaryType, LongType, StructField, StructType
 
         key_fields = [f for f in kc.schema.fields if f.name in by]
-        out_fields = key_fields + [StructField("distinct_est", LongType())]
-        if keep_state:
-            out_fields.append(StructField("state", BinaryType()))
-        schema = StructType(out_fields)
+        schema = StructType(key_fields + [StructField("distinct_est", LongType()),
+                                          StructField("state", BinaryType())])
 
         def assemble(pdf):
             import pandas as pd
@@ -378,8 +377,7 @@ def hll_distinct(df: DataFrame, value_col: str, by: Sequence[str] | None = None,
             h = _hll_from_rows(pdf["_idx"].to_numpy(), pdf["_minu"].to_numpy(), p)
             row = {k: [pdf[k].iloc[0]] for k in by}
             row["distinct_est"] = [h.cardinality()]
-            if keep_state:
-                row["state"] = [h.to_bytes()]
+            row["state"] = [h.to_bytes()]
             return pd.DataFrame(row)
 
         return kc.groupBy(*by).applyInPandas(assemble, schema)

@@ -277,7 +277,7 @@ def _native_grouped_vectorized(
     per key slice."""
     import pyarrow as pa
 
-    from .agg import partial_arrow_schema, to_arrow_schema, _group_ids
+    from .agg import to_arrow_schema, _group_ids
 
     m = LogMapping(alpha)
     by = list(by)
@@ -346,16 +346,14 @@ def _native_grouped(
     kc = _native_key_counts(df, value_col, by, alpha)
     if not keep_state:
         # one Python call per partition (scales to millions of group keys);
-        # the applyInPandas path below remains for keep_state=True
+        # the applyInPandas path below exists only for keep_state=True
         return _native_grouped_vectorized(kc, by, alpha, max_bins, quantiles)
+    from pyspark.sql.types import BinaryType
+
     helper = DDSketchAggregator(value_col, alpha=alpha, max_bins=max_bins, quantiles=quantiles)
     key_fields = [f for f in kc.schema.fields if f.name in by]
-    out_fields = key_fields + helper.output_fields()
-    if keep_state:
-        from pyspark.sql.types import BinaryType
-
-        out_fields = out_fields + [StructField("state", BinaryType())]
-    schema = StructType(out_fields)
+    schema = StructType(key_fields + helper.output_fields()
+                        + [StructField("state", BinaryType())])
 
     def assemble(pdf):
         import pandas as pd
@@ -368,8 +366,7 @@ def _native_grouped(
         row = {k: [pdf[k].iloc[0]] for k in by}
         for name, val in _estimates(sk, quantiles).items():
             row[name] = [val]
-        if keep_state:
-            row["state"] = [sk.to_bytes()]
+        row["state"] = [sk.to_bytes()]
         return pd.DataFrame(row)
 
     return kc.groupBy(*by).applyInPandas(assemble, schema)

@@ -30,7 +30,7 @@ def test_incremental_equals_oneshot(spark, token_table_path, tmp_path):
     for i, sl in enumerate(slices):
         v = update_rollup(spark, root, sl, agg, ["source"])
         assert v == i
-    assert latest_version(root) == 2
+    assert latest_version(spark, root) == 2
 
     rolled = {r["source"]: r for r in
               read_rollup(spark, root, agg, ["source"]).collect()}

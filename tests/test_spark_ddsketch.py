@@ -282,3 +282,16 @@ def test_grouped_vectorized_high_cardinality(spark):
     assert all(r["count"] == 20 for r in rows)
     for r in rows[:50]:
         assert r["min"] >= 1.0 * (1 - 0.01) and r["max"] <= 97.0 * (1 + 0.01)
+
+
+def test_grouped_vectorized_nan_key(spark):
+    """A NaN group key must form ONE output row (Spark groupBy normalizes
+    NaN; the Python-side final grouping must match)."""
+    rows = ([(float("nan"), float(i)) for i in range(40)]
+            + [(1.0, float(i)) for i in range(10)])
+    df = spark.createDataFrame(rows, "k double, v double")
+    out = ddsketch_quantiles(df, "v", by=["k"], quantiles=(0.5,))
+    got = out.collect()
+    assert len(got) == 2
+    by_count = {r["count"]: r for r in got}
+    assert 40 in by_count and 10 in by_count
