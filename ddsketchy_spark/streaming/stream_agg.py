@@ -211,6 +211,7 @@ def stream_ddsketch_windowed(
     out_dir: str,
     checkpoint_dir: str,
     window_duration: str = "1 minute",
+    slide_duration: str | None = None,
     watermark_delay: str = "30 seconds",
     by: list[str] | None = None,
     alpha: float = 0.01,
@@ -218,7 +219,8 @@ def stream_ddsketch_windowed(
     quantiles: tuple[float, ...] = (0.5, 0.99),
     trigger: dict | None = None,
 ):
-    """Event-time tumbling-window sketches with late-data handling.
+    """Event-time tumbling (or sliding, via ``slide_duration``) window
+    sketches with late-data handling.
 
     Plan shape (scale-first): the log-bucketing law runs as native streaming
     SQL — ``withWatermark`` + ``groupBy(window(ts), keys, region, key)`` —
@@ -249,7 +251,9 @@ def stream_ddsketch_windowed(
     bucketed = (
         stream_df.withWatermark(ts_col, watermark_delay)
         .where(finite_cond)
-        .groupBy(F.window(ts_col, window_duration).alias("window"), *by,
+        .groupBy(F.window(ts_col, window_duration,
+                          slide_duration or window_duration).alias("window"),
+                 *by,
                  region.alias("region"), key.alias("key"))
         .agg(F.count(F.lit(1)).alias("c"), F.sum(x).alias("s"),
              F.min(x).alias("mn"), F.max(x).alias("mx"))

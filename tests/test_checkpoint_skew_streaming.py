@@ -305,3 +305,39 @@ def test_streaming_generic_sketch_null_keys(spark, tmp_path):
     local.add_batch(np.array([u for _, u in rows if u is not None],
                              dtype=np.int64))
     assert got == local.cardinality()
+
+
+def test_streaming_sliding_windows(spark, tmp_path):
+    """Sliding windows (1 min window, 30 s slide): each event lands in two
+    windows; closed-window counts must match the batch computation."""
+    import datetime as dt
+
+    from ddsketchy_spark.streaming import stream_ddsketch_windowed
+
+    base = dt.datetime(2026, 1, 1, 0, 0, 0)
+    rows = [(base + dt.timedelta(seconds=s), float(s % 50 + 1))
+            for s in range(0, 120)]
+    sentinel = [(base + dt.timedelta(seconds=100_000), 1.0)]
+    in_dir = tmp_path / "slide_in"
+    in_dir.mkdir()
+    spark.createDataFrame(rows, "ts timestamp, value double") \
+        .coalesce(1).write.parquet(str(in_dir / "f1"))
+    spark.createDataFrame(sentinel, "ts timestamp, value double") \
+        .coalesce(1).write.parquet(str(in_dir / "f2"))
+
+    stream = (spark.readStream.schema("ts timestamp, value double")
+              .option("maxFilesPerTrigger", "1").parquet(str(in_dir / "*")))
+    out_dir = str(tmp_path / "slide_out")
+    query, _ = stream_ddsketch_windowed(
+        stream, "value", "ts", out_dir, str(tmp_path / "slide_ck"),
+        window_duration="1 minute", slide_duration="30 seconds",
+        watermark_delay="10 seconds", quantiles=(0.5,),
+        trigger={"availableNow": True})
+    query.awaitTermination(180)
+
+    got = {(r["window_start"].minute, r["window_start"].second): r["count"]
+           for r in spark.read.parquet(out_dir).collect()}
+    # windows starting at :59:30(partial), :00:00, :00:30, :01:00, :01:30(partial)
+    assert got[(0, 0)] == 60 and got[(0, 30)] == 60
+    assert got[(59, 30)] == 30 and got[(1, 30)] == 30
+    assert sum(got.values()) == 240  # every event counted twice
