@@ -8,13 +8,13 @@ row-wise projection (no shuffle) except the aggregations the caller adds.
 
 from __future__ import annotations
 
-from typing import Iterator, Sequence
+from typing import Iterator
 
 import numpy as np
 import pyarrow as pa
 
 from pyspark.sql import DataFrame, functions as F
-from pyspark.sql.types import LongType, StringType, StructField, StructType
+from pyspark.sql.types import LongType, StructField, StructType
 
 # Small public stopword marker sets per language (language-ID heuristic).
 LANG_MARKERS: dict[str, tuple[str, ...]] = {

@@ -16,7 +16,6 @@ For grouped/windowed streaming quantiles, compose with watermarked
 
 from __future__ import annotations
 
-import json
 import os
 import time
 

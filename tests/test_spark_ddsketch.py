@@ -295,3 +295,39 @@ def test_grouped_vectorized_nan_key(spark):
     assert len(got) == 2
     by_count = {r["count"]: r for r in got}
     assert 40 in by_count and 10 in by_count
+
+
+def test_group_walk_fuzz_vs_ddsketch():
+    """Randomized equivalence: the vectorized _group_walk must match
+    DDSketch.quantile bit-for-bit on arbitrary bucket-row inputs,
+    including mixed signs, zero-region mass, and tiny max_bins."""
+    import numpy as np
+
+    from ddsketchy_spark.core.ddsketch import DDSketch
+    from ddsketchy_spark.core.mapping import LogMapping
+    from ddsketchy_spark.spark.ddsketch_agg import (
+        _group_walk,
+        sketch_from_key_counts,
+    )
+
+    rng = np.random.default_rng(424242)
+    m = LogMapping(0.01)
+    qs = [0.0, 0.01, 0.25, 0.5, 0.75, 0.99, 1.0]
+    for trial in range(200):
+        n = int(rng.integers(1, 60))
+        regions = rng.choice([-1, 0, 1], size=n)
+        keys = np.where(regions == 0, 0, rng.integers(-300, 300, size=n))
+        # dedupe (region, key) like the native groupBy output
+        _, idx = np.unique(regions * 100_000 + keys, return_index=True)
+        regions, keys = regions[idx], keys[idx]
+        counts = rng.integers(1, 50, size=len(keys))
+        vals = np.where(regions == 0, 0.0,
+                        np.sign(regions) * np.exp(keys / m.inv_ln_gamma))
+        max_bins = int(rng.choice([1, 4, 4096]))
+        sk = sketch_from_key_counts(regions, keys, counts, vals * counts,
+                                    vals, vals, 0.01, max_bins)
+        walked = _group_walk(m, regions.astype(np.int64), keys.astype(np.int64),
+                             counts.astype(np.int64), vals.astype(np.float64),
+                             qs, max_bins)
+        for q, got in zip(qs, walked):
+            assert got == sk.quantile(q), (trial, q, max_bins)
