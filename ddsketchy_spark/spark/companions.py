@@ -616,6 +616,65 @@ def _theta_from_rows(u_signed: np.ndarray, k: int) -> ThetaSketch:
     return sk
 
 
+def _theta_grouped_vectorized(kc: DataFrame, by: Sequence[str], k: int) -> DataFrame:
+    """Grouped theta assembly with ONE Python call per Arrow partition
+    (same rationale as the DDSketch/HLL vectorized assemblies)."""
+    import pyarrow as pa
+
+    from pyspark.sql.types import (
+        BinaryType,
+        BooleanType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    from .agg import _group_ids, to_arrow_schema
+
+    by = list(by)
+    key_fields = [f for f in kc.schema.fields if f.name in by]
+    out_schema = StructType(key_fields + [
+        StructField("distinct_est", DoubleType()),
+        StructField("retained", LongType()),
+        StructField("exact_mode", BooleanType()),
+        StructField("state", BinaryType())])
+    in_arrow = to_arrow_schema(StructType(key_fields))
+
+    def assemble(batches):
+        tbls = [pa.Table.from_batches([b]) for b in batches]
+        if not tbls:
+            return
+        tbl = pa.concat_tables(tbls)
+        if tbl.num_rows == 0:
+            return
+        gids, uniques = _group_ids(tbl, by)
+        u = tbl.column("_u").to_numpy().astype(np.int64)
+        order = np.argsort(gids, kind="stable")
+        bounds = np.searchsorted(gids[order], np.arange(len(uniques) + 1))
+        key_cols: list[list] = [[] for _ in by]
+        ests, rets, exacts, blobs = [], [], [], []
+        for g, krow in enumerate(uniques):
+            sl = order[bounds[g]:bounds[g + 1]]
+            sk = _theta_from_rows(u[sl], k)
+            ests.append(sk.estimate())
+            rets.append(len(sk))
+            exacts.append(not sk.is_estimation_mode())
+            blobs.append(sk.to_bytes())
+            for j in range(len(by)):
+                key_cols[j].append(krow[j])
+        arrays = [pa.array(key_cols[j], type=in_arrow.field(kcol).type)
+                  for j, kcol in enumerate(by)]
+        arrays += [pa.array(ests, type=pa.float64()),
+                   pa.array(rets, type=pa.int64()),
+                   pa.array(exacts, type=pa.bool_()),
+                   pa.array(blobs, type=pa.binary())]
+        yield pa.RecordBatch.from_arrays(
+            arrays, names=by + ["distinct_est", "retained", "exact_mode", "state"])
+
+    n_parts = kc.sparkSession.sparkContext.defaultParallelism
+    return kc.repartition(n_parts, *by).mapInArrow(assemble, out_schema)
+
+
 def theta_state(df: DataFrame, value_col: str, by: Sequence[str] | None = None,
                 k: int = 4096, seed: int = 0, engine: str = "arrow",
                 hash_kind: str = "generic", **kw):
@@ -632,27 +691,7 @@ def theta_state(df: DataFrame, value_col: str, by: Sequence[str] | None = None,
             return {"distinct_est": sk.estimate(), "retained": len(sk),
                     "exact_mode": not sk.is_estimation_mode(),
                     "state": sk.to_bytes()}
-        from pyspark.sql.types import BinaryType, BooleanType, StructType
-
-        key_fields = [f for f in kc.schema.fields if f.name in by]
-        schema = StructType(key_fields + [
-            StructField("distinct_est", DoubleType()),
-            StructField("retained", LongType()),
-            StructField("exact_mode", BooleanType()),
-            StructField("state", BinaryType())])
-
-        def assemble(pdf):
-            import pandas as pd
-
-            sk = _theta_from_rows(pdf["_u"].to_numpy(), k)
-            row = {c: [pdf[c].iloc[0]] for c in by}
-            row["distinct_est"] = [sk.estimate()]
-            row["retained"] = [len(sk)]
-            row["exact_mode"] = [not sk.is_estimation_mode()]
-            row["state"] = [sk.to_bytes()]
-            return pd.DataFrame(row)
-
-        return kc.groupBy(*by).applyInPandas(assemble, schema)
+        return _theta_grouped_vectorized(kc, by, k)
     kw.setdefault("keep_state", True)
     return sketch_aggregate(df, ThetaAggregator(value_col, k, seed, hash_kind),
                             by=by, **kw)
