@@ -2,6 +2,7 @@ from .stream_agg import (
     StreamingSketch,
     stream_ddsketch,
     stream_ddsketch_by_key,
+    stream_ddsketch_sessions,
     stream_sketch_by_key,
     stream_ddsketch_windowed,
 )
@@ -10,6 +11,7 @@ __all__ = [
     "StreamingSketch",
     "stream_ddsketch",
     "stream_ddsketch_by_key",
+    "stream_ddsketch_sessions",
     "stream_sketch_by_key",
     "stream_ddsketch_windowed",
 ]

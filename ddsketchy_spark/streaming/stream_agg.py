@@ -304,3 +304,127 @@ def stream_ddsketch_windowed(
     trigger = trigger or {"processingTime": "2 seconds"}
     query = writer.trigger(**trigger).start()
     return query, out_dir
+
+
+def stream_ddsketch_sessions(
+    stream_df: DataFrame,
+    value_col: str,
+    ts_col: str,
+    key_cols: list[str],
+    gap: str = "30 seconds",
+    watermark_delay: str = "10 seconds",
+    alpha: float = 0.01,
+    quantiles: tuple[float, ...] = (0.5, 0.99),
+):
+    """Per-key SESSION windows: events closer than ``gap`` belong to one
+    session; a session closes when the event-time watermark passes its end
+    + gap, emitting ONE row with the session's DDSketch quantile summary.
+
+    This is the custom stateful operator shape Spark's native
+    ``session_window`` cannot express for sketches (a native session
+    grouping would have to carry raw values; here state per open session
+    is one bounded sketch blob). ``applyInPandasWithState`` with
+    EventTimeTimeout: data folds into the open session (vectorized
+    add_batch); the timeout callback fires once the watermark passes and
+    emits the closed session (Append semantics — each session exactly
+    once). Late events beyond the watermark are dropped by Spark.
+    """
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.streaming.state import GroupStateTimeout
+    from pyspark.sql.types import (
+        BinaryType,
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    from ..spark.ddsketch_agg import quantile_label
+
+    gap_ms = _duration_ms(gap)
+    key_fields = [stream_df.schema[k] for k in key_cols]
+    out_schema = StructType(
+        key_fields
+        + [StructField("session_start", TimestampType()),
+           StructField("session_end", TimestampType()),
+           StructField("count", LongType())]
+        + [StructField(quantile_label(q), DoubleType()) for q in quantiles])
+    state_schema = StructType([
+        StructField("blob", BinaryType()),
+        StructField("start_ms", LongType()),
+        StructField("end_ms", LongType()),
+    ])
+
+    def _emit(key, sk, start_ms, end_ms):
+        import datetime as dt
+
+        row = {k: [v] for k, v in zip(key_cols, key)}
+        row["session_start"] = [dt.datetime.utcfromtimestamp(start_ms / 1000.0)]
+        row["session_end"] = [dt.datetime.utcfromtimestamp(end_ms / 1000.0)]
+        row["count"] = [sk.count]
+        for q in quantiles:
+            row[quantile_label(q)] = [sk.quantile(q)]
+        return pd.DataFrame(row)
+
+    def update(key, pdf_iter, state):
+        if state.hasTimedOut:
+            blob, start_ms, end_ms = state.get
+            sk = DDSketch.from_bytes(bytes(blob))
+            state.remove()
+            yield _emit(key, sk, start_ms, end_ms)
+            return
+        if state.exists:
+            blob, start_ms, end_ms = state.get
+            sk = DDSketch.from_bytes(bytes(blob))
+        else:
+            sk, start_ms, end_ms = DDSketch(alpha), None, None
+        import numpy as np
+
+        frames = [p for p in pdf_iter]
+        if frames:
+            pdf = (pd.concat(frames) if len(frames) > 1 else frames[0]
+                   ).sort_values(ts_col)
+            ts_ms = (pdf[ts_col].astype("int64") // 1_000_000).to_numpy()
+            vals = pdf[value_col].to_numpy(dtype="float64",
+                                           na_value=float("nan"))
+            # vectorized session split: a boundary wherever the time gap
+            # between consecutive events exceeds gap_ms (the open session's
+            # end acts as the predecessor of the first event)
+            prev_end = ts_ms[0] - 1 if start_ms is None else end_ms
+            prev = np.concatenate(([prev_end], ts_ms[:-1]))
+            seg_start = np.nonzero((ts_ms - prev) > gap_ms)[0]
+            bounds = np.concatenate(([0], seg_start, [len(ts_ms)]))
+            if start_ms is None:
+                start_ms, end_ms = int(ts_ms[0]), int(ts_ms[0])
+            seg_start_set = {int(x) for x in seg_start}
+            for i in range(len(bounds) - 1):
+                lo, hi = int(bounds[i]), int(bounds[i + 1])
+                if lo == hi:
+                    continue
+                if lo in seg_start_set:
+                    # gap exceeded: close the open session, start fresh
+                    yield _emit(key, sk, start_ms, end_ms)
+                    sk = DDSketch(alpha)
+                    start_ms = end_ms = int(ts_ms[lo])
+                sk.add_batch(vals[lo:hi])
+                end_ms = max(end_ms, int(ts_ms[hi - 1]))
+        if start_ms is not None:
+            state.update((bytearray(sk.to_bytes()), int(start_ms), int(end_ms)))
+            state.setTimeoutTimestamp(int(end_ms) + gap_ms)
+
+    watermarked = stream_df.withWatermark(ts_col, watermark_delay)
+    return watermarked.groupBy(*key_cols).applyInPandasWithState(
+        update, out_schema, state_schema, "append",
+        GroupStateTimeout.EventTimeTimeout)
+
+
+def _duration_ms(s: str) -> int:
+    """'30 seconds' / '2 minutes' / '500 milliseconds' -> ms."""
+    n, unit = s.strip().split()
+    unit = unit.rstrip("s")
+    factor = {"millisecond": 1, "second": 1000, "minute": 60_000,
+              "hour": 3_600_000}[unit]
+    return int(float(n) * factor)

@@ -341,3 +341,60 @@ def test_streaming_sliding_windows(spark, tmp_path):
     assert got[(0, 0)] == 60 and got[(0, 30)] == 60
     assert got[(59, 30)] == 30 and got[(1, 30)] == 30
     assert sum(got.values()) == 240  # every event counted twice
+
+
+def test_streaming_sessions(spark, tmp_path):
+    """Session windows: two bursts per key separated by > gap become two
+    emitted sessions once the watermark passes; counts/quantiles match a
+    batch DDSketch over each burst."""
+    import datetime as dt
+
+    import numpy as np
+
+    from ddsketchy_spark import DDSketch
+    from ddsketchy_spark.streaming import stream_ddsketch_sessions
+
+    base = dt.datetime(2026, 1, 1, 0, 0, 0)
+    rows = []
+    rng = np.random.default_rng(5)
+    bursts = {}
+    for key in ("u1", "u2"):
+        for b, offset in enumerate((0, 300)):   # two bursts, 5 min apart
+            vs = rng.exponential(20.0, 50) + b * 5
+            bursts[(key, b)] = vs
+            for i, v in enumerate(vs):
+                ts = base + dt.timedelta(seconds=offset + (i % 20))
+                rows.append((ts, key, float(v)))
+    sentinel = [(base + dt.timedelta(seconds=100_000), "u1", 1.0)]
+
+    in_dir = tmp_path / "sess_in"
+    in_dir.mkdir()
+    spark.createDataFrame(rows, "ts timestamp, user string, value double") \
+        .coalesce(1).write.parquet(str(in_dir / "f1"))
+    spark.createDataFrame(sentinel, "ts timestamp, user string, value double") \
+        .coalesce(1).write.parquet(str(in_dir / "f2"))
+
+    stream = (spark.readStream.schema("ts timestamp, user string, value double")
+              .option("maxFilesPerTrigger", "1").parquet(str(in_dir / "*")))
+    out = stream_ddsketch_sessions(stream, "value", "ts", ["user"],
+                                   gap="60 seconds",
+                                   watermark_delay="5 seconds",
+                                   quantiles=(0.5, 0.99))
+    q = (out.writeStream.format("memory").queryName("sess")
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "sess_ck"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(180)
+
+    got = spark.sql(
+        "SELECT user, session_start, count, p50, p99 FROM sess "
+        "ORDER BY user, session_start").collect()
+    # 2 users x 2 closed sessions (sentinel's own session stays open)
+    assert len(got) == 4
+    for r in got:
+        b = 0 if r["session_start"].minute == 0 else 1
+        ref = DDSketch(0.01)
+        ref.add_batch(bursts[(r["user"], b)])
+        assert r["count"] == 50, (r["user"], b)
+        assert r["p50"] == ref.quantile(0.5), (r["user"], b)
+        assert r["p99"] == ref.quantile(0.99), (r["user"], b)
