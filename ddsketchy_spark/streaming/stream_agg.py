@@ -157,8 +157,10 @@ def stream_sketch_by_key(
     KLL, CMS, Bloom, DDSketch) via ``applyInPandasWithState``: group state
     is the serialized blob; each micro-batch folds its rows in through the
     aggregator's vectorized ``add_arrow`` and emits the key's refreshed
-    ``finalize()`` outputs (Update mode). Sketch state is bounded, so this
-    is safe for unbounded keys x unbounded time."""
+    ``finalize()`` outputs (Update mode). State per key is bounded
+    (KB-scale blob) for unbounded TIME; total state still grows with the
+    number of distinct keys — for truly unbounded key spaces, window the
+    stream or compact old keys into a rollup."""
     import pandas as pd
     import pyarrow as pa
 
@@ -306,6 +308,41 @@ def stream_ddsketch_windowed(
     return query, out_dir
 
 
+
+
+def _duration_ms(s: str) -> int:
+    """'30 seconds' / '2 minutes' / '1 day' -> milliseconds."""
+    n, unit = s.strip().split()
+    unit = unit.rstrip("s")
+    factor = {"millisecond": 1, "second": 1000, "minute": 60_000,
+              "hour": 3_600_000, "day": 86_400_000, "week": 604_800_000}[unit]
+    return int(float(n) * factor)
+
+
+def _pack_sessions(sessions: list[tuple[int, int, bytes]]) -> bytearray:
+    import struct
+
+    out = bytearray(struct.pack("<I", len(sessions)))
+    for start_ms, end_ms, blob in sessions:
+        out += struct.pack("<qqI", start_ms, end_ms, len(blob))
+        out += blob
+    return out
+
+
+def _unpack_sessions(buf: bytes) -> list[tuple[int, int, bytes]]:
+    import struct
+
+    n = struct.unpack_from("<I", buf, 0)[0]
+    off = 4
+    out = []
+    for _ in range(n):
+        start_ms, end_ms, blen = struct.unpack_from("<qqI", buf, off)
+        off += 20
+        out.append((start_ms, end_ms, bytes(buf[off:off + blen])))
+        off += blen
+    return out
+
+
 def stream_ddsketch_sessions(
     stream_df: DataFrame,
     value_col: str,
@@ -317,17 +354,24 @@ def stream_ddsketch_sessions(
     quantiles: tuple[float, ...] = (0.5, 0.99),
 ):
     """Per-key SESSION windows: events closer than ``gap`` belong to one
-    session; a session closes when the event-time watermark passes its end
-    + gap, emitting ONE row with the session's DDSketch quantile summary.
+    session; a session emits exactly once, after the event-time watermark
+    passes its end + gap.
 
-    This is the custom stateful operator shape Spark's native
-    ``session_window`` cannot express for sketches (a native session
-    grouping would have to carry raw values; here state per open session
-    is one bounded sketch blob). ``applyInPandasWithState`` with
-    EventTimeTimeout: data folds into the open session (vectorized
-    add_batch); the timeout callback fires once the watermark passes and
-    emits the closed session (Append semantics — each session exactly
-    once). Late events beyond the watermark are dropped by Spark.
+    This is the custom stateful shape Spark's native ``session_window``
+    cannot express for sketches (a native session grouping would have to
+    carry raw values; here each open session is one bounded sketch blob).
+    Design points for correctness under out-of-order data:
+
+    - group state holds a LIST of open sessions (a batch may open several;
+      a late-but-in-watermark event may bridge two, which merges them —
+      sketch merges are exact, so bridging loses nothing);
+    - event time is converted to true epoch ms ON THE JVM (cast to double
+      is timezone-independent), so session-timezone settings cannot skew
+      timeout timestamps against the UTC watermark;
+    - emission happens ONLY when the watermark has passed end + gap —
+      checked against ``GroupState.getCurrentWatermarkMs()`` on the data
+      path and via EventTimeTimeout when a key goes quiet. Append
+      semantics: each session exactly once.
     """
     import pandas as pd
 
@@ -352,79 +396,90 @@ def stream_ddsketch_sessions(
            StructField("session_end", TimestampType()),
            StructField("count", LongType())]
         + [StructField(quantile_label(q), DoubleType()) for q in quantiles])
-    state_schema = StructType([
-        StructField("blob", BinaryType()),
-        StructField("start_ms", LongType()),
-        StructField("end_ms", LongType()),
-    ])
+    state_schema = StructType([StructField("packed", BinaryType())])
 
-    def _emit(key, sk, start_ms, end_ms):
-        import datetime as dt
-
-        row = {k: [v] for k, v in zip(key_cols, key)}
-        row["session_start"] = [dt.datetime.utcfromtimestamp(start_ms / 1000.0)]
-        row["session_end"] = [dt.datetime.utcfromtimestamp(end_ms / 1000.0)]
-        row["count"] = [sk.count]
+    def _emit_df(key, closed):
+        rows = {k: [] for k in key_cols}
+        rows["session_start"] = []
+        rows["session_end"] = []
+        rows["count"] = []
         for q in quantiles:
-            row[quantile_label(q)] = [sk.quantile(q)]
-        return pd.DataFrame(row)
+            rows[quantile_label(q)] = []
+        for start_ms, end_ms, blob in closed:
+            sk = DDSketch.from_bytes(blob)
+            for k, v in zip(key_cols, key):
+                rows[k].append(v)
+            rows["session_start"].append(
+                pd.Timestamp(start_ms, unit="ms", tz="UTC"))
+            rows["session_end"].append(
+                pd.Timestamp(end_ms, unit="ms", tz="UTC"))
+            rows["count"].append(sk.count)
+            for q in quantiles:
+                rows[quantile_label(q)].append(sk.quantile(q))
+        return pd.DataFrame(rows)
 
-    def update(key, pdf_iter, state):
-        if state.hasTimedOut:
-            blob, start_ms, end_ms = state.get
-            sk = DDSketch.from_bytes(bytes(blob))
-            state.remove()
-            yield _emit(key, sk, start_ms, end_ms)
-            return
-        if state.exists:
-            blob, start_ms, end_ms = state.get
-            sk = DDSketch.from_bytes(bytes(blob))
-        else:
-            sk, start_ms, end_ms = DDSketch(alpha), None, None
+    def _segments(ts_ms, vals):
+        """Sorted in-batch events -> session segments (start, end, sketch)."""
         import numpy as np
 
+        segs = []
+        if len(ts_ms) == 0:
+            return segs
+        boundaries = np.nonzero(np.diff(ts_ms) > gap_ms)[0]
+        bounds = np.concatenate(([0], boundaries + 1, [len(ts_ms)]))
+        for i in range(len(bounds) - 1):
+            lo, hi = int(bounds[i]), int(bounds[i + 1])
+            sk = DDSketch(alpha)
+            sk.add_batch(vals[lo:hi])
+            segs.append((int(ts_ms[lo]), int(ts_ms[hi - 1]), sk.to_bytes()))
+        return segs
+
+    def _coalesce(sessions):
+        """Merge sessions whose gaps touch (a bridging event may connect
+        previously separate sessions). Input/output sorted by start."""
+        sessions.sort(key=lambda s: s[0])
+        out = []
+        for s in sessions:
+            if out and s[0] - out[-1][1] <= gap_ms:
+                prev = out.pop()
+                merged = DDSketch.from_bytes(prev[2]).merge(
+                    DDSketch.from_bytes(s[2]))
+                out.append((min(prev[0], s[0]), max(prev[1], s[1]),
+                            merged.to_bytes()))
+            else:
+                out.append(s)
+        return out
+
+    def update(key, pdf_iter, state):
+        sessions = (_unpack_sessions(bytes(state.get[0]))
+                    if state.exists else [])
         frames = [p for p in pdf_iter]
-        if frames:
-            pdf = (pd.concat(frames) if len(frames) > 1 else frames[0]
-                   ).sort_values(ts_col)
-            ts_ms = (pdf[ts_col].astype("int64") // 1_000_000).to_numpy()
+        if frames and not state.hasTimedOut:
+            pdf = (pd.concat(frames) if len(frames) > 1 else frames[0])
+            ok = pdf["_ts_ms"].notna()
+            pdf = pdf[ok].sort_values("_ts_ms")
+            ts_ms = pdf["_ts_ms"].to_numpy(dtype="int64")
             vals = pdf[value_col].to_numpy(dtype="float64",
                                            na_value=float("nan"))
-            # vectorized session split: a boundary wherever the time gap
-            # between consecutive events exceeds gap_ms (the open session's
-            # end acts as the predecessor of the first event)
-            prev_end = ts_ms[0] - 1 if start_ms is None else end_ms
-            prev = np.concatenate(([prev_end], ts_ms[:-1]))
-            seg_start = np.nonzero((ts_ms - prev) > gap_ms)[0]
-            bounds = np.concatenate(([0], seg_start, [len(ts_ms)]))
-            if start_ms is None:
-                start_ms, end_ms = int(ts_ms[0]), int(ts_ms[0])
-            seg_start_set = {int(x) for x in seg_start}
-            for i in range(len(bounds) - 1):
-                lo, hi = int(bounds[i]), int(bounds[i + 1])
-                if lo == hi:
-                    continue
-                if lo in seg_start_set:
-                    # gap exceeded: close the open session, start fresh
-                    yield _emit(key, sk, start_ms, end_ms)
-                    sk = DDSketch(alpha)
-                    start_ms = end_ms = int(ts_ms[lo])
-                sk.add_batch(vals[lo:hi])
-                end_ms = max(end_ms, int(ts_ms[hi - 1]))
-        if start_ms is not None:
-            state.update((bytearray(sk.to_bytes()), int(start_ms), int(end_ms)))
-            state.setTimeoutTimestamp(int(end_ms) + gap_ms)
+            sessions = _coalesce(sessions + _segments(ts_ms, vals))
+        wm = state.getCurrentWatermarkMs()
+        closed = [s for s in sessions if s[1] + gap_ms < wm]
+        sessions = [s for s in sessions if s[1] + gap_ms >= wm]
+        if sessions:
+            state.update((_pack_sessions(sessions),))
+            # fire when the earliest open session could close; must be
+            # strictly later than the current watermark
+            state.setTimeoutTimestamp(
+                max(min(s[1] for s in sessions) + gap_ms, wm + 1))
+        elif state.exists:
+            state.remove()
+        if closed:
+            yield _emit_df(key, closed)
 
-    watermarked = stream_df.withWatermark(ts_col, watermark_delay)
-    return watermarked.groupBy(*key_cols).applyInPandasWithState(
+    # true epoch ms computed JVM-side: cast(timestamp as double) is
+    # timezone-independent, unlike pandas' session-tz-naive datetimes
+    with_ms = stream_df.withWatermark(ts_col, watermark_delay).withColumn(
+        "_ts_ms", (F.col(ts_col).cast("double") * 1000).cast("long"))
+    return with_ms.groupBy(*key_cols).applyInPandasWithState(
         update, out_schema, state_schema, "append",
         GroupStateTimeout.EventTimeTimeout)
-
-
-def _duration_ms(s: str) -> int:
-    """'30 seconds' / '2 minutes' / '500 milliseconds' -> ms."""
-    n, unit = s.strip().split()
-    unit = unit.rstrip("s")
-    factor = {"millisecond": 1, "second": 1000, "minute": 60_000,
-              "hour": 3_600_000}[unit]
-    return int(float(n) * factor)

@@ -398,3 +398,49 @@ def test_streaming_sessions(spark, tmp_path):
         assert r["count"] == 50, (r["user"], b)
         assert r["p50"] == ref.quantile(0.5), (r["user"], b)
         assert r["p99"] == ref.quantile(0.99), (r["user"], b)
+
+
+def test_streaming_sessions_bridge_and_timezone(spark, tmp_path):
+    """A late-but-in-watermark event bridging two open sessions merges them
+    into ONE emitted session; and a non-UTC session timezone must not skew
+    the timeout/watermark arithmetic (epoch is computed JVM-side)."""
+    import datetime as dt
+
+    from ddsketchy_spark.streaming import stream_ddsketch_sessions
+
+    old_tz = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try:
+        base = dt.datetime(2026, 1, 1, 0, 0, 0)
+        mk = lambda s, v: (base + dt.timedelta(seconds=s), "k", float(v))
+        burst_a = [mk(s, 10 + s) for s in range(0, 11)]       # ends t=10
+        burst_b = [mk(s, 20 + s) for s in range(100, 111)]    # starts t=100
+        bridge = [mk(60, 99.0)]                               # joins A and B
+        sentinel = [mk(100_000, 1.0)]
+
+        in_dir = tmp_path / "bridge_in"
+        in_dir.mkdir()
+        schema = "ts timestamp, user string, value double"
+        for i, rows in enumerate((burst_a + burst_b, bridge, sentinel)):
+            spark.createDataFrame(rows, schema).coalesce(1) \
+                .write.parquet(str(in_dir / f"f{i}"))
+
+        stream = (spark.readStream.schema(schema)
+                  .option("maxFilesPerTrigger", "1").parquet(str(in_dir / "*")))
+        out = stream_ddsketch_sessions(
+            stream, "value", "ts", ["user"], gap="60 seconds",
+            watermark_delay="600 seconds", quantiles=(0.5,))
+        q = (out.writeStream.format("memory").queryName("bridge")
+             .outputMode("append")
+             .option("checkpointLocation", str(tmp_path / "bridge_ck"))
+             .trigger(availableNow=True).start())
+        q.awaitTermination(180)
+
+        rows = spark.sql(
+            "SELECT count, session_start, session_end FROM bridge").collect()
+        assert len(rows) == 1          # A + bridge + B merged, emitted once
+        assert rows[0]["count"] == 23  # 11 + 11 + 1
+        span = (rows[0]["session_end"] - rows[0]["session_start"]).total_seconds()
+        assert span == 110.0
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", old_tz)
