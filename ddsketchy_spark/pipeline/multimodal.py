@@ -144,3 +144,64 @@ def frame_sample_plan(df: DataFrame, every_n: int = 10) -> DataFrame:
     ).otherwise(F.array().cast("array<int>"))  # 0-frame rows: empty plan, not a crash
     return df.filter(F.col("modality") == "video").select(
         "media_id", idxs.alias("frame_idxs"))
+
+
+def resize_media(
+    df: DataFrame,
+    width: int,
+    height: int,
+    resizer: Callable[[bytes, str, int, int], bytes] | None = None,
+) -> DataFrame:
+    """Resize media payloads to (width, height) via an injected resizer.
+
+    ``resizer(payload, modality, width, height) -> bytes``. Without one,
+    raises NotImplementedError at execution time (no media libs in this
+    sandbox — plug in PIL/ffmpeg in production). The Spark plumbing is
+    real: payload column rewritten, meta struct updated to the new
+    dimensions, everything else carried through."""
+    schema = StructType([
+        StructField("media_id", StringType()),
+        StructField("modality", StringType()),
+        StructField("payload", BinaryType()),
+        StructField("meta", MEDIA_SCHEMA["meta"].dataType),
+    ])
+    pruned = df.select("media_id", "modality", "payload", "meta")
+
+    def run(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            ids = batch.column(0).to_pylist()
+            modalities = batch.column(1).to_pylist()
+            payloads = batch.column(2).to_pylist()
+            metas = batch.column(3).to_pylist()
+            out_payloads, out_metas = [], []
+            for m, p, meta in zip(modalities, payloads, metas):
+                if resizer is None:
+                    raise NotImplementedError(
+                        "no media resizer available in this environment; "
+                        "inject resizer=... (e.g. PIL-based) in production")
+                out_payloads.append(resizer(p, m, width, height))
+                meta = dict(meta or {})
+                meta["width"] = width
+                meta["height"] = height
+                out_metas.append(meta)
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(ids), pa.array(modalities),
+                 pa.array(out_payloads, type=pa.binary()),
+                 pa.array(out_metas, type=pa.struct([
+                     pa.field("width", pa.int32()),
+                     pa.field("height", pa.int32()),
+                     pa.field("sample_rate", pa.int32()),
+                     pa.field("n_frames", pa.int32()),
+                     pa.field("codec", pa.string())]))],
+                names=["media_id", "modality", "payload", "meta"])
+
+    return pruned.mapInArrow(run, schema)
+
+
+def fake_resizer(payload: bytes, modality: str, width: int, height: int) -> bytes:
+    """Deterministic resize stand-in: nearest-neighbor subsample of the
+    payload bytes to width*height — keeps the full pipeline executable."""
+    a = np.frombuffer(payload, dtype=np.uint8)
+    n = max(width * height, 1)
+    idx = (np.arange(n) * len(a)) // n
+    return a[np.minimum(idx, len(a) - 1)].tobytes()

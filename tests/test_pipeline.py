@@ -297,3 +297,39 @@ def test_cosine_near_pairs_lsh_degree_over_k(spark):
     comp = {r["node"]: r["comp"] for r in
             connected_components(pairs, "src", "dst").collect()}
     assert set(comp.values()) == {0} and len(comp) == 12
+
+
+def test_multimodal_resize_and_media_dedup(spark):
+    """Resize plumbing (meta updated, payload rewritten, stub raises
+    without a resizer) and the full media pipeline downstream: fake
+    features -> embedding-cosine dedup finds planted duplicate media."""
+    from ddsketchy_spark.pipeline.dedup import dedup_semantic
+    from ddsketchy_spark.pipeline.multimodal import (
+        fake_feature_extract,
+        fake_resizer,
+        resize_media,
+        synth_media,
+    )
+
+    media = synth_media(spark, n=30)
+    resized = resize_media(media, 32, 32, resizer=fake_resizer)
+    rows = resized.collect()
+    assert len(rows) == 30
+    assert all(len(r["payload"]) == 32 * 32 for r in rows)
+    assert all(r["meta"]["width"] == 32 and r["meta"]["height"] == 32
+               for r in rows)
+
+    # stub contract: no resizer -> NotImplementedError at execution
+    with pytest.raises(Exception, match="NotImplementedError|resizer"):
+        resize_media(media, 8, 8).collect()
+
+    # plant duplicate payloads, run features -> semantic dedup end to end
+    dup = media.limit(5).withColumn(
+        "media_id", F.concat(F.col("media_id"), F.lit("-copy")))
+    feats = fake_feature_extract(media.unionByName(dup), dim=16)
+    out = dedup_semantic(feats, threshold=0.999, vec_col="features",
+                         id_col="media_id", method="exact")
+    removed = {r["media_id"] for r in out.where("NOT keep").collect()}
+    # each planted copy clusters with its original (min id is canonical:
+    # 'm-xxxxxx' < 'm-xxxxxx-copy')
+    assert removed == {f"m-{i:06d}-copy" for i in range(5)}
