@@ -694,6 +694,42 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return spark.createDataFrame([row], "cnt long, tdigest_ok boolean")
 
     q["tdigest_direct_scan_lineitem"] = tdigest_direct_scan
+
+    def mg_heavy_parts_by_returnflag(spark, sf):
+        """GROUPED Misra-Gries: heavy part keys per returnflag. Exact
+        counts cross-check SQL; the no-missed-heavy-hitter and
+        underestimate-bound guarantees are materialized per group."""
+        from ddsketchy_spark.core.misra_gries import MisraGries
+        from ddsketchy_spark.spark.companions import misra_gries_state
+
+        K = 64
+        df = _load(spark, sf, "lineitem")
+        states = {r["l_returnflag"]: MisraGries.from_bytes(r["state"])
+                  for r in misra_gries_state(
+                      df, "l_partkey", by=["l_returnflag"], k=K).collect()}
+        exact = {}
+        for r in (df.groupBy("l_returnflag", "l_partkey")
+                  .agg(F.count(F.lit(1)).alias("cnt")).collect()):
+            exact.setdefault(r["l_returnflag"], {})[r["l_partkey"]] = r["cnt"]
+        rows = []
+        for flag in sorted(exact):
+            counts = exact[flag]
+            n = sum(counts.values())
+            thresh = n // (K + 1)
+            mg = states[flag]
+            for pk in sorted(counts):
+                f = counts[pk]
+                if f <= thresh:
+                    continue
+                est = mg.estimate(pk)
+                rows.append((flag, int(pk), int(f),
+                             bool(pk in mg.counters),
+                             bool(est <= f <= est + mg.err_bound)))
+        return spark.createDataFrame(
+            rows, "l_returnflag string, l_partkey long, cnt long, "
+                  "found boolean, bound_ok boolean")
+
+    q["mg_heavy_parts_by_returnflag"] = mg_heavy_parts_by_returnflag
     return q
 
 
@@ -944,6 +980,19 @@ SELECT * FROM stats ORDER BY "column"
 """
     o["tdigest_direct_scan_lineitem"] = """
 SELECT count(*) AS cnt, TRUE AS tdigest_ok FROM lineitem
+"""
+    o["mg_heavy_parts_by_returnflag"] = """
+WITH counts AS (
+  SELECT l_returnflag, l_partkey, count(*) AS cnt
+  FROM lineitem GROUP BY l_returnflag, l_partkey
+),
+tot AS (
+  SELECT l_returnflag, sum(cnt) AS n FROM counts GROUP BY l_returnflag
+)
+SELECT c.l_returnflag, c.l_partkey, c.cnt, TRUE AS found, TRUE AS bound_ok
+FROM counts c JOIN tot t ON c.l_returnflag = t.l_returnflag
+WHERE c.cnt > t.n // 65
+ORDER BY c.l_returnflag, c.l_partkey
 """
     return o
 
