@@ -695,41 +695,44 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["tdigest_direct_scan_lineitem"] = tdigest_direct_scan
 
-    def mg_heavy_parts_by_returnflag(spark, sf):
-        """GROUPED Misra-Gries: heavy part keys per returnflag. Exact
-        counts cross-check SQL; the no-missed-heavy-hitter and
-        underestimate-bound guarantees are materialized per group."""
+    def mg_heavy_langs_by_source(spark, sf):
+        """GROUPED Misra-Gries: heavy languages per document source — a
+        genuinely skewed column, so ~100 heavy rows exist at every scale
+        factor (a uniform column would make the gate vacuous). Exact counts
+        cross-check SQL; the no-missed-heavy-hitter and underestimate-bound
+        guarantees are materialized per group."""
         from ddsketchy_spark.core.misra_gries import MisraGries
         from ddsketchy_spark.spark.companions import misra_gries_state
 
         K = 64
-        df = _load(spark, sf, "lineitem")
-        states = {r["l_returnflag"]: MisraGries.from_bytes(r["state"])
+        df = _load(spark, sf, "documents")
+        states = {r["source"]: MisraGries.from_bytes(r["state"])
                   for r in misra_gries_state(
-                      df, "l_partkey", by=["l_returnflag"], k=K).collect()}
+                      df, "lang", by=["source"], k=K, key_kind="str").collect()}
         exact = {}
-        for r in (df.groupBy("l_returnflag", "l_partkey")
+        for r in (df.groupBy("source", "lang")
                   .agg(F.count(F.lit(1)).alias("cnt")).collect()):
-            exact.setdefault(r["l_returnflag"], {})[r["l_partkey"]] = r["cnt"]
+            exact.setdefault(r["source"], {})[r["lang"]] = r["cnt"]
         rows = []
-        for flag in sorted(exact):
-            counts = exact[flag]
+        for src in sorted(exact):
+            counts = exact[src]
             n = sum(counts.values())
             thresh = n // (K + 1)
-            mg = states[flag]
-            for pk in sorted(counts):
-                f = counts[pk]
+            mg = states[src]
+            for lang in sorted(counts):
+                f = counts[lang]
                 if f <= thresh:
                     continue
-                est = mg.estimate(pk)
-                rows.append((flag, int(pk), int(f),
-                             bool(pk in mg.counters),
+                est = mg.estimate(lang)
+                rows.append((src, lang, int(f),
+                             bool(lang in mg.counters),
                              bool(est <= f <= est + mg.err_bound)))
+        assert rows, "gate must not be vacuous"
         return spark.createDataFrame(
-            rows, "l_returnflag string, l_partkey long, cnt long, "
+            rows, "source string, lang string, cnt long, "
                   "found boolean, bound_ok boolean")
 
-    q["mg_heavy_parts_by_returnflag"] = mg_heavy_parts_by_returnflag
+    q["mg_heavy_langs_by_source"] = mg_heavy_langs_by_source
     return q
 
 
@@ -981,18 +984,18 @@ SELECT * FROM stats ORDER BY "column"
     o["tdigest_direct_scan_lineitem"] = """
 SELECT count(*) AS cnt, TRUE AS tdigest_ok FROM lineitem
 """
-    o["mg_heavy_parts_by_returnflag"] = """
+    o["mg_heavy_langs_by_source"] = """
 WITH counts AS (
-  SELECT l_returnflag, l_partkey, count(*) AS cnt
-  FROM lineitem GROUP BY l_returnflag, l_partkey
+  SELECT source, lang, count(*) AS cnt
+  FROM documents GROUP BY source, lang
 ),
 tot AS (
-  SELECT l_returnflag, sum(cnt) AS n FROM counts GROUP BY l_returnflag
+  SELECT source, sum(cnt) AS n FROM counts GROUP BY source
 )
-SELECT c.l_returnflag, c.l_partkey, c.cnt, TRUE AS found, TRUE AS bound_ok
-FROM counts c JOIN tot t ON c.l_returnflag = t.l_returnflag
+SELECT c.source, c.lang, c.cnt, TRUE AS found, TRUE AS bound_ok
+FROM counts c JOIN tot t ON c.source = t.source
 WHERE c.cnt > t.n // 65
-ORDER BY c.l_returnflag, c.l_partkey
+ORDER BY c.source, c.lang
 """
     return o
 

@@ -184,15 +184,15 @@ def resize_media(
                 meta["width"] = width
                 meta["height"] = height
                 out_metas.append(meta)
+            # derive the Arrow struct from MEDIA_SCHEMA (single source of
+            # truth — a hand-written field list would drift)
+            from pyspark.sql.pandas.types import to_arrow_type
+
+            meta_type = to_arrow_type(MEDIA_SCHEMA["meta"].dataType)
             yield pa.RecordBatch.from_arrays(
                 [pa.array(ids), pa.array(modalities),
                  pa.array(out_payloads, type=pa.binary()),
-                 pa.array(out_metas, type=pa.struct([
-                     pa.field("width", pa.int32()),
-                     pa.field("height", pa.int32()),
-                     pa.field("sample_rate", pa.int32()),
-                     pa.field("n_frames", pa.int32()),
-                     pa.field("codec", pa.string())]))],
+                 pa.array(out_metas, type=meta_type)],
                 names=["media_id", "modality", "payload", "meta"])
 
     return pruned.mapInArrow(run, schema)
@@ -203,5 +203,7 @@ def fake_resizer(payload: bytes, modality: str, width: int, height: int) -> byte
     payload bytes to width*height — keeps the full pipeline executable."""
     a = np.frombuffer(payload, dtype=np.uint8)
     n = max(width * height, 1)
+    if len(a) == 0:
+        return bytes(n)  # empty payload resizes to zeros, not a crash
     idx = (np.arange(n) * len(a)) // n
     return a[np.minimum(idx, len(a) - 1)].tobytes()

@@ -476,10 +476,11 @@ def stream_ddsketch_sessions(
         if closed:
             yield _emit_df(key, closed)
 
-    # true epoch ms computed JVM-side: cast(timestamp as double) is
-    # timezone-independent, unlike pandas' session-tz-naive datetimes
+    # true epoch ms computed JVM-side and EXACT: unix_millis avoids both
+    # pandas' session-tz-naive datetimes and the float round-trip of a
+    # double cast (which could shift an event 1 ms and split a session)
     with_ms = stream_df.withWatermark(ts_col, watermark_delay).withColumn(
-        "_ts_ms", (F.col(ts_col).cast("double") * 1000).cast("long"))
+        "_ts_ms", F.unix_millis(F.col(ts_col)))
     return with_ms.groupBy(*key_cols).applyInPandasWithState(
         update, out_schema, state_schema, "append",
         GroupStateTimeout.EventTimeTimeout)
