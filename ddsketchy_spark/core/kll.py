@@ -50,6 +50,8 @@ class KLLSketch:
         v = v[np.isfinite(v)]
         if len(v) == 0:
             return
+        v = v + 0.0  # normalize -0.0 -> +0.0: negative zeros sort equal but
+        # serialize differently, which would break merge bit-identity
         self._min = min(self._min, float(v.min()))
         self._max = max(self._max, float(v.max()))
         self.n += len(v)

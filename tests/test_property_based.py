@@ -149,3 +149,87 @@ def test_theta_set_algebra_exact_mode(sa, sb):
     assert a.a_not_b(b).estimate() == len(sa - sb)
     u = ThetaSketch(k=1024).merge(a).merge(b)
     assert u.estimate() == len(sa | sb)
+
+
+# -- t-digest / KLL rank-error properties under arbitrary splits ---------------
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.lists(st.floats(min_value=-1e6, max_value=1e6,
+                          allow_nan=False, allow_infinity=False),
+                min_size=20, max_size=500),
+       st.integers(1, 7))
+def test_tdigest_split_merge_rank_bound(vals, n_parts):
+    from ddsketchy_spark.core.tdigest import TDigest
+
+    arr = np.asarray(vals)
+    parts = np.array_split(arr, n_parts)
+    digs = []
+    for p in parts:
+        d = TDigest(delta=100.0)
+        d.add_batch(p)
+        digs.append(d)
+    merged = TDigest.merge_all(digs)
+    s = np.sort(arr)
+    for q in (0.1, 0.5, 0.9):
+        est = merged.quantile(q)
+        lo = np.searchsorted(s, est, side="left") / len(s)
+        hi = np.searchsorted(s, est, side="right") / len(s)
+        # est's true rank interval must be near q (ties widen the interval)
+        assert lo - 0.15 <= q <= hi + 0.15, (q, est, lo, hi)
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.lists(st.floats(min_value=-1e6, max_value=1e6,
+                          allow_nan=False, allow_infinity=False),
+                min_size=20, max_size=500),
+       st.integers(1, 7))
+def test_kll_split_merge_rank_bound(vals, n_parts):
+    from ddsketchy_spark.core.kll import KLLSketch
+
+    arr = np.asarray(vals)
+    parts = np.array_split(arr, n_parts)
+    sks = []
+    for p in parts:
+        k = KLLSketch(200)
+        k.add_batch(p)
+        sks.append(k)
+    merged = KLLSketch.merge_all(sks)
+    s = np.sort(arr)
+    for q in (0.1, 0.5, 0.9):
+        est = merged.quantile(q)
+        lo = np.searchsorted(s, est, side="left") / len(s)
+        hi = np.searchsorted(s, est, side="right") / len(s)
+        # est's true rank interval must be near q (ties widen the interval)
+        assert lo - 0.15 <= q <= hi + 0.15, (q, est, lo, hi)
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.lists(st.floats(min_value=-1e6, max_value=1e6,
+                          allow_nan=False, allow_infinity=False),
+                min_size=10, max_size=300),
+       st.integers(2, 5), st.integers(0, 1000))
+def test_tdigest_kll_merge_permutation_bit_identity(vals, n_parts, seed):
+    """Deterministic compaction: ANY permutation of the same partial
+    sketches merges to bit-identical state (the north-rule requirement
+    the docstrings claim)."""
+    import random as _random
+
+    from ddsketchy_spark.core.kll import KLLSketch
+    from ddsketchy_spark.core.tdigest import TDigest
+
+    arr = np.asarray(vals)
+    parts = [p for p in np.array_split(arr, n_parts) if len(p)]
+    tds, klls = [], []
+    for p in parts:
+        d = TDigest(delta=100.0); d.add_batch(p); tds.append(d.to_bytes())
+        k = KLLSketch(200); k.add_batch(p); klls.append(k.to_bytes())
+    rng = _random.Random(seed)
+    order = list(range(len(parts)))
+    rng.shuffle(order)
+    td_a = TDigest.merge_all([TDigest.from_bytes(tds[i]) for i in range(len(parts))])
+    td_b = TDigest.merge_all([TDigest.from_bytes(tds[i]) for i in order])
+    assert td_a.to_bytes() == td_b.to_bytes()
+    kll_a = KLLSketch.merge_all([KLLSketch.from_bytes(klls[i]) for i in range(len(parts))])
+    kll_b = KLLSketch.merge_all([KLLSketch.from_bytes(klls[i]) for i in order])
+    assert kll_a.to_bytes() == kll_b.to_bytes()
