@@ -333,11 +333,16 @@ class DDSketch:
     _HDR = struct.Struct("<dqdddI")  # alpha, zero_count, sum, raw_min, raw_max, max_bins
 
     def to_bytes(self) -> bytes:
-        """Versioned little-endian state blob (shuffle / checkpoint format)."""
+        """Versioned little-endian state blob (shuffle / checkpoint format).
+
+        raw_min/raw_max are zero-normalized (+0.0): min(0.0, -0.0) keeps
+        whichever argument came first, so without this the blob's sign bit
+        would depend on merge order even though the estimates are equal."""
         return (
             self._MAGIC
             + self._HDR.pack(
-                self._m.alpha, self.zero_count, self._sum, self._raw_min, self._raw_max,
+                self._m.alpha, self.zero_count, self._sum,
+                self._raw_min + 0.0, self._raw_max + 0.0,
                 self.max_bins,
             )
             + self.positive_store.to_bytes()

@@ -225,18 +225,45 @@ class Store:
     _HDR = struct.Struct("<qiiiIBI")  # count, min_key, max_key, offset, bin_limit, collapsed, nbins
 
     def to_bytes(self) -> bytes:
+        """CANONICAL serialization: only the occupied span [min_key,
+        max_key] is written, with offset == min_key. Physical layout
+        (capacity, centering) depends on growth/merge history, so
+        serializing it would make blob bytes merge-order-dependent; the
+        canonical form is a pure function of the logical content — and
+        smaller on the shuffle wire."""
+        if self.count == 0 and self.min_key > self.max_key:
+            span = self.bins[:0]
+            offset = 0
+        else:
+            lo = self.min_key - self.offset
+            hi = self.max_key - self.offset + 1
+            span = self.bins[lo:hi]
+            offset = self.min_key
         return (
             self._HDR.pack(
                 self.count,
                 self.min_key,
                 self.max_key,
-                self.offset,
+                offset,
                 self.bin_limit,
-                1 if self.is_collapsed else 0,
-                len(self.bins),
+                1 if self._canonical_collapsed() else 0,
+                len(span),
             )
-            + self.bins.astype("<i8", copy=False).tobytes()
+            + span.astype("<i8", copy=False).tobytes()
         )
+
+    def _canonical_collapsed(self) -> bool:
+        """is_collapsed, canonicalized: a full-span store (span ==
+        bin_limit) behaves identically whether or not the flag is set —
+        the next out-of-range add collapses to the same floor — but the
+        raw flag depends on merge ORDER (merging a collapsed store into a
+        non-collapsed one whose union still fits leaves it unset). Using
+        the canonical form keeps serialized state a pure function of
+        content."""
+        if self.is_collapsed:
+            return True
+        return (self.min_key <= self.max_key
+                and self.max_key - self.min_key + 1 >= self.bin_limit)
 
     @classmethod
     def from_bytes_at(cls, buf: bytes, pos: int) -> tuple["Store", int]:
@@ -255,14 +282,19 @@ class Store:
         return s, pos
 
     def __eq__(self, other: object) -> bool:
+        """LOGICAL equality: same content regardless of physical layout
+        (capacity/centering differ by growth history; canonical
+        serialization already erases them)."""
         if not isinstance(other, Store):
             return NotImplemented
+        ka, ca = self.nonzero_items()
+        kb, cb = other.nonzero_items()
         return (
             self.count == other.count
             and self.min_key == other.min_key
             and self.max_key == other.max_key
-            and self.offset == other.offset
             and self.bin_limit == other.bin_limit
-            and self.is_collapsed == other.is_collapsed
-            and np.array_equal(self.bins, other.bins)
+            and self._canonical_collapsed() == other._canonical_collapsed()
+            and np.array_equal(ka, kb)
+            and np.array_equal(ca, cb)
         )

@@ -233,3 +233,30 @@ def test_tdigest_kll_merge_permutation_bit_identity(vals, n_parts, seed):
     kll_a = KLLSketch.merge_all([KLLSketch.from_bytes(klls[i]) for i in range(len(parts))])
     kll_b = KLLSketch.merge_all([KLLSketch.from_bytes(klls[i]) for i in order])
     assert kll_a.to_bytes() == kll_b.to_bytes()
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.lists(st.sampled_from([0.0, -0.0, 1.0, -1.0, 1e-300, 42.0]),
+                min_size=2, max_size=60),
+       st.integers(2, 5), st.integers(0, 99))
+def test_ddsketch_state_bytes_merge_order_independent(vals, n_parts, seed):
+    """Serialized DDSketch state must be bit-identical under any merge
+    order, including the +/-0.0 tie that min() resolves by argument order."""
+    import random as _random
+
+    parts = [p for p in np.array_split(np.asarray(vals), n_parts) if len(p)]
+    blobs = []
+    for p in parts:
+        sk = DDSketch(0.01)
+        sk.add_batch(p)
+        blobs.append(sk.to_bytes())
+    order = list(range(len(blobs)))
+    _random.Random(seed).shuffle(order)
+
+    def fold(idxs):
+        acc = DDSketch.from_bytes(blobs[idxs[0]])
+        for i in idxs[1:]:
+            acc.merge(DDSketch.from_bytes(blobs[i]))
+        return acc.to_bytes()
+
+    assert fold(list(range(len(blobs)))) == fold(order)
