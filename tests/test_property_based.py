@@ -260,3 +260,39 @@ def test_ddsketch_state_bytes_merge_order_independent(vals, n_parts, seed):
         return acc.to_bytes()
 
     assert fold(list(range(len(blobs)))) == fold(order)
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.lists(st.integers(0, 30), min_size=1, max_size=400),
+       st.integers(1, 6), st.integers(0, 99))
+def test_misra_gries_guarantees_under_splits(vals, n_parts, seed):
+    """Merged Misra-Gries keeps both guarantees for ANY split/merge order:
+    every heavy hitter (f > n/(k+1)) survives in the counters, and
+    est <= f <= est + err_bound for every key."""
+    import collections
+    import random as _random
+
+    from ddsketchy_spark.core.misra_gries import MisraGries
+
+    K = 8
+    arr = np.asarray(vals, dtype=np.int64)
+    parts = [p for p in np.array_split(arr, n_parts) if len(p)]
+    sks = []
+    for p in parts:
+        m = MisraGries(K)
+        m.add_batch(p)
+        sks.append(m.to_bytes())
+    order = list(range(len(sks)))
+    _random.Random(seed).shuffle(order)
+    acc = MisraGries.from_bytes(sks[order[0]])
+    for i in order[1:]:
+        acc.merge(MisraGries.from_bytes(sks[i]))
+
+    freq = collections.Counter(vals)
+    n = len(vals)
+    assert acc.err_bound <= n // (K + 1)
+    for key, f in freq.items():
+        est = acc.estimate(int(key))
+        assert est <= f <= est + acc.err_bound, (key, f, est)
+        if f > n // (K + 1):
+            assert int(key) in acc.counters, (key, f)
