@@ -296,3 +296,37 @@ def test_misra_gries_guarantees_under_splits(vals, n_parts, seed):
         assert est <= f <= est + acc.err_bound, (key, f, est)
         if f > n // (K + 1):
             assert int(key) in acc.counters, (key, f)
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.lists(st.integers(-2**50, 2**50), min_size=1, max_size=300),
+       st.integers(1, 6), st.integers(0, 99))
+def test_hash_sketch_blobs_pure_functions_of_input(vals, n_parts, seed):
+    """HLL/CMS/Bloom state bytes must be identical for ANY split and merge
+    order AND equal to a single-shot build (max/add/or laws are exactly
+    order-independent)."""
+    import random as _random
+
+    from ddsketchy_spark.core.bloom import BloomFilter
+    from ddsketchy_spark.core.cms import CountMinSketch
+    from ddsketchy_spark.core.hll import HyperLogLog
+
+    arr = np.asarray(vals, dtype=np.int64)
+    parts = [p for p in np.array_split(arr, n_parts) if len(p)]
+    order = list(range(len(parts)))
+    _random.Random(seed).shuffle(order)
+
+    for make in (lambda: HyperLogLog(10),
+                 lambda: CountMinSketch(3, 1 << 8),
+                 lambda: BloomFilter(1 << 12, 5)):
+        whole = make()
+        whole.add_batch(arr)
+        partials = []
+        for p in parts:
+            s = make()
+            s.add_batch(p)
+            partials.append(s)
+        acc = partials[order[0]]
+        for i in order[1:]:
+            acc.merge(partials[i])
+        assert acc.to_bytes() == whole.to_bytes(), type(whole).__name__
