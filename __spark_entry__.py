@@ -733,6 +733,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                   "found boolean, bound_ok boolean")
 
     q["mg_heavy_langs_by_source"] = mg_heavy_langs_by_source
+
+    def asof_click_purchase(spark, sf):
+        """AS-OF join (backward inclusive): each click matched to the
+        user's latest preceding purchase. Oracle: DuckDB's native
+        ASOF JOIN. Timestamps compared as exact epoch ms."""
+        from ddsketchy_spark.spark.joins import asof_join
+
+        ev = _load(spark, sf, "events")
+        clicks = (ev.where(F.col("event_type") == "click")
+                  .select("user_id", "ts", "value"))
+        purchases = (ev.where(F.col("event_type") == "purchase")
+                     .select("user_id", "ts", F.col("value").alias("px")))
+        j = asof_join(clicks, purchases, "ts", ["user_id"], ["px"])
+        # ts is TIMESTAMP_NTZ: compare as its wall-clock string (identical
+        # on both engines, no timezone interpretation anywhere)
+        return (j.select("user_id", F.col("ts").cast("string").alias("ts_s"),
+                         _r6(F.col("value")).alias("click_value"),
+                         _r6(F.col("px")).alias("last_purchase"))
+                .orderBy("user_id", "ts_s"))
+
+    q["asof_click_purchase"] = asof_click_purchase
     return q
 
 
@@ -996,6 +1017,20 @@ SELECT c.source, c.lang, c.cnt, TRUE AS found, TRUE AS bound_ok
 FROM counts c JOIN tot t ON c.source = t.source
 WHERE c.cnt > t.n // 65
 ORDER BY c.source, c.lang
+"""
+    o["asof_click_purchase"] = """
+WITH clicks AS (
+  SELECT user_id, ts, value FROM events WHERE event_type = 'click'
+),
+purchases AS (
+  SELECT user_id, ts, value AS px FROM events WHERE event_type = 'purchase'
+)
+SELECT c.user_id, CAST(c.ts AS VARCHAR) AS ts_s,
+       round(c.value, 6) AS click_value,
+       round(p.px, 6) AS last_purchase
+FROM clicks c ASOF JOIN purchases p
+  ON c.user_id = p.user_id AND c.ts >= p.ts
+ORDER BY c.user_id, ts_s
 """
     return o
 

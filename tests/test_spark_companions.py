@@ -299,3 +299,30 @@ def test_hll_grouped_vectorized_high_cardinality(spark):
     rows = hll_distinct(df, "u", by=["k"], p=12, engine="native").collect()
     assert len(rows) == 5_000
     assert all(abs(r["distinct_est"] - 40) <= 2 for r in rows)
+
+
+def test_asof_join_semantics(spark):
+    """Backward-inclusive as-of: each left row gets the latest right value
+    at or before its timestamp, per key; inner drops unmatched."""
+    import datetime as dt
+
+    from ddsketchy_spark.spark.joins import asof_join
+
+    base = dt.datetime(2026, 1, 1)
+    t = lambda s: base + dt.timedelta(seconds=s)
+    trades = spark.createDataFrame(
+        [("A", t(5), 1.0), ("A", t(10), 2.0), ("A", t(3), 0.5),
+         ("B", t(7), 9.0), ("B", t(1), 8.0)],
+        "sym string, ts timestamp, qty double")
+    quotes = spark.createDataFrame(
+        [("A", t(4), 100.0), ("A", t(10), 105.0),   # exact-ts tie: inclusive
+         ("B", t(2), 50.0)],
+        "sym string, ts timestamp, px double")
+
+    out = {(r["sym"], r["ts"].second): r["px"] for r in
+           asof_join(trades, quotes, "ts", ["sym"], ["px"]).collect()}
+    assert out == {("A", 5): 100.0, ("A", 10): 105.0, ("B", 7): 50.0}
+    # left join keeps unmatched rows with NULL
+    left = asof_join(trades, quotes, "ts", ["sym"], ["px"], how="left")
+    nulls = {(r["sym"], r["ts"].second) for r in left.collect() if r["px"] is None}
+    assert nulls == {("A", 3), ("B", 1)}
