@@ -754,6 +754,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .orderBy("user_id", "ts_s"))
 
     q["asof_click_purchase"] = asof_click_purchase
+
+    def interval_join_value_bands(spark, sf):
+        """Range join via bucketed decomposition: events.value against 20
+        overlapping value bands, counted per (event_type, band). Oracle:
+        the plain SQL BETWEEN join."""
+        from ddsketchy_spark.spark.joins import interval_join
+
+        ev = _load(spark, sf, "events").select("event_type", "value")
+        bands = spark.createDataFrame(
+            [(i, i * 15.0, i * 15.0 + 25.0) for i in range(20)],
+            "band long, lo double, hi double")
+        j = interval_join(ev, bands, "value", "lo", "hi", bucket_width=25.0)
+        return (j.groupBy("event_type", "band")
+                .agg(F.count(F.lit(1)).alias("n_points"),
+                     F.round(F.sum("value"), 2).alias("sum_value"))
+                .orderBy("event_type", "band"))
+
+    q["interval_join_value_bands"] = interval_join_value_bands
     return q
 
 
@@ -1031,6 +1049,17 @@ SELECT c.user_id, CAST(c.ts AS VARCHAR) AS ts_s,
 FROM clicks c ASOF JOIN purchases p
   ON c.user_id = p.user_id AND c.ts >= p.ts
 ORDER BY c.user_id, ts_s
+"""
+    o["interval_join_value_bands"] = """
+WITH bands AS (
+  SELECT i AS band, i * 15.0 AS lo, i * 15.0 + 25.0 AS hi
+  FROM range(20) t(i)
+)
+SELECT e.event_type, b.band, count(*) AS n_points,
+       round(sum(e.value), 2) AS sum_value
+FROM events e JOIN bands b ON e.value BETWEEN b.lo AND b.hi
+GROUP BY e.event_type, b.band
+ORDER BY e.event_type, b.band
 """
     return o
 

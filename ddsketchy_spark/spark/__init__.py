@@ -12,7 +12,7 @@ from .companions import (
 )
 from .ddsketch_agg import DDSketchAggregator, ddsketch_quantiles, ddsketch_state
 from .functions import register_sql_functions
-from .joins import asof_join, bloom_probe_column, bloom_semi_join
+from .joins import asof_join, bloom_probe_column, bloom_semi_join, interval_join
 from .profile import profile_table
 from .rollup import read_rollup, read_rollup_states, update_rollup
 from .session import get_spark
@@ -40,6 +40,7 @@ __all__ = [
     "register_sql_functions",
     "bloom_semi_join",
     "asof_join",
+    "interval_join",
     "profile_table",
     "update_rollup",
     "read_rollup",

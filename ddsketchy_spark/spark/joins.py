@@ -163,3 +163,49 @@ def asof_join(
     elif how != "left":
         raise ValueError(f"how must be 'inner' or 'left', got {how!r}")
     return out
+
+
+def interval_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_col: str,
+    lo_col: str,
+    hi_col: str,
+    by: Sequence[str] | None = None,
+    bucket_width: float | None = None,
+) -> DataFrame:
+    """Range join: pair every point row with every interval row whose
+    ``[lo, hi]`` contains it (inclusive), optionally within ``by`` keys.
+
+    A naive theta-join is O(|points| x |intervals|); this decomposes each
+    interval into the fixed-width buckets it covers (explode), equi-joins
+    points on their single bucket id, then applies the exact containment
+    filter — a shuffled hash join whose blowup is bounded by
+    interval_span / bucket_width per interval row, independent of table
+    sizes. Pick ``bucket_width`` near the median interval span; default is
+    estimated from a sample.
+
+    Numeric columns only (cast timestamps to epoch first)."""
+    from pyspark.sql import functions as F
+
+    by = list(by or [])
+    if bucket_width is None:
+        sample = (intervals.select((F.col(hi_col) - F.col(lo_col)).alias("_s"))
+                  .where(F.col("_s") >= 0).limit(10_000)
+                  .agg(F.percentile_approx("_s", 0.5).alias("m")).first()["m"])
+        bucket_width = float(sample) if sample else 1.0
+        bucket_width = max(bucket_width, 1e-9)
+    w = float(bucket_width)
+
+    p = points.withColumn("_b", F.floor(F.col(point_col) / F.lit(w)).cast("long"))
+    iv = intervals.where(F.col(lo_col) <= F.col(hi_col))
+    iv = iv.withColumn(
+        "_b", F.explode(F.sequence(
+            F.floor(F.col(lo_col) / F.lit(w)).cast("long"),
+            F.floor(F.col(hi_col) / F.lit(w)).cast("long"))))
+    cond = [p["_b"] == iv["_b"]] + [p[k] == iv[k] for k in by]
+    joined = p.join(iv, cond, "inner").where(
+        (p[point_col] >= iv[lo_col]) & (p[point_col] <= iv[hi_col]))
+    keep_p = [p[c] for c in points.columns]
+    keep_iv = [iv[c] for c in intervals.columns if c not in by]
+    return joined.select(*keep_p, *keep_iv)

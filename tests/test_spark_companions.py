@@ -326,3 +326,36 @@ def test_asof_join_semantics(spark):
     left = asof_join(trades, quotes, "ts", ["sym"], ["px"], how="left")
     nulls = {(r["sym"], r["ts"].second) for r in left.collect() if r["px"] is None}
     assert nulls == {("A", 3), ("B", 1)}
+
+
+def test_interval_join_matches_theta_join(spark):
+    """Bucketed range join == the plain BETWEEN theta-join, at any bucket
+    width, including degenerate and overlapping intervals."""
+    import numpy as np
+
+    from ddsketchy_spark.spark.joins import interval_join
+
+    rng = np.random.default_rng(13)
+    points = spark.createDataFrame(
+        [("g%d" % (i % 3), float(v)) for i, v in
+         enumerate(rng.uniform(0, 100, 300))], "grp string, x double")
+    ivs = []
+    for i in range(40):
+        lo = float(rng.uniform(0, 95))
+        ivs.append(("g%d" % (i % 3), i, lo, lo + float(rng.uniform(0, 20))))
+    ivs.append(("g0", 99, 50.0, 50.0))   # degenerate single-point interval
+    intervals = spark.createDataFrame(ivs, "grp string, iv_id long, lo double, hi double")
+
+    expected = (points.alias("p").join(
+        intervals.alias("i"),
+        (F.col("p.grp") == F.col("i.grp"))
+        & (F.col("p.x") >= F.col("i.lo")) & (F.col("p.x") <= F.col("i.hi")))
+        .select(F.col("p.grp"), "x", "iv_id"))
+    exp = {(r["grp"], round(r["x"], 9), r["iv_id"]) for r in expected.collect()}
+    assert exp  # non-vacuous
+
+    for width in (None, 3.0, 50.0):
+        got = interval_join(points, intervals, "x", "lo", "hi",
+                            by=["grp"], bucket_width=width)
+        g = {(r["grp"], round(r["x"], 9), r["iv_id"]) for r in got.collect()}
+        assert g == exp, width
