@@ -125,6 +125,32 @@ def main() -> None:
         reject=[r"\bSort\b.*global=true"],
     )
 
+    # interval join must compile to an equi hash join on the bucket id —
+    # never a nested-loop/cartesian theta join
+    from ddsketchy_spark.spark.joins import asof_join, interval_join
+
+    pts = ev.select("event_type", "value")
+    bands = spark.createDataFrame(
+        [(i, i * 15.0, i * 15.0 + 25.0) for i in range(20)],
+        "band long, lo double, hi double")
+    ij = interval_join(pts, bands, "value", "lo", "hi", bucket_width=25.0)
+    results["interval_join"] = audit(
+        "interval_join", ij,
+        want=[r"(ShuffledHashJoin|SortMergeJoin|BroadcastHashJoin)"],
+        reject=[r"BroadcastNestedLoopJoin", r"CartesianProduct"],
+    )
+
+    # as-of join: one window over the union, no join node at all
+    clicks = ev.where("event_type = 'click'").select("user_id", "ts", "value")
+    purch = (ev.where("event_type = 'purchase'")
+             .select("user_id", "ts", F.col("value").alias("px")))
+    aj = asof_join(clicks, purch, "ts", ["user_id"], ["px"])
+    results["asof_join"] = audit(
+        "asof_join", aj,
+        want=[r"Window", r"Union"],
+        reject=[r"Join", r"CartesianProduct"],
+    )
+
     print("\nsummary:", {k: ("OK" if v else "FAIL") for k, v in results.items()})
     spark.stop()
     sys.exit(0 if all(results.values()) else 1)
