@@ -137,32 +137,55 @@ def asof_join(
 
     by = list(by)
     value_cols = list(value_cols)
+    if how not in ("inner", "left"):
+        raise ValueError(f"how must be 'inner' or 'left', got {how!r}")
     overlap = set(value_cols) & set(left.columns)
     if overlap:
         raise ValueError(f"value_cols collide with left columns: {overlap}")
-    l_tag = left.withColumn("_is_left", F.lit(1))
-    for c in value_cols:
-        l_tag = l_tag.withColumn(c, F.lit(None).cast(dict(right.dtypes)[c]))
-    r_tag = right.select(*by, ts_col, *value_cols).withColumn("_is_left", F.lit(0))
+    for tmp in ("_is_left", "_rv", "_asof", "_matched"):
+        if tmp in left.columns or tmp in right.columns:
+            raise ValueError(f"reserved column name {tmp!r} present in input")
+
+    # the matched right row travels as ONE struct: non-null whenever a right
+    # row precedes (even if every value in it is NULL), and all value_cols
+    # come from the SAME row — per-column carries could mix rows or skip a
+    # matched row whose value is NULL
+    l_tag = left.withColumn("_is_left", F.lit(1)).withColumn(
+        "_rv", F.lit(None).cast(
+            "struct<" + ",".join(
+                f"{c}:{dict(right.dtypes)[c]}" for c in value_cols) + ">"
+            if value_cols else "struct<_m:boolean>"))
+    r_val = (F.struct(*[F.col(c) for c in value_cols]) if value_cols
+             else F.struct(F.lit(True).alias("_m")))
+    # NULL join keys never match: drop them from the right side (left NULL-
+    # key rows then see no right rows, matching equi-join semantics)
+    r_src = right
+    for k in by:
+        r_src = r_src.where(F.col(k).isNotNull())
+    r_tag = (r_src.select(*by, ts_col, r_val.alias("_rv"))
+             .withColumn("_is_left", F.lit(0)))
     for c in left.columns:
         if c not in r_tag.columns:
             r_tag = r_tag.withColumn(c, F.lit(None).cast(dict(left.dtypes)[c]))
     unioned = l_tag.unionByName(r_tag)
 
-    # right rows sort BEFORE left rows at equal ts => inclusive (<=) match
-    w = (Window.partitionBy(*by).orderBy(F.col(ts_col).asc(), F.col("_is_left").asc())
+    # right rows sort BEFORE left rows at equal ts => inclusive (<=) match;
+    # _rv as the final key makes right-right ts ties deterministic (the
+    # greatest value-struct wins)
+    w = (Window.partitionBy(*by)
+         .orderBy(F.col(ts_col).asc(), F.col("_is_left").asc(),
+                  F.col("_rv").asc_nulls_first())
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     carried = unioned.select(
-        "*", *[F.last(F.when(F.col("_is_left") == 0, F.col(c)), ignorenulls=True)
-               .over(w).alias(f"_asof_{c}") for c in value_cols])
+        "*", F.last(F.when(F.col("_is_left") == 0, F.col("_rv")),
+                    ignorenulls=True).over(w).alias("_asof"))
     out = (carried.where(F.col("_is_left") == 1)
            .select(*[c for c in left.columns],
-                   *[F.col(f"_asof_{c}").alias(c) for c in value_cols]))
+                   F.col("_asof").isNotNull().alias("_matched"),
+                   *[F.col(f"_asof.{c}").alias(c) for c in value_cols]))
     if how == "inner":
-        out = out.where(F.col(value_cols[0]).isNotNull())
-    elif how != "left":
-        raise ValueError(f"how must be 'inner' or 'left', got {how!r}")
-    return out
+        out = out.where(F.col("_matched"))
+    return out.drop("_matched")
 
 
 def interval_join(
@@ -186,23 +209,40 @@ def interval_join(
     estimated from a sample.
 
     Numeric columns only (cast timestamps to epoch first)."""
-    from pyspark.sql import functions as F
-
     by = list(by or [])
+    overlap = (set(points.columns) & set(intervals.columns)) - set(by)
+    if overlap:
+        raise ValueError(
+            f"points and intervals share non-key columns {overlap}; "
+            f"rename one side to keep the output unambiguous")
+    if "_b" in points.columns or "_b" in intervals.columns:
+        raise ValueError("reserved column name '_b' present in input")
     if bucket_width is None:
-        sample = (intervals.select((F.col(hi_col) - F.col(lo_col)).alias("_s"))
-                  .where(F.col("_s") >= 0).limit(10_000)
-                  .agg(F.percentile_approx("_s", 0.5).alias("m")).first()["m"])
-        bucket_width = float(sample) if sample else 1.0
+        # approxQuantile scans the whole table once — an unbiased median,
+        # unlike a first-partitions limit() prefix
+        spans = intervals.select(
+            (F.col(hi_col) - F.col(lo_col)).alias("_s")).where(F.col("_s") >= 0)
+        med = spans.approxQuantile("_s", [0.5], 0.01)
+        bucket_width = float(med[0]) if med else 1.0
         bucket_width = max(bucket_width, 1e-9)
     w = float(bucket_width)
 
     p = points.withColumn("_b", F.floor(F.col(point_col) / F.lit(w)).cast("long"))
     iv = intervals.where(F.col(lo_col) <= F.col(hi_col))
-    iv = iv.withColumn(
-        "_b", F.explode(F.sequence(
-            F.floor(F.col(lo_col) / F.lit(w)).cast("long"),
-            F.floor(F.col(hi_col) / F.lit(w)).cast("long"))))
+    lo_b = F.floor(F.col(lo_col) / F.lit(w)).cast("long")
+    hi_b = F.floor(F.col(hi_col) / F.lit(w)).cast("long")
+    # a single outlier interval spanning millions of buckets would explode
+    # the shuffle (or overflow sequence()) — fail loudly with the remedy
+    max_buckets = 1 << 20
+    guard = F.when(
+        hi_b - lo_b >= F.lit(max_buckets),
+        F.raise_error(F.concat(
+            F.lit("interval spans too many buckets (>2^20) at bucket_width="
+                  f"{w!r}: lo="), F.col(lo_col).cast("string"),
+            F.lit(" hi="), F.col(hi_col).cast("string"),
+            F.lit("; raise bucket_width or split the interval"))),
+    ).otherwise(lo_b)
+    iv = iv.withColumn("_b", F.explode(F.sequence(guard, hi_b)))
     cond = [p["_b"] == iv["_b"]] + [p[k] == iv[k] for k in by]
     joined = p.join(iv, cond, "inner").where(
         (p[point_col] >= iv[lo_col]) & (p[point_col] <= iv[hi_col]))

@@ -359,3 +359,55 @@ def test_interval_join_matches_theta_join(spark):
                             by=["grp"], bucket_width=width)
         g = {(r["grp"], round(r["x"], 9), r["iv_id"]) for r in got.collect()}
         assert g == exp, width
+
+
+def test_asof_join_null_seams(spark):
+    """NULL handling: a matched right row whose value is NULL must be
+    returned as NULL (not a stale older value, and inner must KEEP the
+    row); NULL by-keys never match; right-right ts ties are deterministic."""
+    import datetime as dt
+
+    from ddsketchy_spark.spark.joins import asof_join
+
+    base = dt.datetime(2026, 1, 1)
+    t = lambda s: base + dt.timedelta(seconds=s)
+    trades = spark.createDataFrame(
+        [("A", t(10), 1.0), (None, t(10), 2.0), ("T", t(5), 3.0)],
+        "sym string, ts timestamp, qty double")
+    quotes = spark.createDataFrame(
+        [("A", t(4), 100.0), ("A", t(9), None),      # latest quote is NULL px
+         (None, t(1), 7.0),                          # NULL key: never matches
+         ("T", t(2), 50.0), ("T", t(2), 51.0)],      # ts tie
+        "sym string, ts timestamp, px double")
+
+    inner = asof_join(trades, quotes, "ts", ["sym"], ["px"]).collect()
+    got = {r["sym"]: r["px"] for r in inner}
+    # A matched (the t=9 quote) -> px NULL, but the row is KEPT by inner
+    assert "A" in got and got["A"] is None
+    assert None not in got                     # NULL-key trade: no match
+    assert got["T"] == 51.0                    # tie -> greatest struct wins
+    left = asof_join(trades, quotes, "ts", ["sym"], ["px"], how="left")
+    assert {r["sym"] for r in left.collect()} == {"A", None, "T"}
+
+    # reserved/collision guards
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="collide"):
+        asof_join(trades, quotes.withColumnRenamed("px", "qty"),
+                  "ts", ["sym"], ["qty"])
+
+
+def test_interval_join_guards(spark):
+    from ddsketchy_spark.spark.joins import interval_join
+
+    pts = spark.createDataFrame([(1.0,)], "x double")
+    ivs = spark.createDataFrame([(0.0, 2.0)], "lo double, hi double")
+    # shared non-key column rejected
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="share non-key"):
+        interval_join(pts.withColumn("lo", F.lit(0.0)), ivs, "x", "lo", "hi")
+    # outlier interval fails loudly instead of exploding the shuffle
+    wide = spark.createDataFrame([(0.0, 5e9)], "lo double, hi double")
+    with _pytest.raises(Exception, match="too many buckets"):
+        interval_join(pts, wide, "x", "lo", "hi", bucket_width=1.0).collect()
