@@ -132,6 +132,11 @@ def asof_join(
 
     Returns the left rows plus ``value_cols`` from the matched right row
     (NULL when no right row precedes; ``how="inner"`` drops those).
+
+    NULL timestamps never match: right rows with NULL ``ts_col`` are
+    dropped (the ``<=`` predicate is unknowable for them), and left rows
+    with NULL ``ts_col`` come back unmatched (NULLS FIRST ordering places
+    them before every right row in the carry-forward window).
     """
     from pyspark.sql import Window
 
@@ -158,8 +163,12 @@ def asof_join(
     r_val = (F.struct(*[F.col(c) for c in value_cols]) if value_cols
              else F.struct(F.lit(True).alias("_m")))
     # NULL join keys never match: drop them from the right side (left NULL-
-    # key rows then see no right rows, matching equi-join semantics)
-    r_src = right
+    # key rows then see no right rows, matching equi-join semantics).
+    # NULL timestamps must go too: `right.ts <= left.ts` is unknowable for
+    # them, and asc ordering would sort a NULL-ts right row to the partition
+    # head where the carry-forward window hands its values to every left row
+    # that has no true preceding right row.
+    r_src = right.where(F.col(ts_col).isNotNull())
     for k in by:
         r_src = r_src.where(F.col(k).isNotNull())
     r_tag = (r_src.select(*by, ts_col, r_val.alias("_rv"))
@@ -224,7 +233,24 @@ def interval_join(
             (F.col(hi_col) - F.col(lo_col)).alias("_s")).where(F.col("_s") >= 0)
         med = spans.approxQuantile("_s", [0.5], 0.01)
         bucket_width = float(med[0]) if med else 1.0
-        bucket_width = max(bucket_width, 1e-9)
+        if bucket_width <= 0.0:
+            # point intervals (lo == hi) are common; a near-zero width would
+            # make every real-span interval trip the 2^20-bucket guard and
+            # floor(point / 1e-9) overflows long for |values| > ~9.2e9.
+            # Derive a width from the value RANGE instead: aim for ~2^16
+            # buckets across the observed lo..hi extent.
+            ext = intervals.select(
+                F.min(lo_col).alias("_lo"), F.max(hi_col).alias("_hi")).first()
+            span = (float(ext["_hi"]) - float(ext["_lo"])
+                    if ext and ext["_lo"] is not None and ext["_hi"] is not None
+                    else 0.0)
+            if span > 0.0:
+                bucket_width = span / float(1 << 16)
+            else:
+                raise ValueError(
+                    "cannot infer bucket_width: sampled median interval span "
+                    "is 0 and the lo/hi value range is empty or degenerate; "
+                    "pass bucket_width explicitly")
     w = float(bucket_width)
 
     p = points.withColumn("_b", F.floor(F.col(point_col) / F.lit(w)).cast("long"))

@@ -148,6 +148,28 @@ def stream_ddsketch_by_key(
     )
 
 
+def _rebuild_at_arrow_types(pdf, in_arrow, cols):
+    """Rebuild pandas columns at their declared Arrow types (NaN -> null).
+
+    Guards the one silently-lossy case: pandas coerces a NULL-bearing int
+    column to float64, and above 2^53 the cast back drops low bits while
+    still looking integral — a wrong key would corrupt HLL/theta/Bloom
+    state undetectably (same guard as ``joins.bloom_probe_column``)."""
+    import pyarrow as pa
+
+    arrays = []
+    for c in cols:
+        col, typ = pdf[c], in_arrow.field(c).type
+        if pa.types.is_integer(typ) and col.dtype.kind == "f":
+            finite = col.dropna()
+            if len(finite) and finite.abs().max() >= 2.0**53:
+                raise ValueError(
+                    f"integer column {c!r} exceeds 2^53 after pandas "
+                    "null-coercion to float64; sketch keys would be lossy")
+        arrays.append(pa.Array.from_pandas(col, type=typ))
+    return pa.Table.from_arrays(arrays, schema=in_arrow)
+
+
 def stream_sketch_by_key(
     stream_df: DataFrame,
     agg: SketchAggregator,
@@ -162,7 +184,6 @@ def stream_sketch_by_key(
     number of distinct keys — for truly unbounded key spaces, window the
     stream or compact old keys into a rollup."""
     import pandas as pd
-    import pyarrow as pa
 
     from pyspark.sql.pandas.types import to_arrow_schema
     from pyspark.sql.streaming.state import GroupStateTimeout
@@ -188,9 +209,7 @@ def stream_sketch_by_key(
         for pdf in pdf_iter:
             if sk is None:
                 sk = agg.make()
-            arrays = [pa.Array.from_pandas(pdf[c], type=in_arrow.field(c).type)
-                      for c in agg.value_cols]
-            tbl = pa.Table.from_arrays(arrays, schema=in_arrow)
+            tbl = _rebuild_at_arrow_types(pdf, in_arrow, agg.value_cols)
             agg.add_arrow(sk, tbl)
         if sk is not None:
             blob = agg.merge_blobs([blob, agg.state_bytes(sk)])

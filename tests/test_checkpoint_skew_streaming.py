@@ -307,6 +307,33 @@ def test_streaming_generic_sketch_null_keys(spark, tmp_path):
     assert got == local.cardinality()
 
 
+def test_rebuild_at_arrow_types_2e53_guard():
+    """Int values that survived a NULL-coerced float64 round-trip are
+    rebuilt exactly below 2^53 and rejected loudly at/above it (the cast
+    back would be silently lossy and corrupt hashed sketch state)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pytest
+
+    from ddsketchy_spark.streaming.stream_agg import _rebuild_at_arrow_types
+
+    schema = pa.schema([pa.field("uid", pa.int64())])
+    # below the cliff: exact rebuild, NaN -> null
+    pdf = pd.DataFrame({"uid": [1.0, np.nan, float(2**53 - 1)]})
+    tbl = _rebuild_at_arrow_types(pdf, schema, ["uid"])
+    assert tbl.column("uid").to_pylist() == [1, None, 2**53 - 1]
+    # at/above the cliff: loud failure, not a wrong key
+    bad = pd.DataFrame({"uid": [np.nan, float(2**53)]})
+    with pytest.raises(ValueError, match="2\\^53"):
+        _rebuild_at_arrow_types(bad, schema, ["uid"])
+    # a genuinely-float column at a float Arrow type is untouched
+    fschema = pa.schema([pa.field("v", pa.float64())])
+    fpdf = pd.DataFrame({"v": [1.5, float(2**60)]})
+    assert _rebuild_at_arrow_types(fpdf, fschema, ["v"]).column(
+        "v").to_pylist() == [1.5, float(2**60)]
+
+
 def test_streaming_sliding_windows(spark, tmp_path):
     """Sliding windows (1 min window, 30 s slide): each event lands in two
     windows; closed-window counts must match the batch computation."""

@@ -397,6 +397,47 @@ def test_asof_join_null_seams(spark):
                   "ts", ["sym"], ["qty"])
 
 
+def test_asof_join_null_timestamps(spark):
+    """NULL timestamps never match: a NULL-ts right row must not be carried
+    into left rows (it would otherwise sort to the partition head and leak
+    into every left row with no true preceding right row); a NULL-ts left
+    row comes back unmatched."""
+    import datetime as dt
+
+    from ddsketchy_spark.spark.joins import asof_join
+
+    base = dt.datetime(2026, 1, 1)
+    t = lambda s: base + dt.timedelta(seconds=s)
+    trades = spark.createDataFrame(
+        [("A", t(5), 1.0), ("A", None, 2.0)],
+        "sym string, ts timestamp, qty double")
+    quotes = spark.createDataFrame(
+        [("A", None, 99.0),                      # NULL ts: must never match
+         ("A", t(7), 100.0)],                    # after t=5: must not match
+        "sym string, ts timestamp, px double")
+
+    inner = asof_join(trades, quotes, "ts", ["sym"], ["px"]).collect()
+    assert inner == []                           # nothing precedes t=5
+    left = asof_join(trades, quotes, "ts", ["sym"], ["px"], how="left").collect()
+    assert {r["qty"]: r["px"] for r in left} == {1.0: None, 2.0: None}
+
+
+def test_interval_join_point_intervals_auto_width(spark):
+    """Auto bucket_width with an all-point-interval table (median span 0)
+    must fall back to a range-derived width, not 1e-9."""
+    from ddsketchy_spark.spark.joins import interval_join
+
+    pts = spark.createDataFrame(
+        [(float(v),) for v in (1.0, 2.5, 7.0, 4e9)], "x double")
+    ivs = spark.createDataFrame(
+        [(1.0, 1.0), (7.0, 7.0), (4e9, 4e9), (2.0, 3.0)],
+        "lo double, hi double")
+    got = {(r["x"], r["lo"], r["hi"]) for r in
+           interval_join(pts, ivs, "x", "lo", "hi").collect()}
+    assert got == {(1.0, 1.0, 1.0), (7.0, 7.0, 7.0),
+                   (4e9, 4e9, 4e9), (2.5, 2.0, 3.0)}
+
+
 def test_interval_join_guards(spark):
     from ddsketchy_spark.spark.joins import interval_join
 
