@@ -39,6 +39,45 @@ def _r6(c):
     return (F.when(c < 0, -mag).otherwise(mag)).cast("double")
 
 
+def _winnowing_sql(k: int, window: int) -> str:
+    """DuckDB re-derivation of ``winnowing_fingerprints`` (pipeline/text.py):
+    rolling polynomial k-gram hash mod 2^61 (exact in HUGEINT — the NumPy
+    int64 wraparound is arithmetic mod 2^64 and 2^61 | 2^64, so the masked
+    result equals the true mod), then the leftmost-min of every
+    ``window``-wide hash window, deduplicated. ASCII text only (``ascii()``
+    reads code points; the NumPy side reads UTF-8 bytes — equal for ASCII,
+    which the synthetic documents table is)."""
+    B, MASK1 = 1000003, 1 << 61
+    powers = [pow(B, k - 1 - j, MASK1) for j in range(k)]
+    terms = " + ".join(
+        f"CAST(ascii(substr(t, p+{j}, 1)) AS HUGEINT) * {powers[j]}::HUGEINT"
+        for j in range(k))
+    return f"""
+WITH docs AS (
+  SELECT doc_id, lower(text) AS t, length(text) - {k - 1} AS n
+  FROM documents WHERE text IS NOT NULL AND length(text) >= {k}
+),
+hashes AS (
+  SELECT doc_id, n, p - 1 AS pos0,
+    CAST(({terms}) % {MASK1}::HUGEINT AS BIGINT) AS h
+  FROM docs, LATERAL unnest(generate_series(1, n)) AS g(p)
+),
+winstarts AS (
+  SELECT doc_id, unnest(generate_series(0, greatest(n - {window}, 0))) AS s
+  FROM (SELECT DISTINCT doc_id, n FROM hashes)
+),
+winmins AS (
+  SELECT w.doc_id, w.s, min(struct_pack(h := hh.h, p := hh.pos0)) AS m
+  FROM winstarts w
+  JOIN hashes hh ON hh.doc_id = w.doc_id
+                AND hh.pos0 BETWEEN w.s AND w.s + {window - 1}
+  GROUP BY w.doc_id, w.s
+)
+SELECT DISTINCT doc_id, m.p AS pos, m.h AS fp FROM winmins
+ORDER BY doc_id, pos
+"""
+
+
 def _load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     # The driver may create its own SparkSession from any cwd; make sure the
     # package reaches the executors (idempotent addPyFile shipping).
@@ -451,20 +490,83 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["tdigest_kll_quantity_by_returnflag"] = tdigest_kll_quantity_by_returnflag
 
     def winnowing_fingerprints_docs(spark, sf):
+        """Winnowing over ALL documents, hash-matched row-for-row against a
+        full DuckDB re-derivation of the rolling k-gram hash + window-min
+        selection (the mod-2^61 arithmetic is exact in HUGEINT)."""
         from ddsketchy_spark.pipeline.text import winnowing_fingerprints
 
-        docs = _load(spark, sf, "documents").filter("doc_id < 100")
-        return winnowing_fingerprints(docs, k=5, window=4)
+        docs = _load(spark, sf, "documents")
+        return (winnowing_fingerprints(docs, k=5, window=4)
+                .orderBy("doc_id", "pos"))
 
-    q["winnowing_fingerprints_docs"] = winnowing_fingerprints_docs  # rows-only
+    q["winnowing_fingerprints_docs"] = winnowing_fingerprints_docs
 
     def lsh_cosine_topk_embeddings(spark, sf):
-        from ddsketchy_spark.pipeline.similarity import lsh_cosine_topk
+        """LSH top-k through the fully distributed verify='local' engine,
+        asserted pair-for-pair/cosine-for-cosine against the broadcast
+        engine, plus recall@1 vs the exact top-1 neighbor. The DuckDB
+        oracle anchors n_vecs from the data; the booleans carry the
+        non-SQL-expressible parts."""
+        from ddsketchy_spark.pipeline.similarity import cosine_topk, lsh_cosine_topk
 
         emb = _load(spark, sf, "embeddings")
-        return lsh_cosine_topk(emb, k=3, n_planes=16, bands=8, dim=64)
+        kw = dict(k=3, n_planes=16, bands=8, dim=64)
+        loc = {(r["id"], r["neighbor"]): round(r["cos"], 9)
+               for r in lsh_cosine_topk(emb, verify="local", **kw).collect()}
+        bro = {(r["id"], r["neighbor"]): round(r["cos"], 9)
+               for r in lsh_cosine_topk(emb, verify="broadcast", **kw).collect()}
+        exact1 = {(r["id"], r["neighbor"])
+                  for r in cosine_topk(emb, k=1).collect()}
+        hits = sum(1 for (i, nb) in exact1 if (i, nb) in loc)
+        recall1 = hits / max(len(exact1), 1)
+        return spark.createDataFrame(
+            [(int(emb.count()), bool(loc == bro), bool(recall1 >= 0.6))],
+            "n_vecs long, local_equals_broadcast boolean, recall1_ge_0_6 boolean")
 
-    q["lsh_cosine_topk_embeddings"] = lsh_cosine_topk_embeddings  # rows-only
+    q["lsh_cosine_topk_embeddings"] = lsh_cosine_topk_embeddings
+
+    def ivf_cosine_topk_embeddings(spark, sf):
+        """Distributed IVF (sample-trained centroids, mapInArrow assignment,
+        join-back verification): recall@1 of IVF top-3 vs exact top-1."""
+        from ddsketchy_spark.pipeline.similarity import cosine_topk, ivf_cosine_topk
+
+        emb = _load(spark, sf, "embeddings")
+        topk = ivf_cosine_topk(emb, k=3, n_clusters=8, n_probe=3,
+                               train_rows=200)
+        by_id: dict = {}
+        for r in topk.collect():
+            by_id.setdefault(r["id"], set()).add(r["neighbor"])
+        exact1 = {(r["id"], r["neighbor"])
+                  for r in cosine_topk(emb, k=1).collect()}
+        hits = sum(1 for (i, nn) in exact1 if nn in by_id.get(i, set()))
+        recall1 = hits / max(len(exact1), 1)
+        return spark.createDataFrame(
+            [(int(emb.count()), bool(recall1 >= 0.5))],
+            "n_vecs long, ivf_recall1_ge_0_5 boolean")
+
+    q["ivf_cosine_topk_embeddings"] = ivf_cosine_topk_embeddings
+
+    def minhash_lsh_bucketlocal_parity(spark, sf):
+        """The scale-path LSH verification (verify='local': no driver
+        collect, no broadcast matrix) must produce the exact pair set and
+        est_jaccard values of the broadcast engine on the planted-duplicate
+        corpus. exact_dup_pairs anchors the oracle to the data."""
+        from ddsketchy_spark.pipeline.dedup import minhash_lsh_pairs
+
+        dfd = _docs_with_dups(spark, sf)
+        md5_pairs = _exact_dup_pair_count(dfd)
+        kw = dict(num_perm=128, bands=32)
+        loc = {(r["id_a"], r["id_b"]): r["est_jaccard"]
+               for r in minhash_lsh_pairs(dfd, verify="local", **kw).collect()}
+        bro = {(r["id_a"], r["id_b"]): r["est_jaccard"]
+               for r in minhash_lsh_pairs(dfd, verify="broadcast", **kw).collect()}
+        sym = len(set(loc) ^ set(bro))
+        mism = sum(1 for p in loc if p in bro and loc[p] != bro[p])
+        return spark.createDataFrame(
+            [(int(md5_pairs), int(sym), int(mism))],
+            "exact_dup_pairs long, pair_sym_diff long, est_mismatches long")
+
+    q["minhash_lsh_bucketlocal_parity"] = minhash_lsh_bucketlocal_parity
 
     # -- relational coverage: classic aggregations + broadcast joins --------
 
@@ -890,6 +992,28 @@ FROM g WHERE c > 1
 """
     o["minhash_lsh_exact_dup_recall"] = _dup_pairs_sql.format(flag="lsh_found_all")
     o["simhash_exact_dup_recall"] = _dup_pairs_sql.format(flag="simhash_found_all")
+    o["minhash_lsh_bucketlocal_parity"] = """
+WITH all_docs AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000, text FROM documents WHERE doc_id < 50
+),
+g AS (SELECT md5(lower(trim(text))) AS fp, count(*) AS c FROM all_docs GROUP BY 1)
+SELECT CAST(sum(c * (c - 1) / 2) AS BIGINT) AS exact_dup_pairs,
+       CAST(0 AS BIGINT) AS pair_sym_diff,
+       CAST(0 AS BIGINT) AS est_mismatches
+FROM g WHERE c > 1
+"""
+    o["winnowing_fingerprints_docs"] = _winnowing_sql(k=5, window=4)
+    o["lsh_cosine_topk_embeddings"] = """
+SELECT CAST(count(*) AS BIGINT) AS n_vecs,
+       TRUE AS local_equals_broadcast, TRUE AS recall1_ge_0_6
+FROM embeddings
+"""
+    o["ivf_cosine_topk_embeddings"] = """
+SELECT CAST(count(*) AS BIGINT) AS n_vecs, TRUE AS ivf_recall1_ge_0_5
+FROM embeddings
+"""
     o["cosine_topk_embeddings"] = """
 WITH v AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 40),
 pairs AS (

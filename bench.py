@@ -144,17 +144,26 @@ def main() -> None:
     from ddsketchy_spark.pipeline.dedup import minhash_lsh_pairs
     from ddsketchy_spark.pipeline.similarity import lsh_cosine_topk
 
+    # best-of-2 for q8/q9, same as q7/q10: their first pass pays one-time
+    # Python-worker spin-up + codegen compilation for the band-join plans
+    # (round-1 JSON recorded the cold numbers at 2.5-2.9x the warm ones)
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
     dupdocs = docs.unionByName(
         docs.filter("doc_id < 50").withColumn("doc_id", F.col("doc_id") + 100000))
-    t0 = time.perf_counter()
-    minhash_lsh_pairs(dupdocs, num_perm=128, bands=32).count()
-    queries["q8_minhash_lsh_dedup_docs"] = round(time.perf_counter() - t0, 3)
+    q8_trials = []
+    for _ in range(2):
+        t0 = time.perf_counter()
+        minhash_lsh_pairs(dupdocs, num_perm=128, bands=32).count()
+        q8_trials.append(time.perf_counter() - t0)
+    queries["q8_minhash_lsh_dedup_docs"] = round(min(q8_trials), 3)
 
     emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
-    t0 = time.perf_counter()
-    lsh_cosine_topk(emb, k=3, n_planes=16, bands=8, dim=64).count()
-    queries["q9_lsh_cosine_topk_embeddings"] = round(time.perf_counter() - t0, 3)
+    q9_trials = []
+    for _ in range(2):
+        t0 = time.perf_counter()
+        lsh_cosine_topk(emb, k=3, n_planes=16, bands=8, dim=64).count()
+        q9_trials.append(time.perf_counter() - t0)
+    queries["q9_lsh_cosine_topk_embeddings"] = round(min(q9_trials), 3)
 
     # q10: generic-aggregator hot path — pyarrow-direct row-group scan
     # (the engine t-digest/KLL-style sketches use; bypasses the JVM Arrow
@@ -184,6 +193,27 @@ def main() -> None:
                                   alpha=ALPHA, quantiles=(0.5, 0.99)).count()
     queries["q11_grouped_highcard_orderkeys"] = round(time.perf_counter() - t0, 3)
     queries["q11_group_count"] = n_groups
+
+    # q12: the same high-cardinality grouping through the GENERIC arrow
+    # harness (t-digest), strategy="shuffle": keys ~ rows here (avg group
+    # size ~4), so the one-pass shuffle-then-build engine is the right plan
+    # — the partial/merge engine pays per-key Python costs twice with no
+    # map-side reduction to show for it (measured 28.8s vs 2.5s at 147k keys)
+    from ddsketchy_spark.spark.companions import tdigest_quantiles
+
+    t0 = time.perf_counter()
+    n_td = tdigest_quantiles(li, "l_extendedprice", by=["l_orderkey"],
+                             quantiles=(0.5, 0.99),
+                             strategy="shuffle").count()
+    queries["q12_grouped_highcard_tdigest"] = round(time.perf_counter() - t0, 3)
+    queries["q12_group_count"] = n_td
+
+    # q13: grouped sketches WITH state blobs (the rollup/checkpoint path) —
+    # must stay within ~2x of the stateless q11
+    t0 = time.perf_counter()
+    ddsketch_quantiles(li, "l_extendedprice", by=["l_orderkey"], alpha=ALPHA,
+                       quantiles=(0.5, 0.99), keep_state=True).count()
+    queries["q13_grouped_highcard_keepstate"] = round(time.perf_counter() - t0, 3)
 
     # accuracy: max relative error of the n_tok estimates vs exact quantiles
     import duckdb

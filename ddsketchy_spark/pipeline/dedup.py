@@ -3,13 +3,15 @@
 Scale design notes (the part that matters at 100 TB):
 - Exact dedup is a hash-groupBy on a 16-byte digest — shuffle carries only
   (digest, id), never the text.
-- MinHash/LSH shuffles (band_hash, idx) int rows: bands * n rows of ~24
-  bytes. Candidate generation is a self-join on band buckets (shuffled hash
-  join; quadratic blowup confined to buckets). Slot-agreement verification
-  here scores candidates against a BROADCAST signature matrix (num_perm*8
-  bytes per doc, bounded by max_broadcast_rows ~2M docs); beyond that,
-  verify bucket-locally by joining sig arrays back per bucket — candidate
-  generation itself has no scale ceiling.
+- MinHash/LSH shuffles (band_hash, id) rows: bands * n rows of ~24 bytes.
+  Candidate generation is a self-join on band buckets (shuffled hash join;
+  quadratic blowup confined to buckets, optionally capped by
+  max_bucket_size). Slot-agreement verification has two engines:
+  verify="broadcast" scores candidates against a BROADCAST signature matrix
+  (num_perm*8 bytes per doc, bounded by max_broadcast_rows ~2M docs);
+  verify="local" joins the signature arrays back onto the candidate pairs
+  and counts agreement natively in codegen — fully distributed, no driver
+  collect, no ceiling. verify="auto" picks by corpus size.
 - SimHash reduces each doc to one 64-bit signature; near-dup candidates at
   Hamming distance <= d come from d+1-way table rotations (pigeonhole),
   all native joins.
@@ -161,6 +163,87 @@ def _band_buckets(sig_matrix: np.ndarray, bands: int, r: int) -> np.ndarray:
     return out
 
 
+def _minhash_lsh_pairs_local(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_perm: int,
+    bands: int,
+    r: int,
+    shingle_k: int,
+    seed: int,
+    max_bucket_size: int | None,
+) -> DataFrame:
+    """Fully distributed LSH verification — no driver collect, no broadcast
+    matrix, no document-count ceiling.
+
+    Plan shape: signatures stay distributed; band buckets come from the same
+    vectorized `_band_buckets` NumPy pass per Arrow batch; the candidate
+    self-join shuffles ONLY (band, bucket, id) rows; verification joins the
+    two signature arrays back onto the deduplicated candidate pairs (two
+    shuffles of |pairs| rows) and counts agreeing slots with native
+    zip_with/filter inside codegen. Shuffle volume is
+    O(bands * n + |pairs| * num_perm) — every stage is executor-local.
+
+    ``max_bucket_size`` drops band buckets with more members than the cap
+    before the self-join: a degenerate bucket of m identical docs costs
+    O(m^2) pairs, and at web scale the boilerplate-text buckets are exactly
+    the low-information ones (their members are already caught by exact
+    dedup). None = keep all buckets (bit-parity with the broadcast path)."""
+    from pyspark import StorageLevel
+
+    sigs = minhash_signatures(df, text_col, id_col, num_perm, shingle_k, seed)
+    # two consumers (bucket explode + sig join-back): persist or the minhash
+    # pass over the full corpus runs twice
+    sigs = sigs.persist(StorageLevel.MEMORY_AND_DISK)
+    id_field = df.schema[id_col]
+    bucket_schema = StructType([
+        id_field,
+        StructField("band", LongType()),
+        StructField("bucket", LongType()),
+    ])
+
+    def to_buckets(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        band_ids = np.arange(bands, dtype=np.int64)
+        for batch in batches:
+            n = batch.num_rows
+            if not n:
+                continue
+            ids = batch.column(0)
+            mat = (batch.column(1).flatten().to_numpy()
+                   .reshape(n, num_perm).astype(np.int64, copy=False))
+            bk = _band_buckets(mat, bands, r)
+            idx = pa.array(np.repeat(np.arange(n, dtype=np.int64), bands))
+            yield pa.RecordBatch.from_arrays(
+                [ids.take(idx),
+                 pa.array(np.tile(band_ids, n)),
+                 pa.array(bk.ravel())],
+                names=[id_col, "band", "bucket"])
+
+    banded = sigs.mapInArrow(to_buckets, bucket_schema)
+    if max_bucket_size is not None:
+        small = (banded.groupBy("band", "bucket")
+                 .agg(F.count(F.lit(1)).alias("_bn"))
+                 .where(F.col("_bn") <= max_bucket_size).drop("_bn"))
+        banded = banded.join(small, ["band", "bucket"], "inner")
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(b, (F.col("a.band") == F.col("b.band"))
+               & (F.col("a.bucket") == F.col("b.bucket"))
+               & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .select(F.col(f"a.{id_col}").alias("id_a"),
+                F.col(f"b.{id_col}").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    sa = sigs.select(F.col(id_col).alias("id_a"), F.col("sig").alias("_sig_a"))
+    sb = sigs.select(F.col(id_col).alias("id_b"), F.col("sig").alias("_sig_b"))
+    agree = F.size(F.filter(
+        F.zip_with("_sig_a", "_sig_b", lambda x, y: x == y), lambda v: v))
+    return (cand.join(sa, "id_a").join(sb, "id_b")
+            .select("id_a", "id_b",
+                    (agree / F.lit(float(num_perm))).alias("est_jaccard")))
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -169,29 +252,50 @@ def minhash_lsh_pairs(
     bands: int = 32,
     shingle_k: int = 3,
     seed: int = 1,
+    verify: str = "auto",
     max_broadcast_rows: int = 2_000_000,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Candidate near-duplicate pairs via banded LSH over MinHash signatures,
     with the estimated Jaccard (fraction of agreeing signature slots).
 
     rows-per-band r = num_perm/bands; candidate prob ~ 1-(1-J^r)^bands.
 
-    Plan shape: signatures + band buckets are computed in one vectorized
-    NumPy pass (mapInArrow); the candidate self-join shuffles ONLY
-    (band, bucket, id) ints; slot-agreement verification scores candidate
-    id pairs against a broadcast signature matrix with one NumPy pass —
-    no per-element SQL higher-order functions anywhere. The broadcast is
-    num_perm*8 bytes per doc (1 GB per ~1M docs); beyond max_broadcast_rows,
-    verify bucket-locally instead (join sig arrays back per bucket)."""
+    ``verify`` picks the verification engine (identical results either way —
+    same signatures, same buckets, same agree-count math):
+
+    - ``"broadcast"``: signatures + band buckets are computed in one
+      vectorized NumPy pass; the candidate self-join shuffles ONLY
+      (band, bucket, idx) ints; candidate pairs are scored against a
+      broadcast signature matrix with one NumPy pass per Arrow batch.
+      Fastest at small-to-medium corpora, but the broadcast costs
+      num_perm*8 bytes per doc (1 GB per ~1M docs) — refuses inputs above
+      ``max_broadcast_rows``.
+    - ``"local"``: fully distributed — signature arrays are joined back
+      onto the deduplicated candidate pairs and slot agreement is counted
+      with native zip_with inside codegen. No driver collect, no broadcast,
+      no ceiling. This is the 100-TB path.
+    - ``"auto"`` (default): broadcast when the corpus fits under
+      ``max_broadcast_rows``, local above it."""
     if num_perm % bands:
         raise ValueError("bands must divide num_perm")
     r = num_perm // bands
-    # cheap guard BEFORE collecting signatures to the driver
+    if verify not in ("auto", "broadcast", "local"):
+        raise ValueError(f"unknown verify mode {verify!r}")
+    if verify == "local":
+        return _minhash_lsh_pairs_local(
+            df, text_col, id_col, num_perm, bands, r, shingle_k, seed,
+            max_bucket_size)
+    # cheap count BEFORE collecting signatures to the driver
     n_docs = df.count()
     if n_docs > max_broadcast_rows:
+        if verify == "auto":
+            return _minhash_lsh_pairs_local(
+                df, text_col, id_col, num_perm, bands, r, shingle_k, seed,
+                max_bucket_size)
         raise ValueError(
             f"{n_docs} docs exceed max_broadcast_rows={max_broadcast_rows}; "
-            "at that scale verify bucket-locally (join sig arrays per bucket)")
+            "use verify='local' (fully distributed) at this scale")
     sigs = minhash_signatures(df, text_col, id_col, num_perm, shingle_k, seed)
     pdf = sigs.toPandas()
     # ids may be any type (input_hint doc_id is string): join on dense row
@@ -213,6 +317,13 @@ def minhash_lsh_pairs(
         "band": np.tile(np.arange(bands, dtype=np.int64), n),
         "bucket": buckets.ravel(),
     }))
+    if max_bucket_size is not None:
+        # same degenerate-bucket cap as the local path, so verify="auto"
+        # yields identical pairs at either scale
+        small = (slim.groupBy("band", "bucket")
+                 .agg(F.count(F.lit(1)).alias("_bn"))
+                 .where(F.col("_bn") <= max_bucket_size).drop("_bn"))
+        slim = slim.join(small, ["band", "bucket"], "inner")
     a = slim.alias("a")
     b = slim.alias("b")
     cand = (

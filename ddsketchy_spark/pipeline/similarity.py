@@ -71,6 +71,73 @@ def rh_signature_col(vec, planes: np.ndarray):
     return bits.cast("long")
 
 
+def _lsh_enriched(v: DataFrame, id_field, planes: np.ndarray,
+                  n_planes: int, bands: int, width: int) -> DataFrame:
+    """(id, nvec, keys): row-normalized vector + per-band signature keys,
+    computed with the SAME NumPy math as the broadcast path (normalize,
+    E @ planes.T sign bits, band slicing) so the two engines produce
+    bit-identical candidates and cosines."""
+    import pyarrow as pa
+
+    from pyspark.sql.types import (
+        ArrayType, DoubleType, LongType, StructField, StructType)
+
+    schema = StructType([
+        StructField("id", id_field.dataType),
+        StructField("nvec", ArrayType(DoubleType())),
+        StructField("keys", ArrayType(LongType())),
+    ])
+    mask = (1 << width) - 1
+    shifts = np.arange(bands, dtype=np.int64) * width
+    plane_bits = np.arange(n_planes, dtype=np.int64)
+
+    def enrich(batches):
+        for batch in batches:
+            n = batch.num_rows
+            if not n:
+                continue
+            dim = planes.shape[1]
+            E = (batch.column(1).flatten().to_numpy()
+                 .reshape(n, dim).astype(np.float64, copy=True))
+            E /= np.linalg.norm(E, axis=1, keepdims=True)
+            bits = (E @ planes.T >= 0).astype(np.int64)
+            sigs = (bits << plane_bits).sum(axis=1)
+            keys = (sigs[:, None] >> shifts[None, :]) & mask
+            offs_v = np.arange(0, (n + 1) * dim, dim, dtype=np.int32)
+            offs_k = np.arange(0, (n + 1) * bands, bands, dtype=np.int32)
+            yield pa.RecordBatch.from_arrays(
+                [batch.column(0),
+                 pa.ListArray.from_arrays(pa.array(offs_v), pa.array(E.ravel())),
+                 pa.ListArray.from_arrays(pa.array(offs_k), pa.array(keys.ravel()))],
+                names=["id", "nvec", "keys"])
+
+    return v.mapInArrow(enrich, schema)
+
+
+def _score_pairs_arrow(paired: DataFrame, id_field, dim: int) -> DataFrame:
+    """(id, neighbor, cos) from (id, neighbor, _va, _vb) rows: one einsum
+    per Arrow batch over the already-normalized vectors."""
+    import pyarrow as pa
+
+    out_schema = (f"id {id_field.dataType.simpleString()}, "
+                  f"neighbor {id_field.dataType.simpleString()}, cos double")
+
+    def score(batches):
+        for batch in batches:
+            n = batch.num_rows
+            if not n:
+                continue
+            va = batch.column(2).flatten().to_numpy().reshape(n, dim)
+            vb = batch.column(3).flatten().to_numpy().reshape(n, dim)
+            cos = np.einsum("ij,ij->i", va, vb)
+            yield pa.RecordBatch.from_arrays(
+                [batch.column(0), batch.column(1), pa.array(cos)],
+                names=["id", "neighbor", "cos"])
+
+    return paired.select("id", "neighbor", "_va", "_vb").mapInArrow(
+        score, out_schema)
+
+
 def lsh_cosine_topk(
     df: DataFrame,
     vec_col: str = "embedding",
@@ -80,20 +147,28 @@ def lsh_cosine_topk(
     bands: int = 4,
     seed: int = 7,
     dim: int | None = None,
-    verify: str = "broadcast",
+    verify: str = "auto",
     max_broadcast_rows: int = 2_000_000,
 ) -> DataFrame:
     """Approximate top-k via random-hyperplane LSH: candidates share at
     least one signature band; exact cosine ranks candidates.
 
-    verify="broadcast" (default): candidate pairs carry ONLY integer ids;
-    cosines come from a broadcast row-normalized embedding matrix scored
-    with one NumPy matmul pass per Arrow batch. Candidate sets are large
-    whenever the data demands recall (weakly-similar embeddings), so the
-    verification must be vectorized — the SQL higher-order-function path
-    ("sql") evaluates per element, ~50x slower on millions of pairs, and is
-    kept for embedding tables too large to broadcast (> max_broadcast_rows;
-    at that scale verify bucket-locally instead)."""
+    ``verify`` picks the scoring engine (identical results — same NumPy
+    signature/cosine math in each):
+
+    - ``"broadcast"``: candidate pairs carry ONLY integer ids; cosines come
+      from a broadcast row-normalized embedding matrix scored with one
+      NumPy matmul pass per Arrow batch. Fastest under
+      ``max_broadcast_rows``; refuses inputs above it (the broadcast is
+      dim*8 bytes per vector).
+    - ``"local"``: fully distributed — the slim (blk, key, id) self-join
+      generates candidates, normalized vectors are joined back onto the
+      deduplicated pairs, and one einsum per Arrow batch scores them. No
+      driver collect, no broadcast matrix, no ceiling: the 100-TB path.
+    - ``"auto"`` (default): broadcast when the table fits under
+      ``max_broadcast_rows``, local above it.
+    - ``"sql"``: per-element higher-order-function scoring, kept as a
+      pure-SQL reference (~50x slower on millions of pairs)."""
     from pyspark.sql import Window
 
     if dim is None:
@@ -104,8 +179,35 @@ def lsh_cosine_topk(
     planes = _hyperplanes(dim, n_planes, seed)
     v = df.select(F.col(id_col).alias("id"),
                   F.col(vec_col).cast("array<double>").alias("vec"))
+    if verify not in ("auto", "broadcast", "local", "sql"):
+        raise ValueError(f"unknown verify mode {verify!r}")
+    if verify == "auto":
+        verify = "broadcast" if v.count() <= max_broadcast_rows else "local"
 
-    if verify == "broadcast":
+    if verify == "local":
+        from pyspark import StorageLevel
+
+        id_field = df.schema[id_col]
+        enriched = _lsh_enriched(v, id_field, planes, n_planes, bands, width)
+        # consumed by the band explode AND both join-back sides: persist or
+        # the normalize+sign pass over the full table runs three times
+        enriched = enriched.persist(StorageLevel.MEMORY_AND_DISK)
+        banded = enriched.select(
+            "id", F.posexplode("keys").alias("blk", "key"))
+        sa, sb = banded.alias("a"), banded.alias("b")
+        cand = (
+            sa.join(sb, (F.col("a.blk") == F.col("b.blk"))
+                    & (F.col("a.key") == F.col("b.key"))
+                    & (F.col("a.id") != F.col("b.id")))
+            .select(F.col("a.id").alias("id"), F.col("b.id").alias("neighbor"))
+            .dropDuplicates(["id", "neighbor"])
+        )
+        va = enriched.select("id", F.col("nvec").alias("_va"))
+        vb = enriched.select(F.col("id").alias("neighbor"),
+                             F.col("nvec").alias("_vb"))
+        paired = cand.join(va, "id").join(vb, "neighbor")
+        scored = _score_pairs_arrow(paired, id_field, dim)
+    elif verify == "broadcast":
         import pandas as pd
         import pyarrow as pa
 
@@ -199,81 +301,111 @@ def ivf_cosine_topk(
     n_probe: int = 2,
     kmeans_iters: int = 10,
     seed: int = 11,
-    max_broadcast_rows: int = 2_000_000,
+    train_rows: int = 100_000,
 ) -> DataFrame:
-    """Approximate top-k via an IVF (inverted-file) index: spherical k-means
-    centroids trained on a driver-side sample, each vector assigned to its
-    ``n_probe`` nearest centroids, candidates = pairs sharing a cluster,
-    verified with exact cosine against a broadcast normalized matrix.
+    """Approximate top-k via an IVF (inverted-file) index, fully
+    distributed:
 
-    Same scale shape as the LSH variant: the self-join shuffles only
-    (cluster, idx) ints; all vector math is vectorized NumPy. Deterministic
-    (fixed seed, fixed iteration count)."""
-    import pandas as pd
+    1. Train spherical k-means centroids on a BOUNDED deterministic sample
+       (``deterministic_sample``: the train_rows smallest xxhash64(id) —
+       a pure function of the data, same on any cluster size). Only the
+       sample ever reaches the driver; only the (n_clusters x dim) centroid
+       matrix is broadcast.
+    2. Assign every vector to its ``n_probe`` nearest centroids in one
+       NumPy matmul per Arrow batch (mapInArrow) — normalized vectors and
+       cluster ids stay distributed.
+    3. Candidates = pairs sharing a cluster: a self-join that shuffles only
+       (cluster, id) rows.
+    4. Verify: join normalized vectors back onto the deduplicated pairs and
+       score with one einsum per Arrow batch.
+
+    No full-table collect anywhere — the input size is unbounded.
+    Deterministic (fixed seed, fixed iteration count, data-deterministic
+    sample)."""
     import pyarrow as pa
 
+    from pyspark import StorageLevel
     from pyspark.sql import Window
+    from pyspark.sql.types import (
+        ArrayType, DoubleType, LongType, StructField, StructType)
+
+    from ..spark.skew import deterministic_sample
 
     v = df.select(F.col(id_col).alias("id"),
                   F.col(vec_col).cast("array<double>").alias("vec"))
-    pdf = v.toPandas()
-    if len(pdf) > max_broadcast_rows:
-        raise ValueError(
-            f"{len(pdf)} embeddings exceed max_broadcast_rows={max_broadcast_rows}; "
-            "train on a sample and assign clusters in mapInArrow at scale")
-    id_values = pdf["id"].to_numpy()
-    order = np.argsort(id_values, kind="stable")
-    id_sorted = id_values[order]
-    E = np.stack(pdf["vec"].to_numpy()[order]).astype(np.float64)
-    E /= np.linalg.norm(E, axis=1, keepdims=True)
-    n = len(E)
 
-    # spherical k-means (deterministic): seed centroids from fixed rows
+    # --- 1. bounded-sample k-means training (driver-side, O(train_rows)) ---
+    sample = np.asarray(
+        [r["vec"] for r in
+         deterministic_sample(v, train_rows, "id", salt=seed).collect()],
+        dtype=np.float64)
+    if sample.size == 0:
+        raise ValueError("cannot train IVF centroids: no non-null ids")
+    S = sample / np.linalg.norm(sample, axis=1, keepdims=True)
     rng = np.random.default_rng(seed)
-    cents = E[rng.choice(n, size=min(n_clusters, n), replace=False)].copy()
+    cents = S[rng.choice(len(S), size=min(n_clusters, len(S)),
+                         replace=False)].copy()
     for _ in range(kmeans_iters):
-        sims = E @ cents.T
-        assign = sims.argmax(axis=1)
+        assign = (S @ cents.T).argmax(axis=1)
         for c in range(len(cents)):
-            members = E[assign == c]
+            members = S[assign == c]
             if len(members):
                 m = members.sum(axis=0)
                 norm = np.linalg.norm(m)
                 if norm > 0:
                     cents[c] = m / norm
-    sims = E @ cents.T
-    probes = np.argsort(-sims, axis=1)[:, :n_probe]  # top-n_probe clusters
+    dim = S.shape[1]
+    bc_cents = df.sparkSession.sparkContext.broadcast(cents)
+    eff_probe = min(n_probe, len(cents))
 
-    spark = df.sparkSession
-    bc = spark.sparkContext.broadcast((id_sorted.tolist(), E))
-    slim = spark.createDataFrame(pd.DataFrame({
-        "idx": np.repeat(np.arange(n, dtype=np.int64), n_probe),
-        "cluster": probes.ravel().astype(np.int64),
-    }))
-    a, b = slim.alias("a"), slim.alias("b")
+    # --- 2. distributed assignment: (id, nvec, clusters) per batch ---------
+    id_field = df.schema[id_col]
+    assign_schema = StructType([
+        StructField("id", id_field.dataType),
+        StructField("nvec", ArrayType(DoubleType())),
+        StructField("clusters", ArrayType(LongType())),
+    ])
+
+    def assign_batches(batches):
+        C = bc_cents.value
+        for batch in batches:
+            n = batch.num_rows
+            if not n:
+                continue
+            E = (batch.column(1).flatten().to_numpy()
+                 .reshape(n, dim).astype(np.float64, copy=True))
+            E /= np.linalg.norm(E, axis=1, keepdims=True)
+            sims = E @ C.T
+            probes = np.argsort(-sims, axis=1)[:, :eff_probe].astype(np.int64)
+            offs_v = np.arange(0, (n + 1) * dim, dim, dtype=np.int32)
+            offs_c = np.arange(0, (n + 1) * eff_probe, eff_probe, dtype=np.int32)
+            yield pa.RecordBatch.from_arrays(
+                [batch.column(0),
+                 pa.ListArray.from_arrays(pa.array(offs_v), pa.array(E.ravel())),
+                 pa.ListArray.from_arrays(pa.array(offs_c),
+                                          pa.array(probes.ravel()))],
+                names=["id", "nvec", "clusters"])
+
+    enriched = v.mapInArrow(assign_batches, assign_schema)
+    # consumed by the cluster explode AND both vector join-back sides
+    enriched = enriched.persist(StorageLevel.MEMORY_AND_DISK)
+
+    # --- 3. candidates: slim (cluster, id) self-join ------------------------
+    clustered = enriched.select("id", F.explode("clusters").alias("cluster"))
+    a, b = clustered.alias("a"), clustered.alias("b")
     cand = (
         a.join(b, (F.col("a.cluster") == F.col("b.cluster"))
-               & (F.col("a.idx") != F.col("b.idx")))
-        .select(F.col("a.idx").alias("ia"), F.col("b.idx").alias("ib"))
-        .dropDuplicates(["ia", "ib"])
+               & (F.col("a.id") != F.col("b.id")))
+        .select(F.col("a.id").alias("id"), F.col("b.id").alias("neighbor"))
+        .dropDuplicates(["id", "neighbor"])
     )
-    id_field = df.schema[id_col]
-    out_schema = (f"id {id_field.dataType.simpleString()}, "
-                  f"neighbor {id_field.dataType.simpleString()}, cos double")
 
-    def score(batches):
-        idlist, mat = bc.value
-        idarr = np.asarray(idlist)
-        for batch in batches:
-            ia = batch.column(0).to_numpy()
-            ib = batch.column(1).to_numpy()
-            cos = np.einsum("ij,ij->i", mat[ia], mat[ib])
-            yield pa.RecordBatch.from_arrays(
-                [pa.array(idarr[ia].tolist()), pa.array(idarr[ib].tolist()),
-                 pa.array(cos)],
-                names=["id", "neighbor", "cos"])
-
-    scored = cand.mapInArrow(score, out_schema)
+    # --- 4. verify: join nvecs back, einsum per batch -----------------------
+    va = enriched.select("id", F.col("nvec").alias("_va"))
+    vb = enriched.select(F.col("id").alias("neighbor"),
+                         F.col("nvec").alias("_vb"))
+    scored = _score_pairs_arrow(cand.join(va, "id").join(vb, "neighbor"),
+                                id_field, dim)
     w = Window.partitionBy("id").orderBy(F.desc("cos"), F.asc("neighbor"))
     return (scored.withColumn("rk", F.row_number().over(w))
             .filter(F.col("rk") <= k).drop("rk"))

@@ -180,11 +180,16 @@ def build_state_batches(
                 st = states[key] = agg.make()
             agg.add_arrow(st, tbl)
             continue
-        # group rows by key columns via numpy unique over a row-key codec
+        # group rows by key columns, then ingest each group from a ZERO-COPY
+        # slice of the gid-sorted table: one take() per batch instead of one
+        # gather per key (the per-key take loop cost ~150us/key at 10^5+
+        # keys; slices are O(1) views)
         gids, uniques_rows = _group_ids(tbl, by)
+        order = np.argsort(gids, kind="stable")
+        sorted_tbl = tbl.take(pa.array(order, type=pa.int64()))
+        bounds = np.searchsorted(gids[order], np.arange(len(uniques_rows) + 1))
         for g, krow in enumerate(uniques_rows):
-            idx = np.nonzero(gids == g)[0]
-            sub = tbl.take(pa.array(idx, type=pa.int64()))
+            sub = sorted_tbl.slice(bounds[g], bounds[g + 1] - bounds[g])
             kt = tuple(krow)
             st = states.get(kt)
             if st is None:
@@ -280,20 +285,42 @@ def merge_grouped(
         if keep_state:
             out_fields = out_fields + [StructField("state", BinaryType())]
     out_schema = StructType(out_fields)
+    out_arrow = to_arrow_schema(out_schema)
+    names = [f.name for f in out_schema.fields]
 
-    def final_merge(pdf):
-        import pandas as pd
+    # Vectorized final merge: hash-repartition the blob rows by key so each
+    # task owns whole groups, then ONE Python call per partition walks the
+    # gid-sorted slices (`applyInPandas` costs ~150us of per-group machinery
+    # — at 10^5+ keys that dominates the job; this path pays it once per
+    # partition).
+    def final_merge(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        tbls = [pa.Table.from_batches([b]) for b in batches]
+        if not tbls:
+            return
+        tbl = pa.concat_tables(tbls)
+        if tbl.num_rows == 0:
+            return
+        gids, uniques = _group_ids(tbl, by)
+        states = tbl.column("state").to_pylist()
+        order = np.argsort(gids, kind="stable")
+        bounds = np.searchsorted(gids[order], np.arange(len(uniques) + 1))
+        cols: dict[str, list] = {n: [] for n in names}
+        for g, krow in enumerate(uniques):
+            blob = agg.merge_blobs(
+                [states[i] for i in order[bounds[g]:bounds[g + 1]]])
+            for j, k in enumerate(by):
+                cols[k].append(krow[j])
+            if not states_only:
+                for name, val in agg.finalize(blob).items():
+                    cols[name].append(val)
+            if keep_state or states_only:
+                cols["state"].append(blob)
+        yield pa.RecordBatch.from_arrays(
+            [pa.array(cols[n], type=out_arrow.field(n).type) for n in names],
+            schema=out_arrow)
 
-        blob = agg.merge_blobs(list(pdf["state"]))
-        out = {k: [pdf[k].iloc[0]] for k in by}
-        if not states_only:
-            for name, val in agg.finalize(blob).items():
-                out[name] = [val]
-        if keep_state or states_only:
-            out["state"] = [blob]
-        return pd.DataFrame(out)
-
-    return partials.groupBy(*by).applyInPandas(final_merge, out_schema)
+    n_parts = partials.sparkSession.sparkContext.defaultParallelism
+    return partials.repartition(n_parts, *by).mapInArrow(final_merge, out_schema)
 
 
 def merge_global(
@@ -326,6 +353,75 @@ def merge_global(
     return agg.merge_blobs(blobs)
 
 
+def sketch_build_shuffled(
+    df: DataFrame,
+    agg: SketchAggregator,
+    by: Sequence[str],
+    keep_state: bool = False,
+    states_only: bool = False,
+) -> DataFrame:
+    """One-pass grouped build: hash-shuffle the RAW (key, value) rows so
+    each task owns whole groups, then ONE Python call per partition builds
+    and finalizes exactly one sketch per key (gid-sorted zero-copy slices).
+
+    When to use which strategy:
+    - ``partial`` (build-then-merge, the default): each input partition
+      folds its rows into local per-key states, shuffling only blobs. Wins
+      when rows >> keys — the map-side combine collapses the shuffle.
+    - ``shuffle`` (this): wins when keys ~ rows (tiny groups): the partial
+      path would pay the per-key Python cost (make/add/serialize, then
+      deserialize/merge/finalize) once per (partition x key) with almost no
+      reduction; here each key pays it exactly once, at the cost of
+      shuffling raw rows — which are barely wider than the blobs the
+      partial path shuffles when groups are tiny.
+    """
+    by = list(by)
+    needed = by + [c for c in agg.value_cols if c not in by]
+    pruned = df.select(*needed)
+    key_fields = [f for f in pruned.schema.fields if f.name in by]
+    if states_only:
+        out_fields = key_fields + [StructField("state", BinaryType())]
+    else:
+        out_fields = key_fields + agg.output_fields()
+        if keep_state:
+            out_fields = out_fields + [StructField("state", BinaryType())]
+    out_schema = StructType(out_fields)
+    out_arrow = to_arrow_schema(out_schema)
+    names = [f.name for f in out_schema.fields]
+
+    def build_final(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        # a key's rows can span the partition's Arrow batches: concat first
+        # (memory = one partition of pruned key+value columns)
+        tbls = [pa.Table.from_batches([b]) for b in batches]
+        if not tbls:
+            return
+        tbl = pa.concat_tables(tbls)
+        if tbl.num_rows == 0:
+            return
+        gids, uniques = _group_ids(tbl, by)
+        order = np.argsort(gids, kind="stable")
+        sorted_tbl = tbl.take(pa.array(order, type=pa.int64()))
+        bounds = np.searchsorted(gids[order], np.arange(len(uniques) + 1))
+        cols: dict[str, list] = {n: [] for n in names}
+        for g, krow in enumerate(uniques):
+            st = agg.make()
+            agg.add_arrow(st, sorted_tbl.slice(bounds[g], bounds[g + 1] - bounds[g]))
+            blob = agg.state_bytes(st)
+            for j, k in enumerate(by):
+                cols[k].append(krow[j])
+            if not states_only:
+                for name, val in agg.finalize(blob).items():
+                    cols[name].append(val)
+            if keep_state or states_only:
+                cols["state"].append(blob)
+        yield pa.RecordBatch.from_arrays(
+            [pa.array(cols[n], type=out_arrow.field(n).type) for n in names],
+            schema=out_arrow)
+
+    n_parts = pruned.sparkSession.sparkContext.defaultParallelism
+    return pruned.repartition(n_parts, *by).mapInArrow(build_final, out_schema)
+
+
 # ---------------------------------------------------------------------------
 # High-level entry
 # ---------------------------------------------------------------------------
@@ -338,12 +434,22 @@ def sketch_aggregate(
     merge_rounds: int = 1,
     fanout: int = DEFAULT_FANOUT,
     keep_state: bool = False,
+    strategy: str = "partial",
 ):
     """Run the full two-phase aggregation.
 
     Grouped (``by`` given): returns a DataFrame, one row per key.
     Global: returns the finalize() dict (driver-side result).
-    """
+
+    ``strategy`` (grouped only): ``"partial"`` = build local states per
+    input partition, shuffle blobs, merge (wins when rows >> keys);
+    ``"shuffle"`` = hash-shuffle raw rows by key, build+finalize each
+    key's sketch exactly once (wins at high key cardinality with small
+    groups — see ``sketch_build_shuffled``)."""
+    if strategy not in ("partial", "shuffle"):
+        raise ValueError(f"unknown strategy {strategy!r}")
+    if by and strategy == "shuffle":
+        return sketch_build_shuffled(df, agg, by, keep_state=keep_state)
     partials = build_partials(df, agg, by)
     if by:
         return merge_grouped(partials, agg, by, merge_rounds=merge_rounds, fanout=fanout,

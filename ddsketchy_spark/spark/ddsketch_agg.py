@@ -268,13 +268,18 @@ def _group_walk(m: LogMapping, regions, keys, counts, mins, qs,
 
 def _native_grouped_vectorized(
     kc: DataFrame, by: Sequence[str], alpha: float, max_bins: int,
-    quantiles: Sequence[float],
+    quantiles: Sequence[float], keep_state: bool = False,
 ) -> DataFrame:
     """Assemble grouped estimates with ONE Python call per Arrow partition
     instead of one per key (`applyInPandas` costs ~150us/group — at 10^5+
     keys that dominates the job). Bucket rows are hash-repartitioned by the
     group key so each task owns whole groups, then a NumPy group-walk runs
-    per key slice."""
+    per key slice.
+
+    ``keep_state=True`` additionally serializes each group's sketch: the
+    slice is assembled into a real DDSketch (estimates come from it, so
+    outputs stay bit-identical to the blob) and its ``to_bytes()`` rides
+    along as a binary column — same one-call-per-partition shape."""
     import pyarrow as pa
 
     from .agg import to_arrow_schema, _group_ids
@@ -283,11 +288,14 @@ def _native_grouped_vectorized(
     by = list(by)
     qs = list(quantiles)
     key_fields = [f for f in kc.schema.fields if f.name in by]
+    from pyspark.sql.types import BinaryType
+
     out_schema = StructType(key_fields + [
         StructField("count", LongType()), StructField("sum", DoubleType()),
         StructField("mean", DoubleType()), StructField("min", DoubleType()),
         StructField("max", DoubleType()),
-    ] + [StructField(quantile_label(q), DoubleType()) for q in qs])
+    ] + [StructField(quantile_label(q), DoubleType()) for q in qs]
+      + ([StructField("state", BinaryType())] if keep_state else []))
     in_arrow = to_arrow_schema(StructType(key_fields))
     walk_qs = [0.0] + qs + [1.0]  # min/max are quantile(0)/quantile(1)
 
@@ -310,13 +318,21 @@ def _native_grouped_vectorized(
         out_rows: list[list] = [[] for _ in range(len(out_schema))]
         for g, krow in enumerate(uniques):
             sl = order[bounds[g]:bounds[g + 1]]
+            col = 0
+            for j in range(len(by)):
+                out_rows[col].append(krow[j]); col += 1
+            if keep_state:
+                sk = sketch_from_key_counts(
+                    regions[sl], keys[sl], counts[sl], sums[sl],
+                    mins[sl], maxs[sl], alpha, max_bins)
+                for val in _estimates(sk, qs).values():
+                    out_rows[col].append(val); col += 1
+                out_rows[col].append(sk.to_bytes()); col += 1
+                continue
             walked = _group_walk(m, regions[sl], keys[sl], counts[sl],
                                  mins[sl], walk_qs, max_bins)
             total = int(counts[sl].sum())
             s = float(sums[sl].sum())
-            col = 0
-            for j in range(len(by)):
-                out_rows[col].append(krow[j]); col += 1
             out_rows[col].append(total); col += 1
             out_rows[col].append(s); col += 1
             out_rows[col].append(s / total if total else 0.0); col += 1
@@ -328,6 +344,8 @@ def _native_grouped_vectorized(
         for j, f in enumerate(out_schema.fields):
             if j < len(by):
                 arrays.append(pa.array(out_rows[j], type=in_arrow.field(f.name).type))
+            elif isinstance(f.dataType, BinaryType):
+                arrays.append(pa.array(out_rows[j], type=pa.binary()))
             elif f.dataType == LongType():
                 arrays.append(pa.array(out_rows[j], type=pa.int64()))
             else:
@@ -344,32 +362,10 @@ def _native_grouped(
 ) -> DataFrame:
     by = list(by)
     kc = _native_key_counts(df, value_col, by, alpha)
-    if not keep_state:
-        # one Python call per partition (scales to millions of group keys);
-        # the applyInPandas path below exists only for keep_state=True
-        return _native_grouped_vectorized(kc, by, alpha, max_bins, quantiles)
-    from pyspark.sql.types import BinaryType
-
-    helper = DDSketchAggregator(value_col, alpha=alpha, max_bins=max_bins, quantiles=quantiles)
-    key_fields = [f for f in kc.schema.fields if f.name in by]
-    schema = StructType(key_fields + helper.output_fields()
-                        + [StructField("state", BinaryType())])
-
-    def assemble(pdf):
-        import pandas as pd
-
-        sk = sketch_from_key_counts(
-            pdf["region"].to_numpy(), pdf["key"].to_numpy(), pdf["c"].to_numpy(),
-            pdf["s"].to_numpy(), pdf["mn"].to_numpy(), pdf["mx"].to_numpy(),
-            alpha, max_bins,
-        )
-        row = {k: [pdf[k].iloc[0]] for k in by}
-        for name, val in _estimates(sk, quantiles).items():
-            row[name] = [val]
-        row["state"] = [sk.to_bytes()]
-        return pd.DataFrame(row)
-
-    return kc.groupBy(*by).applyInPandas(assemble, schema)
+    # one Python call per partition (scales to millions of group keys),
+    # with or without per-group state blobs
+    return _native_grouped_vectorized(kc, by, alpha, max_bins, quantiles,
+                                      keep_state=keep_state)
 
 
 def _estimates(sk: DDSketch, quantiles: Sequence[float]) -> dict[str, Any]:

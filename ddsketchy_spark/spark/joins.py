@@ -119,6 +119,7 @@ def asof_join(
     by: Sequence[str],
     value_cols: Sequence[str],
     how: str = "inner",
+    time_buckets: int | None = None,
 ) -> DataFrame:
     """AS-OF join: each left row picks the LATEST right row with
     ``right.ts <= left.ts`` within the same ``by`` key (backward,
@@ -137,6 +138,14 @@ def asof_join(
     dropped (the ``<=`` predicate is unknowable for them), and left rows
     with NULL ``ts_col`` come back unmatched (NULLS FIRST ordering places
     them before every right row in the carry-forward window).
+
+    ``time_buckets``: hot-key escape hatch. The window sort serializes each
+    ``by`` key into one task — one dominant key (a user with 10^8 events)
+    becomes the straggler. With ``time_buckets=N`` the timeline is split at
+    global ts quantiles into N ranges, each (key, range) sorts
+    independently in parallel, and a tiny per-(key, range) "carry-in"
+    aggregate (the latest right row BEFORE each range) stitches the ranges
+    together — same results, max task size ~1/N of the hot key.
     """
     from pyspark.sql import Window
 
@@ -181,13 +190,56 @@ def asof_join(
     # right rows sort BEFORE left rows at equal ts => inclusive (<=) match;
     # _rv as the final key makes right-right ts ties deterministic (the
     # greatest value-struct wins)
-    w = (Window.partitionBy(*by)
-         .orderBy(F.col(ts_col).asc(), F.col("_is_left").asc(),
+    order_cols = (F.col(ts_col).asc(), F.col("_is_left").asc(),
                   F.col("_rv").asc_nulls_first())
-         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    carried = unioned.select(
-        "*", F.last(F.when(F.col("_is_left") == 0, F.col("_rv")),
-                    ignorenulls=True).over(w).alias("_asof"))
+    if time_buckets is not None and time_buckets > 1:
+        # hot-key path: split the timeline at global ts quantiles so each
+        # (key, range) sorts independently; stitch with a per-range carry-in
+        for tmp in ("_tb", "_bf", "_ci"):
+            if tmp in left.columns or tmp in right.columns:
+                raise ValueError(f"reserved column name {tmp!r} present in input")
+        tsd = F.col(ts_col).cast("double")
+        qs = [i / time_buckets for i in range(1, time_buckets)]
+        cuts = sorted(set(
+            unioned.select(tsd.alias("_tsd")).approxQuantile("_tsd", qs, 0.001)))
+        # bucket id = #cuts strictly below ts: monotone in ts, so every right
+        # row in an earlier bucket has ts <= (in fact <) any ts here; equal
+        # timestamps always share a bucket. NULL ts compares to 0 cuts ->
+        # bucket 0 with no carry-in: unmatched, as documented.
+        bucket = F.size(F.filter(
+            F.array(*[F.lit(float(c)) for c in cuts]),
+            lambda c: c < tsd)).cast("long")
+        unioned = unioned.withColumn("_tb", bucket)
+        w_local = (Window.partitionBy(*by, "_tb")
+                   .orderBy(*order_cols)
+                   .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        local = unioned.select(
+            "*", F.last(F.when(F.col("_is_left") == 0, F.col("_rv")),
+                        ignorenulls=True).over(w_local).alias("_asof_local"))
+        # latest right row per (key, bucket): max (ts, _rv) struct — the same
+        # winner the window ordering picks at equal ts
+        finals = (unioned.where(F.col("_is_left") == 0)
+                  .groupBy(*by, "_tb")
+                  .agg(F.max(F.struct(F.col(ts_col).alias("_t"),
+                                      F.col("_rv").alias("_v"))).alias("_bf")))
+        spine = unioned.select(*by, "_tb").distinct()
+        w_carry = (Window.partitionBy(*by).orderBy("_tb")
+                   .rowsBetween(Window.unboundedPreceding, -1))
+        carry = (spine.join(finals, [*by, "_tb"], "left")
+                 .select(*by, "_tb",
+                         F.last("_bf", ignorenulls=True).over(w_carry)
+                         .alias("_ci")))
+        carried = (local.join(carry, [*by, "_tb"], "left")
+                   .withColumn("_asof", F.coalesce(F.col("_asof_local"),
+                                                   F.col("_ci._v")))
+                   .drop("_asof_local", "_ci", "_tb"))
+    else:
+        w = (Window.partitionBy(*by)
+             .orderBy(*order_cols)
+             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        carried = unioned.select(
+            "*", F.last(F.when(F.col("_is_left") == 0, F.col("_rv")),
+                        ignorenulls=True).over(w).alias("_asof"))
     out = (carried.where(F.col("_is_left") == 1)
            .select(*[c for c in left.columns],
                    F.col("_asof").isNotNull().alias("_matched"),

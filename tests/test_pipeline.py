@@ -108,6 +108,91 @@ def test_cosine_topk_and_lsh(spark, sf001_dir):
     assert hits / len(true_nn) > 0.6, hits / len(true_nn)
 
 
+def test_minhash_lsh_local_parity(spark, docs_with_dups):
+    """verify='local' (fully distributed, no broadcast matrix) must produce
+    the exact pair set and est_jaccard values of verify='broadcast'."""
+    kw = dict(num_perm=64, bands=16)
+    bp = {(r["id_a"], r["id_b"]): r["est_jaccard"] for r in
+          minhash_lsh_pairs(docs_with_dups, verify="broadcast", **kw).collect()}
+    lp = {(r["id_a"], r["id_b"]): r["est_jaccard"] for r in
+          minhash_lsh_pairs(docs_with_dups, verify="local", **kw).collect()}
+    assert bp == lp and len(bp) > 0
+    # auto mode falls over to local above the broadcast cap — same result
+    ap = {(r["id_a"], r["id_b"]): r["est_jaccard"] for r in
+          minhash_lsh_pairs(docs_with_dups, verify="auto",
+                            max_broadcast_rows=10, **kw).collect()}
+    assert ap == bp
+    # explicit broadcast above the cap still refuses (user asked for it)
+    with pytest.raises(ValueError, match="max_broadcast_rows"):
+        minhash_lsh_pairs(docs_with_dups, verify="broadcast",
+                          max_broadcast_rows=10, **kw)
+
+
+def test_minhash_lsh_max_bucket_size(spark):
+    """The degenerate-bucket cap drops exactly the oversized buckets'
+    pairs, identically in both engines: a 12-doc boilerplate clique is
+    gone, an ordinary duplicate pair survives."""
+    rows = [(i, "spam spam lorem ipsum dolor sit amet boilerplate")
+            for i in range(12)]
+    rows += [(100, "a genuinely unique document about owls and rivers"),
+             (101, "a genuinely unique document about owls and rivers"),
+             (102, "completely unrelated text mentioning quasars instead")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    kw = dict(num_perm=64, bands=16, max_bucket_size=5)
+    bp = {(r["id_a"], r["id_b"]) for r in
+          minhash_lsh_pairs(docs, verify="broadcast", **kw).collect()}
+    lp = {(r["id_a"], r["id_b"]) for r in
+          minhash_lsh_pairs(docs, verify="local", **kw).collect()}
+    assert bp == lp
+    assert (100, 101) in bp                      # small bucket survives
+    assert not any(a < 12 and b < 12 for a, b in bp)  # clique dropped
+    # without the cap the clique's 66 pairs are all present
+    full = {(r["id_a"], r["id_b"]) for r in
+            minhash_lsh_pairs(docs, verify="local", num_perm=64,
+                              bands=16).collect()}
+    assert sum(a < 12 and b < 12 for a, b in full) == 66
+
+
+def test_lsh_cosine_local_parity(spark, sf001_dir):
+    """verify='local' must produce the same top-k rows and cosines as
+    verify='broadcast' (identical NumPy signature + scoring math)."""
+    emb = spark.read.parquet(f"{sf001_dir}/embeddings.parquet")
+    kw = dict(k=3, n_planes=16, bands=8, dim=64)
+    bp = {(r["id"], r["neighbor"]): r["cos"] for r in
+          lsh_cosine_topk(emb, verify="broadcast", **kw).collect()}
+    lp = {(r["id"], r["neighbor"]): r["cos"] for r in
+          lsh_cosine_topk(emb, verify="local", **kw).collect()}
+    assert set(bp) == set(lp)
+    for key in bp:
+        assert bp[key] == pytest.approx(lp[key], abs=1e-12)
+    # auto above the cap = local
+    ap = {(r["id"], r["neighbor"]) for r in
+          lsh_cosine_topk(emb, verify="auto", max_broadcast_rows=10,
+                          **kw).collect()}
+    assert ap == set(bp)
+
+
+def test_ivf_sample_trained(spark, sf001_dir):
+    """IVF trains on a bounded deterministic sample: recall holds even when
+    train_rows is far below the table size, and results stay deterministic
+    across partitionings."""
+    from ddsketchy_spark.pipeline.similarity import ivf_cosine_topk
+
+    emb = spark.read.parquet(f"{sf001_dir}/embeddings.parquet")
+    exact = cosine_topk(emb, k=1)
+    true_nn = {r["id"]: r["neighbor"] for r in exact.collect()}
+    approx = ivf_cosine_topk(emb, k=3, n_clusters=8, n_probe=3, train_rows=60)
+    by_id = {}
+    for r in approx.collect():
+        by_id.setdefault(r["id"], set()).add(r["neighbor"])
+    hits = sum(1 for i, nn in true_nn.items() if nn in by_id.get(i, set()))
+    assert hits / len(true_nn) > 0.5, hits / len(true_nn)
+    again = {(r["id"], r["neighbor"]) for r in
+             ivf_cosine_topk(emb.repartition(7), k=3, n_clusters=8,
+                             n_probe=3, train_rows=60).collect()}
+    assert {(r["id"], r["neighbor"]) for r in approx.collect()} == again
+
+
 def test_ivf_cosine_topk(spark, sf001_dir):
     from ddsketchy_spark.pipeline.similarity import ivf_cosine_topk
 

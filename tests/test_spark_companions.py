@@ -301,6 +301,80 @@ def test_hll_grouped_vectorized_high_cardinality(spark):
     assert all(abs(r["distinct_est"] - 40) <= 2 for r in rows)
 
 
+def test_shuffle_strategy_matches_partial(spark, token_table_path):
+    """strategy='shuffle' (one-pass shuffle-then-build) must reproduce the
+    partial/merge engine's grouped outputs for both a merge-exact sketch
+    (HLL) and an order-sensitive one (t-digest: tiny groups -> one partial
+    each, so merge order cannot diverge), including NULL keys and
+    keep_state blobs."""
+    from pyspark.sql import functions as F
+
+    from ddsketchy_spark.core.hll import HyperLogLog
+    from ddsketchy_spark.spark.agg import sketch_aggregate
+    from ddsketchy_spark.spark.companions import HLLAggregator, TDigestAggregator
+
+    df = (spark.read.parquet(token_table_path).limit(30_000)
+          .withColumn("k", F.when(F.col("n_tok") % 11 == 0, None)
+                      .otherwise(F.col("n_tok") % 500).cast("long")))
+    hagg = HLLAggregator("doc_id", p=12)
+    a = {r["k"]: r["distinct_est"] for r in
+         sketch_aggregate(df, hagg, by=["k"]).collect()}
+    b = {r["k"]: r["distinct_est"] for r in
+         sketch_aggregate(df, hagg, by=["k"], strategy="shuffle").collect()}
+    assert a == b and len(a) == 501  # 500 keys + the NULL group
+
+    # keep_state blobs decode to the same registers
+    sa = {r["k"]: bytes(r["state"]) for r in
+          sketch_aggregate(df, hagg, by=["k"], keep_state=True).collect()}
+    sb = {r["k"]: bytes(r["state"]) for r in
+          sketch_aggregate(df, hagg, by=["k"], keep_state=True,
+                           strategy="shuffle").collect()}
+    for k in sa:
+        assert (HyperLogLog.from_bytes(sa[k]).cardinality()
+                == HyperLogLog.from_bytes(sb[k]).cardinality()), k
+
+    # t-digest: counts must agree exactly; quantile estimates may differ
+    # slightly between merge orders (a multi-partition group's digests
+    # compress differently than one single-pass build) — both stay within
+    # the digest's accuracy envelope
+    tagg = TDigestAggregator("n_tok", 200.0, (0.5, 0.99))
+    ta = {r["k"]: r for r in sketch_aggregate(df, tagg, by=["k"]).collect()}
+    tb = {r["k"]: r for r in
+          sketch_aggregate(df, tagg, by=["k"], strategy="shuffle").collect()}
+    assert set(ta) == set(tb)
+    for k, ra in ta.items():
+        rb = tb[k]
+        assert ra["count"] == rb["count"], k
+        for col in ("p50", "p99"):
+            assert rb[col] == pytest.approx(ra[col], rel=0.02), (k, col)
+
+    with pytest.raises(ValueError, match="strategy"):
+        sketch_aggregate(df, tagg, by=["k"], strategy="bogus")
+
+
+def test_native_grouped_keepstate_blobs(spark, token_table_path):
+    """Grouped keep_state=True (vectorized path): per-key blobs decode to
+    sketches whose quantiles equal the emitted columns, and merging all
+    blobs equals the global sketch."""
+    from ddsketchy_spark.core.ddsketch import DDSketch
+    from ddsketchy_spark.spark.ddsketch_agg import ddsketch_quantiles, quantile_label
+
+    df = spark.read.parquet(token_table_path).limit(50_000)
+    rows = ddsketch_quantiles(df, "n_tok", by=["source"], alpha=0.01,
+                              quantiles=(0.5, 0.99), keep_state=True).collect()
+    assert len(rows) > 1
+    merged = None
+    for r in rows:
+        sk = DDSketch.from_bytes(bytes(r["state"]))
+        assert sk.count == r["count"]
+        assert sk.quantile_opt(0.5) == r[quantile_label(0.5)]
+        assert sk.quantile_opt(0.99) == r[quantile_label(0.99)]
+        merged = sk if merged is None else (merged.merge(sk) or merged)
+    glob = ddsketch_quantiles(df, "n_tok", alpha=0.01, quantiles=(0.5,))
+    assert merged.count == glob["count"]
+    assert merged.quantile_opt(0.5) == glob[quantile_label(0.5)]
+
+
 def test_asof_join_semantics(spark):
     """Backward-inclusive as-of: each left row gets the latest right value
     at or before its timestamp, per key; inner drops unmatched."""
@@ -420,6 +494,41 @@ def test_asof_join_null_timestamps(spark):
     assert inner == []                           # nothing precedes t=5
     left = asof_join(trades, quotes, "ts", ["sym"], ["px"], how="left").collect()
     assert {r["qty"]: r["px"] for r in left} == {1.0: None, 2.0: None}
+
+
+def test_asof_join_time_buckets_parity(spark):
+    """The hot-key time-bucketed path must reproduce the single-window path
+    exactly — including ts ties, NULL right values, NULL keys/timestamps,
+    and one key holding ~90% of the rows."""
+    import numpy as np
+
+    from ddsketchy_spark.spark.joins import asof_join
+
+    rng = np.random.default_rng(5)
+    n_hot, n_cold = 900, 100
+    lrows = [("hot", float(t), i) for i, t in
+             enumerate(rng.integers(0, 500, n_hot))]
+    lrows += [(f"k{i % 7}", float(t), 10_000 + i) for i, t in
+              enumerate(rng.integers(0, 500, n_cold))]
+    lrows += [(None, 50.0, 99_990), ("hot", None, 99_991)]
+    left = spark.createDataFrame(lrows, "sym string, ts double, lid long")
+    rrows = [("hot", float(t), float(p) if p % 9 else None) for t, p in
+             zip(rng.integers(0, 500, 300), rng.integers(1, 1000, 300))]
+    rrows += [(f"k{i % 7}", float(t), float(i)) for i, t in
+              enumerate(rng.integers(0, 500, 60))]
+    rrows += [("hot", 123.0, 1.0), ("hot", 123.0, 2.0),  # right-right tie
+              (None, 10.0, 77.0), ("hot", None, 88.0)]
+    right = spark.createDataFrame(rrows, "sym string, ts double, px double")
+
+    for how in ("inner", "left"):
+        plain = {(r["sym"], r["lid"]): r["px"] for r in
+                 asof_join(left, right, "ts", ["sym"], ["px"],
+                           how=how).collect()}
+        bucketed = {(r["sym"], r["lid"]): r["px"] for r in
+                    asof_join(left, right, "ts", ["sym"], ["px"], how=how,
+                              time_buckets=8).collect()}
+        assert bucketed == plain, how
+    assert len(plain) > 0
 
 
 def test_interval_join_point_intervals_auto_width(spark):
