@@ -568,6 +568,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["minhash_lsh_bucketlocal_parity"] = minhash_lsh_bucketlocal_parity
 
+    def dedup_near_text_documents(spark, sf):
+        """End-to-end near-dup text dedup through the fully distributed
+        pipeline (LSH verify='local' -> threshold -> connected components
+        -> canonical keep). Invariants checked against the md5 ground
+        truth: every exact-duplicate group lands in ONE component (LSH
+        recall on Jaccard-1.0 pairs is structural), each component keeps
+        exactly one doc, and the kept count can't exceed the md5-distinct
+        count (at minimum, exact dups were removed)."""
+        from ddsketchy_spark.pipeline.dedup import dedup_near_text
+
+        dfd = _docs_with_dups(spark, sf)
+        res = dedup_near_text(dfd, threshold=0.8, num_perm=128, bands=32,
+                              verify="local")
+        fp = dfd.select("doc_id",
+                        F.md5(F.lower(F.trim(F.col("text")))).alias("fp"))
+        labeled = res.join(fp, "doc_id")
+        split_groups = (labeled.groupBy("fp")
+                        .agg(F.countDistinct("component").alias("nc"))
+                        .filter("nc > 1").count())
+        bad_keeps = (labeled.groupBy("component")
+                     .agg(F.sum(F.col("keep").cast("long")).alias("nk"))
+                     .filter("nk != 1").count())
+        n_docs = res.count()
+        n_kept = res.filter("keep").count()
+        md5_groups = fp.select("fp").distinct().count()
+        return spark.createDataFrame(
+            [(int(n_docs), bool(split_groups == 0), bool(bad_keeps == 0),
+              bool(n_kept <= md5_groups))],
+            "n_docs long, exact_groups_single_component boolean, "
+            "one_keep_per_component boolean, kept_le_md5_groups boolean")
+
+    q["dedup_near_text_documents"] = dedup_near_text_documents
+
     # -- relational coverage: classic aggregations + broadcast joins --------
 
     def _r2(c):
@@ -1003,6 +1036,18 @@ SELECT CAST(sum(c * (c - 1) / 2) AS BIGINT) AS exact_dup_pairs,
        CAST(0 AS BIGINT) AS pair_sym_diff,
        CAST(0 AS BIGINT) AS est_mismatches
 FROM g WHERE c > 1
+"""
+    o["dedup_near_text_documents"] = """
+WITH all_docs AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000, text FROM documents WHERE doc_id < 50
+)
+SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       TRUE AS exact_groups_single_component,
+       TRUE AS one_keep_per_component,
+       TRUE AS kept_le_md5_groups
+FROM all_docs
 """
     o["winnowing_fingerprints_docs"] = _winnowing_sql(k=5, window=4)
     o["lsh_cosine_topk_embeddings"] = """

@@ -521,6 +521,49 @@ def cosine_near_pairs(
     raise ValueError(f"unknown method {method!r}")
 
 
+def dedup_near_text(
+    df: DataFrame,
+    threshold: float = 0.8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = 128,
+    bands: int = 32,
+    shingle_k: int = 3,
+    seed: int = 1,
+    verify: str = "auto",
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """End-to-end text near-duplicate dedup — the 100-TB training-data
+    pipeline composition: MinHash-LSH candidate pairs (``verify="local"``
+    is fully distributed: no driver collect, no broadcast matrix, no
+    corpus-size ceiling), thresholded on estimated Jaccard, clustered with
+    min-label connected components, min id kept as the canonical survivor.
+
+    Returns (id_col, component, keep): component = cluster id (min member
+    id), keep = this row is the cluster's canonical representative.
+    Singletons keep themselves. Exact duplicates (Jaccard 1.0) always land
+    in one cluster: every signature slot agrees, so every band agrees, so
+    they are LSH candidates with est_jaccard 1.0 >= any threshold <= 1.
+
+    Every stage shuffles int/id rows only (never text): bands*n banded
+    rows, |pairs| verification rows, O(diameter) rounds of (node, label)
+    rows. Degenerate boilerplate buckets can be capped with
+    ``max_bucket_size`` — their members are caught by exact dedup anyway."""
+    pairs = minhash_lsh_pairs(
+        df, text_col=text_col, id_col=id_col, num_perm=num_perm,
+        bands=bands, shingle_k=shingle_k, seed=seed, verify=verify,
+        max_bucket_size=max_bucket_size,
+    ).filter(F.col("est_jaccard") >= threshold)
+    comp = connected_components(pairs, "id_a", "id_b")
+    ids = df.select(F.col(id_col))
+    joined = ids.join(comp, ids[id_col] == comp["node"], "left")
+    return joined.select(
+        F.col(id_col),
+        F.coalesce(F.col("comp"), F.col(id_col)).alias("component"),
+        (F.coalesce(F.col("comp"), F.col(id_col)) == F.col(id_col)).alias("keep"),
+    )
+
+
 def dedup_semantic(
     df: DataFrame,
     threshold: float = 0.9,

@@ -108,6 +108,35 @@ def test_cosine_topk_and_lsh(spark, sf001_dir):
     assert hits / len(true_nn) > 0.6, hits / len(true_nn)
 
 
+def test_dedup_near_text_end_to_end(spark, docs_with_dups):
+    """LSH pairs -> connected components -> keep set, through the fully
+    distributed verify='local' engine: every planted exact dup is folded
+    into its original's cluster (min id kept), near-dups mostly merge too,
+    untouched docs keep themselves, one keep per component."""
+    from ddsketchy_spark.pipeline.dedup import dedup_near_text
+
+    res = dedup_near_text(docs_with_dups, threshold=0.8, num_perm=128,
+                          bands=32, verify="local").cache()
+    rows = {r["doc_id"]: r for r in res.collect()}
+    assert len(rows) == docs_with_dups.count()
+    # exact dup copies always cluster with the original (the corpus itself
+    # may contain near-dups among originals, so the component root can be a
+    # smaller id than i); the planted copy (id+100000) is never the keeper
+    for i in range(20):
+        assert rows[i + 100000]["component"] == rows[i]["component"] <= i
+        assert not rows[i + 100000]["keep"]
+    # near-dups (one appended word, J ~ len/(len+1)) mostly merge at 0.8
+    merged = sum(rows[i + 200000]["component"] == rows[i]["component"]
+                 for i in range(20, 40))
+    assert merged >= 15, merged
+    # one keep per component, and keeps == components
+    comps = {}
+    for r in rows.values():
+        comps.setdefault(r["component"], []).append(r["keep"])
+    assert all(sum(k) == 1 for k in comps.values())
+    res.unpersist()
+
+
 def test_minhash_lsh_local_parity(spark, docs_with_dups):
     """verify='local' (fully distributed, no broadcast matrix) must produce
     the exact pair set and est_jaccard values of verify='broadcast'."""
