@@ -82,6 +82,29 @@ def test_word_jaccard_exact(spark, docs_with_dups):
     assert {(i, i + 100000) for i in range(20)} <= exact_pairs
 
 
+def test_word_jaccard_allpairs_parity(spark, docs_with_dups):
+    """The prefix-filtered AllPairs join (the scale engine) must produce
+    the exact pair set AND jaccard values of the cartesian baseline, at a
+    loose threshold (many near pairs, exercises size/prefix filters) and
+    at a tight one; NULL text rows never pair under either engine."""
+    docs = docs_with_dups.select("doc_id", "text").unionByName(
+        spark.createDataFrame([(999_999, None)], "doc_id long, text string"))
+    for t in (0.5, 0.999):
+        cart = {(r["id_a"], r["id_b"]): r["jaccard"] for r in
+                word_jaccard_pairs(docs, threshold=t,
+                                   method="cartesian").collect()}
+        ap = {(r["id_a"], r["id_b"]): r["jaccard"] for r in
+              word_jaccard_pairs(docs, threshold=t,
+                                 method="allpairs").collect()}
+        assert set(ap) == set(cart), t
+        for k in cart:
+            assert ap[k] == cart[k], (t, k)
+        assert not any(999_999 in k for k in ap)
+    assert len(cart) > 0
+    with pytest.raises(ValueError, match="method"):
+        word_jaccard_pairs(docs, method="bogus")
+
+
 def test_cosine_topk_and_lsh(spark, sf001_dir):
     emb = spark.read.parquet(f"{sf001_dir}/embeddings.parquet")
     exact = cosine_topk(emb, k=3)

@@ -151,6 +151,34 @@ def main() -> None:
         reject=[r"Join", r"CartesianProduct"],
     )
 
+    # AllPairs word-Jaccard: equi hash/sort-merge joins only — the whole
+    # point is replacing the cartesian with prefix-filtered candidates;
+    # all native (no Python eval anywhere)
+    from ddsketchy_spark.pipeline.dedup import word_jaccard_pairs
+
+    wj = word_jaccard_pairs(docs, threshold=0.8, method="allpairs")
+    results["word_jaccard_allpairs"] = audit(
+        "word_jaccard_allpairs", wj,
+        want=[r"(ShuffledHashJoin|SortMergeJoin|BroadcastHashJoin)"],
+        reject=[r"CartesianProduct", r"BroadcastNestedLoopJoin",
+                r"BatchEvalPython", r"ArrowEvalPython",
+                r"FlatMapGroupsInPandas"],
+    )
+
+    # LSH local verify: candidate self-join + sig join-back must be equi
+    # joins; the only Python is the mapInArrow signature pass (no per-group
+    # applyInPandas, no cartesian)
+    from ddsketchy_spark.pipeline.dedup import minhash_lsh_pairs
+
+    ml = minhash_lsh_pairs(docs, num_perm=32, bands=8, verify="local")
+    results["minhash_lsh_local"] = audit(
+        "minhash_lsh_local", ml,
+        want=[r"(ShuffledHashJoin|SortMergeJoin|BroadcastHashJoin)",
+              r"(MapInArrow|PythonMapInArrow|ArrowEvalPython)"],
+        reject=[r"CartesianProduct", r"BroadcastNestedLoopJoin",
+                r"FlatMapGroupsInPandas"],
+    )
+
     print("\nsummary:", {k: ("OK" if v else "FAIL") for k, v in results.items()})
     spark.stop()
     sys.exit(0 if all(results.values()) else 1)
