@@ -1,3 +1,4 @@
+from .stream_dedup import stream_dedup_exact
 from .stream_agg import (
     StreamingSketch,
     stream_ddsketch,
@@ -14,4 +15,5 @@ __all__ = [
     "stream_ddsketch_sessions",
     "stream_sketch_by_key",
     "stream_ddsketch_windowed",
+    "stream_dedup_exact",
 ]

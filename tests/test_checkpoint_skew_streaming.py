@@ -471,3 +471,62 @@ def test_streaming_sessions_bridge_and_timezone(spark, tmp_path):
         assert span == 110.0
     finally:
         spark.conf.set("spark.sql.session.timeZone", old_tz)
+
+
+def test_streaming_dedup_exact(spark, tmp_path):
+    """File-source document stream with planted duplicates: exactly one
+    row per distinct text survives (the first-seen), NULL-text rows all
+    pass through; matches batch dedup_exact's digest law."""
+    from ddsketchy_spark.pipeline.dedup import dedup_exact
+    from ddsketchy_spark.streaming import stream_dedup_exact
+
+    src = str(tmp_path / "docs_src")
+    texts = [f"document number {i % 40} body text" for i in range(120)]
+    rows = [(i, texts[i]) for i in range(120)]
+    rows += [(1000, None), (1001, None)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    df.repartition(6).write.parquet(src)
+
+    stream = (spark.readStream.schema(df.schema)
+              .option("maxFilesPerTrigger", "2").parquet(src))
+    out = stream_dedup_exact(stream)
+    query = (out.writeStream.format("memory").queryName("sdedup")
+             .outputMode("append")
+             .option("checkpointLocation", str(tmp_path / "sdck"))
+             .trigger(availableNow=True).start())
+    query.awaitTermination(120)
+    got = spark.sql("SELECT doc_id, text FROM sdedup").collect()
+    kept_texts = [r["text"] for r in got if r["text"] is not None]
+    assert sorted(kept_texts) == sorted({t for t in texts})
+    assert sum(r["text"] is None for r in got) == 2
+    # batch operator keeps the same distinct-text count
+    assert dedup_exact(df).count() == 40 + 2
+
+
+def test_streaming_dedup_within_watermark(spark, tmp_path):
+    """The bounded-state variant: duplicates within the watermark window
+    are dropped; every distinct text still appears at least once."""
+    from ddsketchy_spark.streaming import stream_dedup_exact
+
+    src = str(tmp_path / "docs_ts_src")
+    rows = [(i, f"2024-01-01 10:{i % 5:02d}:00", f"text body {i % 10}")
+            for i in range(60)]
+    from pyspark.sql import functions as F
+
+    df = (spark.createDataFrame(rows, "doc_id long, ts_s string, text string")
+          .withColumn("ts", F.to_timestamp("ts_s")).drop("ts_s"))
+    df.repartition(4).write.parquet(src)
+
+    stream = (spark.readStream.schema(df.schema)
+              .option("maxFilesPerTrigger", "1").parquet(src))
+    out = stream_dedup_exact(stream, ts_col="ts", watermark_delay="1 hour")
+    query = (out.writeStream.format("memory").queryName("sdedup_wm")
+             .outputMode("append")
+             .option("checkpointLocation", str(tmp_path / "sdwmck"))
+             .trigger(availableNow=True).start())
+    query.awaitTermination(120)
+    got = spark.sql("SELECT text FROM sdedup_wm").collect()
+    seen = [r["text"] for r in got]
+    assert set(seen) == {f"text body {i}" for i in range(10)}
+    # all events fall inside one watermark window -> exactly one row each
+    assert len(seen) == 10
