@@ -546,6 +546,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ivf_cosine_topk_embeddings"] = ivf_cosine_topk_embeddings
 
+    def ann_query_batch_embeddings(spark, sf):
+        """Batched exact ANN (one scan for all queries, per-batch top-k
+        pre-filter, window final): top-5 for three query vectors taken
+        from the table itself, hash-matched against a DuckDB cross-join
+        rank oracle."""
+        from ddsketchy_spark.pipeline.similarity import ann_query_batch
+
+        emb = _load(spark, sf, "embeddings")
+        qrows = (emb.filter("vec_id IN (0, 1, 2)").orderBy("vec_id")
+                 .select("vec_id", "embedding").collect())
+        res = ann_query_batch(emb, [r["embedding"] for r in qrows], k=5,
+                              query_ids=[r["vec_id"] for r in qrows])
+        return (res.select("query_id", "vec_id",
+                           _r6(F.col("cos") + 1.0).alias("cos1"))
+                .orderBy("query_id", "vec_id"))
+
+    q["ann_query_batch_embeddings"] = ann_query_batch_embeddings
+
     def minhash_lsh_bucketlocal_parity(spark, sf):
         """The scale-path LSH verification (verify='local': no driver
         collect, no broadcast matrix) must produce the exact pair set and
@@ -1058,6 +1076,21 @@ FROM embeddings
     o["ivf_cosine_topk_embeddings"] = """
 SELECT CAST(count(*) AS BIGINT) AS n_vecs, TRUE AS ivf_recall1_ge_0_5
 FROM embeddings
+"""
+    o["ann_query_batch_embeddings"] = """
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+           WHERE vec_id IN (0, 1, 2)),
+ranked AS (
+  SELECT q.query_id, e.vec_id,
+         round(list_cosine_similarity(e.embedding::DOUBLE[], q.qv::DOUBLE[]) + 1.0, 6) AS cos1,
+         row_number() OVER (
+           PARTITION BY q.query_id
+           ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], q.qv::DOUBLE[]) DESC,
+                    e.vec_id ASC) AS rk
+  FROM embeddings e CROSS JOIN q
+)
+SELECT query_id, vec_id, cos1 FROM ranked WHERE rk <= 5
+ORDER BY query_id, vec_id
 """
     o["cosine_topk_embeddings"] = """
 WITH v AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 40),

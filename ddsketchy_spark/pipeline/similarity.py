@@ -426,3 +426,72 @@ def ann_query(
         .orderBy(F.desc("cos"), F.asc(id_col))
         .limit(k)
     )
+
+
+def ann_query_batch(
+    df: DataFrame,
+    queries,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 10,
+    query_ids=None,
+) -> DataFrame:
+    """Exact top-k neighbors for a BATCH of query vectors in ONE table scan.
+
+    The (nq, dim) query matrix is L2-normalized once and broadcast; each
+    Arrow batch computes all nq cosines with a single matmul and emits only
+    its per-query top-k survivors (every row tying the k-th score is kept,
+    so global tie-breaks by id stay exact), then one window keeps the final
+    per-query (cos desc, id asc) top-k. Scan volume is one pass regardless
+    of nq; shuffle is ~O(batches * nq * k) candidate rows, never the table.
+
+    ``queries``: array-like (nq, dim). ``query_ids``: optional labels
+    (default 0..nq-1). Returns (query_id, id_col, cos)."""
+    import pyarrow as pa
+
+    from pyspark.sql import Window
+
+    Q = np.asarray(queries, dtype=np.float64)
+    if Q.ndim == 1:
+        Q = Q[None, :]
+    Q = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+    nq, dim = Q.shape
+    qids = np.arange(nq, dtype=np.int64) if query_ids is None \
+        else np.asarray(query_ids, dtype=np.int64)
+    if len(qids) != nq:
+        raise ValueError(f"{len(qids)} query_ids for {nq} queries")
+    bc = df.sparkSession.sparkContext.broadcast((Q, qids))
+    id_field = df.schema[id_col]
+    out_schema = (f"query_id long, {id_col} {id_field.dataType.simpleString()}, "
+                  "cos double")
+    v = df.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("vec"))
+
+    def topk_batches(batches):
+        Qm, qid_arr = bc.value
+        for batch in batches:
+            n = batch.num_rows
+            if not n:
+                continue
+            E = (batch.column(1).flatten().to_numpy()
+                 .reshape(n, dim).astype(np.float64, copy=True))
+            E /= np.linalg.norm(E, axis=1, keepdims=True)
+            sims = E @ Qm.T  # (n, nq)
+            # a zero-norm vector yields NaN cosines, and NaN sorts HIGHEST
+            # in np.partition — map to -2 (below any cosine) so it can
+            # neither win nor poison a query's k-th threshold
+            np.nan_to_num(sims, copy=False, nan=-2.0)
+            kk = min(k, n)
+            # per-query k-th score; keep every row >= it (ties included, so
+            # the global id-asc tie-break can never lose the true winner)
+            kth = np.partition(sims, n - kk, axis=0)[n - kk, :]
+            rows, cols = np.nonzero(sims >= kth[None, :])
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(qid_arr[cols]),
+                 batch.column(0).take(pa.array(rows, type=pa.int64())),
+                 pa.array(sims[rows, cols])],
+                names=["query_id", batch.schema.names[0], "cos"])
+
+    scored = v.mapInArrow(topk_batches, out_schema)
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc(id_col))
+    return (scored.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= k).drop("rk"))

@@ -224,6 +224,37 @@ def test_lsh_cosine_local_parity(spark, sf001_dir):
     assert ap == set(bp)
 
 
+def test_ann_query_batch_exact(spark, sf001_dir):
+    """Batched ANN equals per-query exact ann_query for every query, k
+    larger than any single Arrow batch's contribution, and ids/cosines
+    match bit-for-bit; zero-norm table vectors never win or poison."""
+    from ddsketchy_spark.pipeline.similarity import ann_query, ann_query_batch
+
+    emb = spark.read.parquet(f"{sf001_dir}/embeddings.parquet")
+    qvecs = [r["embedding"] for r in
+             emb.filter("vec_id IN (0, 7, 19)").orderBy("vec_id").collect()]
+    batch = ann_query_batch(emb.repartition(5), qvecs, k=8,
+                            query_ids=[0, 7, 19]).collect()
+    by_q = {}
+    for r in batch:
+        by_q.setdefault(r["query_id"], []).append((r["vec_id"], r["cos"]))
+    assert set(by_q) == {0, 7, 19}
+    for qid, vec in zip([0, 7, 19], qvecs):
+        single = [(r["vec_id"], r["cos"]) for r in
+                  ann_query(emb, vec, k=8).collect()]
+        got = sorted(by_q[qid], key=lambda t: (-t[1], t[0]))
+        assert [i for i, _ in got] == [i for i, _ in single], qid
+        for (gi, gc), (si, sc) in zip(got, single):
+            assert gc == pytest.approx(sc, abs=1e-9), (qid, gi)
+    # zero-norm vector present: batch path must not return NaN rows
+    withzero = emb.select("vec_id", "embedding").unionByName(
+        spark.createDataFrame([(99_999, [0.0] * 64)],
+                              "vec_id long, embedding array<double>"))
+    rows = ann_query_batch(withzero, qvecs[:1], k=5).collect()
+    assert len(rows) == 5 and all(not np.isnan(r["cos"]) for r in rows)
+    assert all(r["vec_id"] != 99_999 for r in rows)
+
+
 def test_ivf_sample_trained(spark, sf001_dir):
     """IVF trains on a bounded deterministic sample: recall holds even when
     train_rows is far below the table size, and results stay deterministic
