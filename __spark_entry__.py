@@ -348,6 +348,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["lang_id_distribution"] = lang_id_distribution
 
+    def quality_filter_documents(spark, sf):
+        """Keep/drop decision + audited drop reason for every document,
+        hash-matched row-for-row against a DuckDB re-derivation of the
+        same fixed-precedence rules (ratios compared at 6 dp on both
+        sides)."""
+        from ddsketchy_spark.pipeline.text import quality_filter
+
+        return (quality_filter(_load(spark, sf, "documents"),
+                               min_words=20, min_stopword_ratio=0.03)
+                .select("doc_id", "keep", "drop_reason")
+                .orderBy("doc_id"))
+
+    q["quality_filter_documents"] = quality_filter_documents
+
     def dedup_exact_documents(spark, sf):
         from ddsketchy_spark.pipeline.dedup import dedup_exact, exact_dup_groups
 
@@ -988,6 +1002,39 @@ SELECT doc_id, len(words) AS n_words,
        round(len(list_filter(words, x -> x IN ({stop_list})))
              / CAST(len(words) AS DOUBLE), 6) AS stopword_ratio
 FROM w ORDER BY doc_id
+"""
+    o["quality_filter_documents"] = f"""
+WITH w AS (
+  SELECT doc_id, text, string_split(text, ' ') AS words, length(text) AS lc
+  FROM documents
+),
+feat AS (
+  SELECT doc_id, text, len(words) AS n_words,
+         round((lc - (len(words) - 1)) / CAST(len(words) AS DOUBLE), 6) AS mwl,
+         round(len(list_filter(words, x -> x IN ({stop_list})))
+               / CAST(len(words) AS DOUBLE), 6) AS swr,
+         round(length(regexp_replace(text, '[^.,;:!?]', '', 'g'))
+               / CAST(lc AS DOUBLE), 6) AS pr
+  FROM w
+)
+SELECT doc_id,
+       CASE WHEN text IS NULL THEN 'null_text'
+            WHEN n_words < 20 THEN 'too_few_words'
+            WHEN n_words > 50000 THEN 'too_many_words'
+            WHEN mwl < 2.0 THEN 'short_words'
+            WHEN mwl > 12.0 THEN 'long_words'
+            WHEN swr < 0.03 THEN 'low_stopword'
+            WHEN pr > 0.5 THEN 'high_punct'
+            ELSE 'kept' END AS drop_reason,
+       (CASE WHEN text IS NULL THEN 'null_text'
+            WHEN n_words < 20 THEN 'too_few_words'
+            WHEN n_words > 50000 THEN 'too_many_words'
+            WHEN mwl < 2.0 THEN 'short_words'
+            WHEN mwl > 12.0 THEN 'long_words'
+            WHEN swr < 0.03 THEN 'low_stopword'
+            WHEN pr > 0.5 THEN 'high_punct'
+            ELSE 'kept' END) = 'kept' AS keep
+FROM feat ORDER BY doc_id
 """
     langs = list(LANG_MARKERS)
     hits_sql = ",\n  ".join(

@@ -64,6 +64,43 @@ def quality_scores(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def quality_filter(
+    df: DataFrame,
+    text_col: str = "text",
+    min_words: int = 5,
+    max_words: int = 50_000,
+    min_mean_word_len: float = 2.0,
+    max_mean_word_len: float = 12.0,
+    min_stopword_ratio: float = 0.0,
+    max_punct_ratio: float = 0.5,
+) -> DataFrame:
+    """Gopher/C4-style heuristic corpus filter: the keep/drop stage of a
+    training-data pipeline, with an auditable drop reason.
+
+    Appends ``drop_reason`` (first tripped rule in fixed precedence:
+    null_text > too_few_words > too_many_words > short_words > long_words >
+    low_stopword > high_punct > kept) and ``keep``. A pure projection over
+    ``quality_scores`` — no shuffle, whole-stage codegen, fully
+    SQL-expressible for oracle parity. Ratios are compared at 6 dp so the
+    decision is reproducible bit-for-bit across engines."""
+    scored = quality_scores(df, text_col)
+
+    def r6(c):
+        return F.round(c, 6)
+
+    reason = (
+        F.when(F.col(text_col).isNull(), "null_text")
+        .when(F.col("n_words") < min_words, "too_few_words")
+        .when(F.col("n_words") > max_words, "too_many_words")
+        .when(r6(F.col("mean_word_len")) < min_mean_word_len, "short_words")
+        .when(r6(F.col("mean_word_len")) > max_mean_word_len, "long_words")
+        .when(r6(F.col("stopword_ratio")) < min_stopword_ratio, "low_stopword")
+        .when(r6(F.col("punct_ratio")) > max_punct_ratio, "high_punct")
+        .otherwise("kept"))
+    return (scored.withColumn("drop_reason", reason)
+            .withColumn("keep", F.col("drop_reason") == "kept"))
+
+
 def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Marker-word language ID: count hits per language, fixed-precedence
     argmax (en > de > es > fr > zh on ties). Deterministic and expressible

@@ -501,3 +501,27 @@ def test_multimodal_resize_and_media_dedup(spark):
     # each planted copy clusters with its original (min id is canonical:
     # 'm-xxxxxx' < 'm-xxxxxx-copy')
     assert removed == {f"m-{i:06d}-copy" for i in range(5)}
+
+
+def test_quality_filter_reasons(spark):
+    """Fixed-precedence drop reasons: first tripped rule wins; keep only
+    when no rule trips; NULL text is its own reason."""
+    from ddsketchy_spark.pipeline.text import quality_filter
+
+    rows = [
+        (1, None),                                  # null_text
+        (2, "tiny doc"),                            # too_few_words
+        (3, "the " + "supercalifragilistic " * 9),  # long mean word len
+        (4, ".,;: " * 6),                           # punct (but short words trip first)
+        (5, "the cat sat on a mat and it is nice today in the sunny park"),
+    ]
+    out = {r["doc_id"]: r for r in
+           quality_filter(spark.createDataFrame(rows, "doc_id long, text string"),
+                          min_words=3, min_stopword_ratio=0.01,
+                          max_punct_ratio=0.3).collect()}
+    assert out[1]["drop_reason"] == "null_text"
+    assert out[2]["drop_reason"] == "too_few_words"
+    assert out[3]["drop_reason"] == "long_words"
+    assert out[4]["drop_reason"] in ("short_words", "high_punct", "low_stopword")
+    assert out[5]["drop_reason"] == "kept" and out[5]["keep"]
+    assert not any(out[i]["keep"] for i in (1, 2, 3, 4))
