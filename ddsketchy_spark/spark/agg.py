@@ -445,9 +445,24 @@ def sketch_aggregate(
     input partition, shuffle blobs, merge (wins when rows >> keys);
     ``"shuffle"`` = hash-shuffle raw rows by key, build+finalize each
     key's sketch exactly once (wins at high key cardinality with small
-    groups — see ``sketch_build_shuffled``)."""
-    if strategy not in ("partial", "shuffle"):
+    groups — see ``sketch_build_shuffled``); ``"auto"`` = probe the first
+    100k rows for the key/row ratio and pick (ratio > 5% -> shuffle:
+    measured 2.2 s vs 28.8 s at ratio 0.25 / 147k keys, and the partial
+    engine wins clearly below ~2% where map-side combine actually
+    reduces). The probe reads one bounded ``limit`` of the key columns —
+    biased on sorted inputs, but only the plan choice rides on it, never
+    correctness (both engines produce the same output; guarded by
+    test_shuffle_strategy_matches_partial)."""
+    if strategy not in ("auto", "partial", "shuffle"):
         raise ValueError(f"unknown strategy {strategy!r}")
+    if by and strategy == "auto":
+        probe = (df.select(*by).limit(100_000)
+                 .agg(F.count(F.lit(1)).alias("n"),
+                      F.approx_count_distinct(F.struct(*by)).alias("k"))
+                 .collect()[0])
+        strategy = ("shuffle"
+                    if probe["n"] and probe["k"] > 0.05 * probe["n"]
+                    else "partial")
     if by and strategy == "shuffle":
         return sketch_build_shuffled(df, agg, by, keep_state=keep_state)
     partials = build_partials(df, agg, by)

@@ -561,3 +561,29 @@ def test_interval_join_guards(spark):
     wide = spark.createDataFrame([(0.0, 5e9)], "lo double, hi double")
     with _pytest.raises(Exception, match="too many buckets"):
         interval_join(pts, wide, "x", "lo", "hi", bucket_width=1.0).collect()
+
+
+def test_auto_strategy_picks_and_matches(spark, token_table_path):
+    """strategy='auto': tiny-group keys route to the shuffle engine,
+    low-cardinality keys to partial/merge — and either way the results
+    equal an explicit engine choice."""
+    from pyspark.sql import functions as F
+
+    from ddsketchy_spark.spark.agg import sketch_aggregate
+    from ddsketchy_spark.spark.companions import HLLAggregator
+
+    df = (spark.read.parquet(token_table_path).limit(20_000)
+          .withColumn("hk", F.pmod(F.xxhash64("doc_id"), F.lit(4)))      # 4 keys
+          .withColumn("lk", F.pmod(F.xxhash64("doc_id"), F.lit(5000))))  # tiny groups
+    hagg = HLLAggregator("doc_id", p=12)
+    lo_auto = {r["hk"]: r["distinct_est"] for r in
+               sketch_aggregate(df, hagg, by=["hk"], strategy="auto").collect()}
+    lo_part = {r["hk"]: r["distinct_est"] for r in
+               sketch_aggregate(df, hagg, by=["hk"], strategy="partial").collect()}
+    assert lo_auto == lo_part and len(lo_auto) == 4
+    hi_auto = {r["lk"]: r["distinct_est"] for r in
+               sketch_aggregate(df, hagg, by=["lk"], strategy="auto").collect()}
+    hi_shuf = {r["lk"]: r["distinct_est"] for r in
+               sketch_aggregate(df, hagg, by=["lk"], strategy="shuffle").collect()}
+    # ~e^-4 of 5000 hash buckets stay empty at 20k rows
+    assert hi_auto == hi_shuf and len(hi_auto) > 4800
