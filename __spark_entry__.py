@@ -362,6 +362,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["quality_filter_documents"] = quality_filter_documents
 
+    def top_bigrams_documents(spark, sf):
+        """Top-20 corpus bigrams (codegen n-gram construction + map-side
+        combining count + deterministic TakeOrdered), hash-matched against
+        a DuckDB re-derivation."""
+        from ddsketchy_spark.pipeline.text import ngram_counts
+
+        return (ngram_counts(_load(spark, sf, "documents"), n=2, top_k=20)
+                .orderBy(F.desc("cnt"), F.asc("ngram")))
+
+    q["top_bigrams_documents"] = top_bigrams_documents
+
     def dedup_exact_documents(spark, sf):
         from ddsketchy_spark.pipeline.dedup import dedup_exact, exact_dup_groups
 
@@ -1052,6 +1063,15 @@ WITH w AS (SELECT string_split(text, ' ') AS words FROM documents),
 h AS (SELECT {hits_sql} FROM w)
 SELECT {case_sql} AS pred_lang, count(*) AS cnt
 FROM h GROUP BY 1 ORDER BY 1
+"""
+    o["top_bigrams_documents"] = """
+WITH w AS (SELECT string_split(text, ' ') AS words FROM documents
+           WHERE text IS NOT NULL),
+i AS (SELECT words, unnest(generate_series(1, len(words) - 1)) AS p
+      FROM w WHERE len(words) >= 2),
+g AS (SELECT words[p] || ' ' || words[p + 1] AS ngram FROM i)
+SELECT ngram, count(*) AS cnt FROM g GROUP BY 1
+ORDER BY cnt DESC, ngram ASC LIMIT 20
 """
     o["dedup_exact_documents"] = """
 WITH all_docs AS (

@@ -128,6 +128,32 @@ def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     return out.withColumn("pred_lang", pred)
 
 
+def ngram_counts(
+    df: DataFrame,
+    n: int = 2,
+    text_col: str = "text",
+    top_k: int | None = None,
+) -> DataFrame:
+    """Corpus word-n-gram frequencies — (ngram, cnt), all native.
+
+    n-grams are built inside codegen (``transform(sequence(...),
+    i -> array_join(slice(words, i+1, n), ' '))``), exploded, and counted
+    with a map-side-combining hash aggregate; ``top_k`` adds a
+    deterministic (cnt desc, ngram asc) TakeOrdered — no global sort.
+    Shuffle volume is O(distinct n-grams), never O(rows x n-grams)."""
+    words = _words(text_col)
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(words) - n),
+        lambda i: F.array_join(F.slice(words, i + 1, n), " "))
+    out = (df.where(F.col(text_col).isNotNull())
+           .where(F.size(words) >= n)
+           .select(F.explode(grams).alias("ngram"))
+           .groupBy("ngram").agg(F.count(F.lit(1)).alias("cnt")))
+    if top_k is not None:
+        out = out.orderBy(F.desc("cnt"), F.asc("ngram")).limit(top_k)
+    return out
+
+
 def exact_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Deterministic whole-document fingerprint (md5 of normalized text) —
     the exact-dedup key, portable across engines."""

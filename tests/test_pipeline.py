@@ -525,3 +525,20 @@ def test_quality_filter_reasons(spark):
     assert out[4]["drop_reason"] in ("short_words", "high_punct", "low_stopword")
     assert out[5]["drop_reason"] == "kept" and out[5]["keep"]
     assert not any(out[i]["keep"] for i in (1, 2, 3, 4))
+
+
+def test_ngram_counts(spark):
+    """n-gram construction, counting, top-k determinism, NULL/short-doc
+    handling, n=1 and n=3."""
+    from ddsketchy_spark.pipeline.text import ngram_counts
+
+    rows = [(1, "a b c a b"), (2, "a b"), (3, None), (4, "solo")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    bi = {r["ngram"]: r["cnt"] for r in ngram_counts(df, n=2).collect()}
+    assert bi == {"a b": 3, "b c": 1, "c a": 1}
+    uni = {r["ngram"]: r["cnt"] for r in ngram_counts(df, n=1).collect()}
+    assert uni == {"a": 3, "b": 3, "c": 1, "solo": 1}
+    tri = {r["ngram"]: r["cnt"] for r in ngram_counts(df, n=3).collect()}
+    assert tri == {"a b c": 1, "b c a": 1, "c a b": 1}
+    top = ngram_counts(df, n=2, top_k=2).collect()
+    assert [(r["ngram"], r["cnt"]) for r in top] == [("a b", 3), ("b c", 1)]
