@@ -292,6 +292,185 @@ def lsh_cosine_topk(
             .filter(F.col("rk") <= k).drop("rk"))
 
 
+def _train_ivf_centroids(
+    v: DataFrame,
+    n_clusters: int,
+    kmeans_iters: int,
+    seed: int,
+    train_rows: int,
+) -> np.ndarray:
+    """Spherical k-means centroids from a BOUNDED deterministic sample
+    (``deterministic_sample``: the train_rows smallest xxhash64(id) — a
+    pure function of the data, same on any cluster size). Only the sample
+    reaches the driver; the result is the (n_clusters, dim) row-normalized
+    centroid matrix. ``v`` must have columns (id, vec)."""
+    from ..spark.skew import deterministic_sample
+
+    sample = np.asarray(
+        [r["vec"] for r in
+         deterministic_sample(v, train_rows, "id", salt=seed).collect()],
+        dtype=np.float64)
+    if sample.size == 0:
+        raise ValueError("cannot train IVF centroids: no non-null ids")
+    S = sample / np.linalg.norm(sample, axis=1, keepdims=True)
+    rng = np.random.default_rng(seed)
+    cents = S[rng.choice(len(S), size=min(n_clusters, len(S)),
+                         replace=False)].copy()
+    for _ in range(kmeans_iters):
+        assign = (S @ cents.T).argmax(axis=1)
+        for c in range(len(cents)):
+            members = S[assign == c]
+            if len(members):
+                m = members.sum(axis=0)
+                norm = np.linalg.norm(m)
+                if norm > 0:
+                    cents[c] = m / norm
+    return cents
+
+
+def ivf_index(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_clusters: int = 16,
+    kmeans_iters: int = 10,
+    seed: int = 11,
+    train_rows: int = 100_000,
+) -> tuple[DataFrame, np.ndarray]:
+    """Build a reusable IVF index: (index_df, centroids).
+
+    ``index_df`` = (id, nvec: array<double>, cluster: long) — every vector
+    L2-normalized and assigned to its single nearest centroid in one NumPy
+    matmul per Arrow batch; ``centroids`` is the trained (n_clusters, dim)
+    matrix (persist it alongside the index).
+
+    The scale move: write the index ``partitionBy("cluster")`` to parquet.
+    ``ann_query_ivf`` filters on ``cluster IN (probed)``, which Spark turns
+    into PARTITION PRUNING — a query then reads only n_probe/n_clusters of
+    the corpus from storage, the inverted-file property that makes IVF
+    sublinear. Deterministic end to end (seeded k-means on a
+    data-deterministic sample)."""
+    import pyarrow as pa
+
+    from pyspark.sql.types import (
+        ArrayType, DoubleType, LongType, StructField, StructType)
+
+    v = df.select(F.col(id_col).alias("id"),
+                  F.col(vec_col).cast("array<double>").alias("vec"))
+    cents = _train_ivf_centroids(v, n_clusters, kmeans_iters, seed, train_rows)
+    dim = cents.shape[1]
+    bc = df.sparkSession.sparkContext.broadcast(cents)
+    id_field = df.schema[id_col]
+    schema = StructType([
+        StructField("id", id_field.dataType),
+        StructField("nvec", ArrayType(DoubleType())),
+        StructField("cluster", LongType()),
+    ])
+
+    def assign(batches):
+        C = bc.value
+        for batch in batches:
+            n = batch.num_rows
+            if not n:
+                continue
+            E = (batch.column(1).flatten().to_numpy()
+                 .reshape(n, dim).astype(np.float64, copy=True))
+            E /= np.linalg.norm(E, axis=1, keepdims=True)
+            best = (E @ C.T).argmax(axis=1).astype(np.int64)
+            offs = np.arange(0, (n + 1) * dim, dim, dtype=np.int32)
+            yield pa.RecordBatch.from_arrays(
+                [batch.column(0),
+                 pa.ListArray.from_arrays(pa.array(offs), pa.array(E.ravel())),
+                 pa.array(best)],
+                names=["id", "nvec", "cluster"])
+
+    return v.mapInArrow(assign, schema), cents
+
+
+def ann_query_ivf(
+    index_df: DataFrame,
+    centroids: np.ndarray,
+    queries,
+    k: int = 10,
+    n_probe: int = 2,
+    query_ids=None,
+) -> DataFrame:
+    """Sublinear batched ANN over an ``ivf_index``: each query probes only
+    its ``n_probe`` nearest centroids' inverted lists.
+
+    Query->centroid assignment is driver-side (nq x n_clusters — tiny);
+    the probed member rows are selected with a native ``cluster IN (...)``
+    filter (partition pruning when the index was written
+    ``partitionBy("cluster")``), then scored per Arrow batch against the
+    broadcast query matrix with the same tie-safe per-batch top-k
+    pre-filter as ``ann_query_batch``. Returns (query_id, id, cos) —
+    approximate: a true neighbor in an unprobed cluster is missed (raise
+    ``n_probe`` for recall, the standard IVF dial)."""
+    import pyarrow as pa
+
+    from pyspark.sql import Window
+
+    Q = np.asarray(queries, dtype=np.float64)
+    if Q.ndim == 1:
+        Q = Q[None, :]
+    Q = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+    nq, dim = Q.shape
+    qids = np.arange(nq, dtype=np.int64) if query_ids is None \
+        else np.asarray(query_ids, dtype=np.int64)
+    if len(qids) != nq:
+        raise ValueError(f"{len(qids)} query_ids for {nq} queries")
+    eff_probe = min(n_probe, len(centroids))
+    probes = np.argsort(-(Q @ centroids.T), axis=1)[:, :eff_probe]
+    needed = sorted({int(c) for row in probes for c in row})
+    # query q only scores members of ITS probed clusters: map cluster ->
+    # probing queries, ship with the broadcast
+    by_cluster: dict[int, list[int]] = {}
+    for qi, row in enumerate(probes):
+        for c in row:
+            by_cluster.setdefault(int(c), []).append(qi)
+    bc = index_df.sparkSession.sparkContext.broadcast((Q, qids, by_cluster))
+    id_field = index_df.schema["id"]
+    out_schema = (f"query_id long, id {id_field.dataType.simpleString()}, "
+                  "cos double")
+    probed = index_df.where(F.col("cluster").isin(needed)) \
+                     .select("id", "nvec", "cluster")
+
+    def score(batches):
+        Qm, qid_arr, cl_map = bc.value
+        for batch in batches:
+            n = batch.num_rows
+            if not n:
+                continue
+            E = (batch.column(1).flatten().to_numpy()
+                 .reshape(n, dim).astype(np.float64, copy=False))
+            cl = batch.column(2).to_numpy()
+            # mask: row i scorable by query j only if j probed cluster(i)
+            sims = E @ Qm.T  # (n, nq)
+            np.nan_to_num(sims, copy=False, nan=-2.0)
+            mask = np.full(sims.shape, False)
+            for c, qlist in cl_map.items():
+                rows_c = cl == c
+                if rows_c.any():
+                    mask[np.ix_(rows_c, qlist)] = True
+            sims = np.where(mask, sims, -2.0)
+            kk = min(k, n)
+            kth = np.partition(sims, n - kk, axis=0)[n - kk, :]
+            keep = sims >= np.maximum(kth[None, :], -1.5)
+            rows, cols = np.nonzero(keep)
+            if not len(rows):
+                continue
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(qid_arr[cols]),
+                 batch.column(0).take(pa.array(rows, type=pa.int64())),
+                 pa.array(sims[rows, cols])],
+                names=["query_id", batch.schema.names[0], "cos"])
+
+    scored = probed.mapInArrow(score, out_schema)
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("id"))
+    return (scored.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= k).drop("rk"))
+
+
 def ivf_cosine_topk(
     df: DataFrame,
     vec_col: str = "embedding",
@@ -335,26 +514,8 @@ def ivf_cosine_topk(
                   F.col(vec_col).cast("array<double>").alias("vec"))
 
     # --- 1. bounded-sample k-means training (driver-side, O(train_rows)) ---
-    sample = np.asarray(
-        [r["vec"] for r in
-         deterministic_sample(v, train_rows, "id", salt=seed).collect()],
-        dtype=np.float64)
-    if sample.size == 0:
-        raise ValueError("cannot train IVF centroids: no non-null ids")
-    S = sample / np.linalg.norm(sample, axis=1, keepdims=True)
-    rng = np.random.default_rng(seed)
-    cents = S[rng.choice(len(S), size=min(n_clusters, len(S)),
-                         replace=False)].copy()
-    for _ in range(kmeans_iters):
-        assign = (S @ cents.T).argmax(axis=1)
-        for c in range(len(cents)):
-            members = S[assign == c]
-            if len(members):
-                m = members.sum(axis=0)
-                norm = np.linalg.norm(m)
-                if norm > 0:
-                    cents[c] = m / norm
-    dim = S.shape[1]
+    cents = _train_ivf_centroids(v, n_clusters, kmeans_iters, seed, train_rows)
+    dim = cents.shape[1]
     bc_cents = df.sparkSession.sparkContext.broadcast(cents)
     eff_probe = min(n_probe, len(cents))
 

@@ -542,3 +542,42 @@ def test_ngram_counts(spark):
     assert tri == {"a b c": 1, "b c a": 1, "c a b": 1}
     top = ngram_counts(df, n=2, top_k=2).collect()
     assert [(r["ngram"], r["cnt"]) for r in top] == [("a b", 3), ("b c", 1)]
+
+
+def test_ivf_index_and_query(spark, sf001_dir, tmp_path):
+    """Reusable IVF index: write partitionBy(cluster), read back, probe —
+    partition pruning appears in the scan, each query finds itself at
+    cos~1, and recall@1 vs exact holds with generous probing."""
+    from ddsketchy_spark.pipeline.similarity import (
+        ann_query, ann_query_ivf, ivf_index)
+
+    emb = spark.read.parquet(f"{sf001_dir}/embeddings.parquet")
+    idx, cents = ivf_index(emb, n_clusters=8, train_rows=100)
+    path = str(tmp_path / "ivf")
+    idx.write.partitionBy("cluster").parquet(path)
+    stored = spark.read.parquet(path)
+
+    qrows = (emb.filter("vec_id IN (3, 11, 42)").orderBy("vec_id")
+             .select("vec_id", "embedding").collect())
+    qvecs = [r["embedding"] for r in qrows]
+    res = ann_query_ivf(stored, cents, qvecs, k=5, n_probe=4,
+                        query_ids=[3, 11, 42])
+    # partition pruning: the probed-cluster filter reaches the scan
+    plan = res._jdf.queryExecution().executedPlan().toString()
+    assert "cluster IN" in plan or "cluster#" in plan
+    by_q = {}
+    for r in res.collect():
+        by_q.setdefault(r["query_id"], []).append(r)
+    assert set(by_q) == {3, 11, 42}
+    for qid in by_q:
+        top = max(by_q[qid], key=lambda r: r["cos"])
+        assert top["id"] == qid and top["cos"] == pytest.approx(1.0, abs=1e-9)
+        assert len(by_q[qid]) == 5
+    # recall@1 (excluding self) vs exact single-query scans
+    hits = 0
+    for qid, vec in zip([3, 11, 42], qvecs):
+        exact = [r["vec_id"] for r in ann_query(emb, vec, k=2).collect()
+                 if r["vec_id"] != qid][0]
+        got = {r["id"] for r in by_q[qid]}
+        hits += exact in got
+    assert hits >= 2, hits
