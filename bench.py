@@ -215,6 +215,19 @@ def main() -> None:
                        quantiles=(0.5, 0.99), keep_state=True).count()
     queries["q13_grouped_highcard_keepstate"] = round(time.perf_counter() - t0, 3)
 
+    # q14: the full composed text-dedup pipeline through the fully
+    # distributed engines (LSH verify='local' -> threshold -> connected
+    # components -> keep set) — the 100-TB path end to end. Warm from q8's
+    # passes; count(keep) forces the whole DAG.
+    from ddsketchy_spark.pipeline.dedup import dedup_near_text
+
+    t0 = time.perf_counter()
+    n_kept = (dedup_near_text(dupdocs, threshold=0.8, num_perm=128,
+                              bands=32, verify="local")
+              .where("keep").count())
+    queries["q14_dedup_near_text_local"] = round(time.perf_counter() - t0, 3)
+    queries["q14_docs_kept"] = n_kept
+
     # accuracy: max relative error of the n_tok estimates vs exact quantiles
     import duckdb
 
