@@ -581,3 +581,29 @@ def test_ivf_index_and_query(spark, sf001_dir, tmp_path):
         got = {r["id"] for r in by_q[qid]}
         hits += exact in got
     assert hits >= 2, hits
+
+
+def test_word_jaccard_allpairs_randomized(spark):
+    """Randomized completeness check of the prefix/size filters: on random
+    corpora over a tiny vocabulary (hot tokens, repeated words, single-word
+    and duplicate docs), allpairs == cartesian at several thresholds,
+    including threshold 1.0."""
+    rng = np.random.default_rng(123)
+    vocab = ["a", "bb", "ccc", "dd", "e", "fff", "g", "hh"]
+    for trial in range(6):
+        n_docs = int(rng.integers(5, 25))
+        rows = []
+        for i in range(n_docs):
+            ln = int(rng.integers(1, 12))
+            rows.append((i, " ".join(rng.choice(vocab, size=ln))))
+        if n_docs >= 2:
+            rows[1] = (1, rows[0][1])  # planted exact dup
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        t = [0.3, 0.65, 1.0][trial % 3]
+        cart = {(r["id_a"], r["id_b"]): r["jaccard"] for r in
+                word_jaccard_pairs(docs, threshold=t,
+                                   method="cartesian").collect()}
+        ap = {(r["id_a"], r["id_b"]): r["jaccard"] for r in
+              word_jaccard_pairs(docs, threshold=t,
+                                 method="allpairs").collect()}
+        assert ap == cart, (trial, t)
