@@ -198,17 +198,32 @@ def asof_join(
         for tmp in ("_tb", "_bf", "_ci"):
             if tmp in left.columns or tmp in right.columns:
                 raise ValueError(f"reserved column name {tmp!r} present in input")
-        tsd = F.col(ts_col).cast("double")
+        # monotone numeric image of the ts column (only ORDER matters for
+        # bucketing, and equal values map equal): timestamps cannot cast to
+        # double directly in Spark 4 — go through epoch micros/days
+        ts_type = dict(unioned.dtypes)[ts_col]
+        if ts_type.startswith("timestamp"):
+            tsd = F.unix_micros(F.col(ts_col).cast("timestamp")).cast("double")
+        elif ts_type == "date":
+            tsd = F.unix_date(F.col(ts_col)).cast("double")
+        else:
+            tsd = F.col(ts_col).cast("double")
         qs = [i / time_buckets for i in range(1, time_buckets)]
         cuts = sorted(set(
             unioned.select(tsd.alias("_tsd")).approxQuantile("_tsd", qs, 0.001)))
         # bucket id = #cuts strictly below ts: monotone in ts, so every right
         # row in an earlier bucket has ts <= (in fact <) any ts here; equal
-        # timestamps always share a bucket. NULL ts compares to 0 cuts ->
+        # timestamps always share a bucket. NULL ts compares to no cuts ->
         # bucket 0 with no carry-in: unmatched, as documented.
-        bucket = F.size(F.filter(
-            F.array(*[F.lit(float(c)) for c in cuts]),
-            lambda c: c < tsd)).cast("long")
+        # Plain when-sums, NOT a higher-order filter(array, lambda): the
+        # carry stitch below self-joins frames descending from `unioned`,
+        # and DeduplicateRelations does not rewrite attribute references
+        # inside HOF lambdas — a lambda here leaves a dangling ts reference
+        # that fails binding (INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND) on
+        # broadcast-sized plans.
+        bucket = F.lit(0).cast("long")
+        for c in cuts:
+            bucket = bucket + F.when(tsd > F.lit(float(c)), 1).otherwise(0)
         unioned = unioned.withColumn("_tb", bucket)
         w_local = (Window.partitionBy(*by, "_tb")
                    .orderBy(*order_cols)

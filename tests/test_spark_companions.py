@@ -530,6 +530,19 @@ def test_asof_join_time_buckets_parity(spark):
         assert bucketed == plain, how
     assert len(plain) > 0
 
+    # timestamp ts column (cannot cast to double in Spark 4): the bucketed
+    # path must still work and agree with the single-window path
+    lts = left.where(F.col("ts").isNotNull()).withColumn(
+        "ts", F.timestamp_seconds(F.col("ts")))
+    rts = right.where(F.col("ts").isNotNull()).withColumn(
+        "ts", F.timestamp_seconds(F.col("ts")))
+    plain_ts = {(r["sym"], r["lid"]): r["px"] for r in
+                asof_join(lts, rts, "ts", ["sym"], ["px"]).collect()}
+    buck_ts = {(r["sym"], r["lid"]): r["px"] for r in
+               asof_join(lts, rts, "ts", ["sym"], ["px"],
+                         time_buckets=8).collect()}
+    assert buck_ts == plain_ts and len(buck_ts) > 0
+
 
 def test_interval_join_point_intervals_auto_width(spark):
     """Auto bucket_width with an all-point-interval table (median span 0)

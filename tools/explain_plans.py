@@ -179,6 +179,39 @@ def main() -> None:
                 r"FlatMapGroupsInPandas"],
     )
 
+    # quality_filter: pure codegen projection — no shuffle, no Python, and
+    # the doc scan prunes to (doc_id, text)-ish columns only
+    from ddsketchy_spark.pipeline.text import ngram_counts, quality_filter
+
+    qf = quality_filter(docs.select("doc_id", "text")).select(
+        "doc_id", "keep", "drop_reason")
+    results["quality_filter"] = audit(
+        "quality_filter", qf,
+        want=[r"ReadSchema: struct<doc_id:bigint,text:string>"],
+        reject=[r"Exchange", r"BatchEvalPython", r"ArrowEvalPython",
+                r"FlatMapGroupsInPandas"],
+    )
+
+    # ngram counting: map-side-combining hash aggregate, TakeOrdered (no
+    # global sort), no Python
+    ng = ngram_counts(docs, n=2, top_k=20)
+    results["ngram_counts"] = audit(
+        "ngram_counts", ng,
+        want=[r"HashAggregate[\s\S]*Exchange[\s\S]*HashAggregate",
+              r"TakeOrderedAndProject"],
+        reject=[r"BatchEvalPython", r"ArrowEvalPython",
+                r"FlatMapGroupsInPandas"],
+    )
+
+    # time-bucketed as-of join (hot-key path): windows + equi joins on
+    # (key, bucket) only — never a range/nested-loop join
+    ajb = asof_join(clicks, purch, "ts", ["user_id"], ["px"], time_buckets=8)
+    results["asof_join_time_buckets"] = audit(
+        "asof_join_time_buckets", ajb,
+        want=[r"Window", r"(ShuffledHashJoin|SortMergeJoin|BroadcastHashJoin)"],
+        reject=[r"CartesianProduct", r"BroadcastNestedLoopJoin"],
+    )
+
     print("\nsummary:", {k: ("OK" if v else "FAIL") for k, v in results.items()})
     spark.stop()
     sys.exit(0 if all(results.values()) else 1)
