@@ -10,9 +10,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pyspark.sql import functions as F
 
-from ddsketchy_spark.pipeline.dedup import dedup_exact, minhash_lsh_pairs
+from ddsketchy_spark.pipeline.dedup import dedup_exact, dedup_near_text, minhash_lsh_pairs
 from ddsketchy_spark.pipeline.similarity import ann_query, lsh_cosine_topk
-from ddsketchy_spark.pipeline.text import lang_id, quality_scores, token_stats
+from ddsketchy_spark.pipeline.text import lang_id, ngram_counts, quality_filter, token_stats
 from ddsketchy_spark.spark.ddsketch_agg import ddsketch_quantiles
 from ddsketchy_spark.spark.session import get_spark
 
@@ -21,9 +21,10 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> None:
     spark = get_spark("pipeline-example", master="local[4]")
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
 
-    # 1. token counts + quality features (all native projections)
-    enriched = quality_scores(token_stats(docs))
-    kept = enriched.filter((F.col("n_words") >= 10) & (F.col("stopword_ratio") < 0.5))
+    # 1. token counts + audited quality filtering (all native projections)
+    enriched = quality_filter(token_stats(docs), min_words=10)
+    enriched.groupBy("drop_reason").count().orderBy("drop_reason").show()
+    kept = enriched.filter("keep")
     print(f"quality filter: {docs.count()} -> {kept.count()} docs")
 
     # 2. language ID distribution
@@ -34,6 +35,11 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> None:
     pairs = minhash_lsh_pairs(kept, num_perm=128, bands=32)
     near = pairs.filter("est_jaccard > 0.8").count()
     print(f"exact dedup kept {deduped.count()}; near-dup pairs (J>0.8): {near}")
+    # ...or the composed one-call version through the fully distributed
+    # verify='local' engine (LSH -> threshold -> connected components)
+    survivors = dedup_near_text(kept, threshold=0.8, verify="local").filter("keep")
+    print(f"dedup_near_text kept {survivors.count()} docs")
+    ngram_counts(kept, n=2, top_k=5).show()
 
     # 4. similarity search over embeddings
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
