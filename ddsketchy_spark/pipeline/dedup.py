@@ -10,8 +10,9 @@ Scale design notes (the part that matters at 100 TB):
   verify="broadcast" scores candidates against a BROADCAST signature matrix
   (num_perm*8 bytes per doc, bounded by max_broadcast_rows ~2M docs);
   verify="local" joins the signature arrays back onto the candidate pairs
-  and counts agreement natively in codegen — fully distributed, no driver
-  collect, no ceiling. verify="auto" picks by corpus size.
+  and counts agreement with one vectorized NumPy pass per Arrow batch —
+  fully distributed, no driver collect, no ceiling. verify="auto" picks by
+  corpus size.
 - SimHash reduces each doc to one 64-bit signature; near-dup candidates at
   Hamming distance <= d come from d+1-way table rotations (pigeonhole),
   all native joins.
@@ -245,8 +246,8 @@ def _minhash_lsh_pairs_local(
     vectorized `_band_buckets` NumPy pass per Arrow batch; the candidate
     self-join shuffles ONLY (band, bucket, id) rows; verification joins the
     two signature arrays back onto the deduplicated candidate pairs (two
-    shuffles of |pairs| rows) and counts agreeing slots with native
-    zip_with/filter inside codegen. Shuffle volume is
+    shuffles of |pairs| rows) and counts agreeing slots with one vectorized
+    NumPy pass per Arrow batch. Shuffle volume is
     O(bands * n + |pairs| * num_perm) — every stage is executor-local.
 
     ``max_bucket_size`` drops band buckets with more members than the cap
@@ -301,11 +302,31 @@ def _minhash_lsh_pairs_local(
     )
     sa = sigs.select(F.col(id_col).alias("id_a"), F.col("sig").alias("_sig_a"))
     sb = sigs.select(F.col(id_col).alias("id_b"), F.col("sig").alias("_sig_b"))
-    agree = F.size(F.filter(
-        F.zip_with("_sig_a", "_sig_b", lambda x, y: x == y), lambda v: v))
-    return (cand.join(sa, "id_a").join(sb, "id_b")
-            .select("id_a", "id_b",
-                    (agree / F.lit(float(num_perm))).alias("est_jaccard")))
+    paired = (cand.join(sa, "id_a").join(sb, "id_b")
+              .select("id_a", "id_b", "_sig_a", "_sig_b"))
+    # slot agreement vectorized per Arrow batch — NOT a zip_with/filter
+    # higher-order expression, which evaluates interpreted per ELEMENT:
+    # num_perm * |pairs| evals is exactly the documented ~50x trap the
+    # broadcast engine's NumPy scorer avoids (BENCH/BASELINE.md). One
+    # (rows, num_perm) == + mean per batch matches its arithmetic exactly.
+    t = id_field.dataType.simpleString()
+    out_schema = f"id_a {t}, id_b {t}, est_jaccard double"
+
+    def score_pairs(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            n = batch.num_rows
+            if not n:
+                continue
+            A = (batch.column(2).flatten().to_numpy()
+                 .reshape(n, num_perm))
+            B = (batch.column(3).flatten().to_numpy()
+                 .reshape(n, num_perm))
+            est = (A == B).sum(axis=1) / float(num_perm)
+            yield pa.RecordBatch.from_arrays(
+                [batch.column(0), batch.column(1), pa.array(est)],
+                names=["id_a", "id_b", "est_jaccard"])
+
+    return paired.mapInArrow(score_pairs, out_schema)
 
 
 def minhash_lsh_pairs(
@@ -337,8 +358,8 @@ def minhash_lsh_pairs(
       ``max_broadcast_rows``.
     - ``"local"``: fully distributed — signature arrays are joined back
       onto the deduplicated candidate pairs and slot agreement is counted
-      with native zip_with inside codegen. No driver collect, no broadcast,
-      no ceiling. This is the 100-TB path.
+      with one vectorized NumPy pass per Arrow batch. No driver collect,
+      no broadcast, no ceiling. This is the 100-TB path.
     - ``"auto"`` (default): broadcast when the corpus fits under
       ``max_broadcast_rows``, local above it."""
     if num_perm % bands:
