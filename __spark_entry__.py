@@ -373,6 +373,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["top_bigrams_documents"] = top_bigrams_documents
 
+    def sample_by_group_documents(spark, sf):
+        """Deterministic k-per-group downsampling (hash-threshold prefilter
+        + exact fallback, no full per-group sort): per-source sampled
+        counts must be exactly least(k, group size), and the sample must
+        be a subset of the source rows (subset_ok boolean)."""
+        from ddsketchy_spark.spark.skew import sample_by_group
+
+        docs = _load(spark, sf, "documents")
+        s = sample_by_group(docs, ["source"], 7, "doc_id")
+        bad = (s.select("doc_id", "source")
+               .exceptAll(docs.select("doc_id", "source")).count())
+        return (s.groupBy("source")
+                .agg(F.count(F.lit(1)).alias("n_sampled"))
+                .withColumn("subset_ok", F.lit(bad == 0))
+                .orderBy("source"))
+
+    q["sample_by_group_documents"] = sample_by_group_documents
+
     def dedup_exact_documents(spark, sf):
         from ddsketchy_spark.pipeline.dedup import dedup_exact, exact_dup_groups
 
@@ -1105,6 +1123,13 @@ i AS (SELECT words, unnest(generate_series(1, len(words) - 1)) AS p
 g AS (SELECT words[p] || ' ' || words[p + 1] AS ngram FROM i)
 SELECT ngram, count(*) AS cnt FROM g GROUP BY 1
 ORDER BY cnt DESC, ngram ASC LIMIT 20
+"""
+    o["sample_by_group_documents"] = """
+SELECT source,
+       CAST(least(7, count(*)) AS BIGINT) AS n_sampled,
+       TRUE AS subset_ok
+FROM documents WHERE doc_id IS NOT NULL AND source IS NOT NULL
+GROUP BY source ORDER BY source
 """
     o["dedup_exact_documents"] = """
 WITH all_docs AS (

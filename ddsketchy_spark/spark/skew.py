@@ -76,3 +76,75 @@ def deterministic_sample(df: DataFrame, n: int, key_col: str,
     # temp column could clobber a user column of the same name
     h = F.xxhash64(F.col(key_col), F.lit(salt)).bitwiseXOR(F.lit(-(1 << 63)))
     return df.where(F.col(key_col).isNotNull()).orderBy(h.asc()).limit(n)
+
+
+def sample_by_group(
+    df: DataFrame,
+    by,
+    k: int,
+    key_col: str,
+    salt: int = 0,
+    oversample: float = 2.0,
+) -> DataFrame:
+    """Deterministic uniform k-per-group sample: each group keeps the rows
+    with the k smallest xxhash64(key, salt) values — a pure function of
+    the data (same rows on any partitioning or cluster size), the grouped
+    counterpart of ``deterministic_sample``.
+
+    Scale shape — a naive per-group ``row_number`` window sorts every
+    group in ONE task, which dies on a web-scale group (one source =
+    billions of docs). Instead:
+
+    1. One aggregate pass counts each group.
+    2. Rows are PREFILTERED to hash-fraction ``p = min(1, oversample * (k
+       + 3*sqrt(k) + 6) / n)`` of their group — the k smallest hashes are
+       uniform, so all k pass with overwhelming probability, and only
+       ~oversample*k rows per group reach the window sort.
+    3. The window ranks the surviving rows; groups where fewer than
+       min(k, n) rows passed (the k-th smallest hash landed above p —
+       astronomically rare, but possible) are detected EXACTLY and rerun
+       without the prefilter, so the result is always the true k smallest.
+
+    Rows with NULL ``key_col`` or NULL group keys are excluded. Use a
+    UNIQUE ``key_col`` (row id): duplicate keys hash identically, and
+    which of several fully-tied rows wins is partition-order dependent."""
+    from pyspark.sql import Window
+
+    by = list(by)
+    base = df.where(F.col(key_col).isNotNull())
+    for g in by:
+        base = base.where(F.col(g).isNotNull())
+    counts = base.groupBy(*by).agg(F.count(F.lit(1)).alias("_gn"))
+    joined = base.join(counts, by)
+    # unsigned hash mapped to [0, 1)
+    h = F.xxhash64(F.col(key_col), F.lit(salt))
+    u = (h.cast("double") / F.lit(float(1 << 64))) + F.lit(0.5)
+    budget = float(k + 3 * (k ** 0.5) + 6)
+    p = F.least(F.lit(1.0), F.lit(oversample) * F.lit(budget) / F.col("_gn"))
+    pre = joined.where(u < p)
+    w = (Window.partitionBy(*by)
+         .orderBy(h.asc(), F.col(key_col).asc()))
+    ranked = pre.withColumn("_rk", F.row_number().over(w))
+    # exact undersample detection: a group is complete iff it yielded
+    # min(k, n) survivors — start from `counts`, not `ranked`: a group the
+    # prefilter wiped out entirely has NO ranked rows to detect from
+    surv = ranked.groupBy(*by).agg(F.max("_rk").alias("_m"))
+    got = (counts.join(surv, by, "left")
+           .where(F.coalesce(F.col("_m"), F.lit(0))
+                  < F.least(F.lit(k), F.col("_gn")))
+           .select(*by))
+    short = [tuple(r) for r in got.collect()]  # ~never non-empty; tiny
+    out = ranked.where(F.col("_rk") <= k)
+    if short:
+        cond = None
+        for row in short:
+            c = None
+            for g, val in zip(by, row):
+                e = F.col(g) == F.lit(val)
+                c = e if c is None else (c & e)
+            cond = c if cond is None else (cond | c)
+        redo = (joined.where(cond)
+                .withColumn("_rk", F.row_number().over(w))
+                .where(F.col("_rk") <= k))
+        out = out.where(~cond).unionByName(redo)
+    return out.drop("_rk", "_gn")

@@ -530,3 +530,43 @@ def test_streaming_dedup_within_watermark(spark, tmp_path):
     assert set(seen) == {f"text body {i}" for i in range(10)}
     # all events fall inside one watermark window -> exactly one row each
     assert len(seen) == 10
+
+
+def test_sample_by_group(spark, sf001_dir):
+    """Deterministic k-per-group sampling: exact per-group counts, same
+    rows under any partitioning, equals the naive full-window reference,
+    and the exact fallback path (forced via a tiny oversample) returns the
+    identical sample."""
+    from pyspark.sql import Window, functions as F
+
+    from ddsketchy_spark.spark.skew import sample_by_group
+
+    docs = spark.read.parquet(f"{sf001_dir}/documents.parquet")
+    k = 3
+    s1 = sample_by_group(docs, ["source"], k, "doc_id")
+    rows = s1.collect()
+    by_src = {}
+    for r in rows:
+        by_src.setdefault(r["source"], set()).add(r["doc_id"])
+    sizes = {r["source"]: r["cnt"] for r in
+             docs.groupBy("source").agg(F.count("*").alias("cnt")).collect()}
+    for src, n in sizes.items():
+        assert len(by_src.get(src, set())) == min(k, n), src
+    # reference: naive full window (test scale only)
+    h = F.xxhash64(F.col("doc_id"), F.lit(0))
+    w = Window.partitionBy("source").orderBy(h.asc(), F.col("doc_id").asc())
+    ref = {(r["source"], r["doc_id"]) for r in
+           docs.withColumn("_rk", F.row_number().over(w))
+               .where(F.col("_rk") <= k).collect()}
+    got = {(r["source"], r["doc_id"]) for r in rows}
+    assert got == ref
+    # partitioning-independence
+    again = {(r["source"], r["doc_id"]) for r in
+             sample_by_group(docs.repartition(13), ["source"], k,
+                             "doc_id").collect()}
+    assert again == got
+    # forced-fallback path (prefilter passes ~nothing) is still exact
+    fb = {(r["source"], r["doc_id"]) for r in
+          sample_by_group(docs, ["source"], k, "doc_id",
+                          oversample=1e-6).collect()}
+    assert fb == got
