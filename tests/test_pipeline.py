@@ -607,3 +607,20 @@ def test_word_jaccard_allpairs_randomized(spark):
               word_jaccard_pairs(docs, threshold=t,
                                  method="allpairs").collect()}
         assert ap == cart, (trial, t)
+
+
+def test_minhash_lsh_local_string_ids(spark, docs_with_dups):
+    """The distributed verify engine must handle non-numeric doc ids (the
+    input-hint schema uses string ids): planted exact dups still pair with
+    est_jaccard 1.0, and the pair set equals the broadcast engine's."""
+    docs = docs_with_dups.withColumn(
+        "doc_id", F.concat(F.lit("doc-"), F.col("doc_id").cast("string")))
+    kw = dict(num_perm=64, bands=16)
+    lp = {(r["id_a"], r["id_b"]): r["est_jaccard"] for r in
+          minhash_lsh_pairs(docs, verify="local", **kw).collect()}
+    bp = {(r["id_a"], r["id_b"]): r["est_jaccard"] for r in
+          minhash_lsh_pairs(docs, verify="broadcast", **kw).collect()}
+    assert lp == bp and len(lp) > 0
+    for i in range(20):
+        pair = tuple(sorted((f"doc-{i}", f"doc-{i + 100000}")))
+        assert lp.get(pair) == 1.0, pair
