@@ -228,6 +228,16 @@ def main() -> None:
     queries["q14_dedup_near_text_local"] = round(time.perf_counter() - t0, 3)
     queries["q14_docs_kept"] = n_kept
 
+    # q15: prefix-filtered exact Jaccard join (the no-cartesian engine) on
+    # the same planted-duplicate corpus
+    from ddsketchy_spark.pipeline.dedup import word_jaccard_pairs
+
+    t0 = time.perf_counter()
+    n_jac = word_jaccard_pairs(dupdocs, threshold=0.8,
+                               method="allpairs").count()
+    queries["q15_word_jaccard_allpairs"] = round(time.perf_counter() - t0, 3)
+    queries["q15_pairs"] = n_jac
+
     # accuracy: max relative error of the n_tok estimates vs exact quantiles
     import duckdb
 
