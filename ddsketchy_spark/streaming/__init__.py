@@ -1,4 +1,4 @@
-from .stream_dedup import stream_dedup_exact
+from .stream_dedup import stream_dedup_exact, stream_dedup_near
 from .stream_agg import (
     StreamingSketch,
     stream_ddsketch,
@@ -16,4 +16,5 @@ __all__ = [
     "stream_sketch_by_key",
     "stream_ddsketch_windowed",
     "stream_dedup_exact",
+    "stream_dedup_near",
 ]

@@ -13,6 +13,136 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def stream_dedup_near(
+    stream_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_k: int = 3,
+    seed: int = 1,
+    threshold: float = 0.8,
+    max_bucket_members: int = 256,
+) -> DataFrame:
+    """Streaming near-duplicate PAIR detection: MinHash-LSH with per-bucket
+    state — the custom stateful operator Structured Streaming lacks.
+
+    Stages (first two stateless, reusing the batch laws bit-for-bit):
+
+    1. MinHash signatures per micro-batch (``minhash_signatures`` —
+       vectorized mapInArrow, identical to batch).
+    2. Explode each doc to its ``bands`` (band, bucket) keys
+       (``_band_buckets``, same NumPy pass as batch).
+    3. ``applyInPandasWithState`` keyed by (band, bucket): state holds the
+       bucket's member ids + packed signature matrix; each arriving doc is
+       scored against ALL members (and co-arriving docs) in one NumPy
+       slot-agreement pass, and pairs with ``est_jaccard >= threshold``
+       are emitted in Append mode.
+
+    Semantics vs batch ``minhash_lsh_pairs``: the emitted pair set equals
+    the batch candidate pairs at the same threshold — a pair sharing
+    SEVERAL bands is emitted once per shared band, so dedup downstream
+    (``dropDuplicates(["id_a","id_b"])`` in foreachBatch) for exactly-once
+    pairs.
+
+    State per bucket is capped at ``max_bucket_members`` EARLIEST members
+    (the canonical representatives persist; a boilerplate flood bucket
+    stops growing instead of OOMing — its members are exact-dup fodder
+    anyway). Rows with NULL text or NULL id are ignored."""
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+    from pyspark.sql.types import (
+        ArrayType, BinaryType, DoubleType, LongType, StructField, StructType)
+
+    from ..pipeline.dedup import _band_buckets, minhash_signatures
+
+    if num_perm % bands:
+        raise ValueError("bands must divide num_perm")
+    r = num_perm // bands
+    src = stream_df.where(F.col(text_col).isNotNull()
+                          & F.col(id_col).isNotNull())
+    sigs = minhash_signatures(src, text_col, id_col, num_perm, shingle_k, seed)
+    id_field = sigs.schema[id_col]
+
+    import numpy as np
+    import pyarrow as pa
+
+    bucket_schema = StructType([
+        id_field,
+        StructField("sig", ArrayType(LongType())),
+        StructField("band", LongType()),
+        StructField("bucket", LongType()),
+    ])
+
+    def to_buckets(batches):
+        band_ids = np.arange(bands, dtype=np.int64)
+        for batch in batches:
+            n = batch.num_rows
+            if not n:
+                continue
+            mat = (batch.column(1).flatten().to_numpy()
+                   .reshape(n, num_perm).astype(np.int64, copy=False))
+            bk = _band_buckets(mat, bands, r)
+            idx = pa.array(np.repeat(np.arange(n, dtype=np.int64), bands))
+            yield pa.RecordBatch.from_arrays(
+                [batch.column(0).take(idx), batch.column(1).take(idx),
+                 pa.array(np.tile(band_ids, n)), pa.array(bk.ravel())],
+                names=[id_col, "sig", "band", "bucket"])
+
+    banded = sigs.mapInArrow(to_buckets, bucket_schema)
+
+    out_schema = StructType([
+        StructField("id_a", id_field.dataType),
+        StructField("id_b", id_field.dataType),
+        StructField("est_jaccard", DoubleType()),
+    ])
+    state_schema = StructType([
+        StructField("ids", ArrayType(id_field.dataType)),
+        StructField("sigs", BinaryType()),
+    ])
+
+    def update(key, pdf_iter, state):
+        if state.exists:
+            ids, blob = state.get
+            ids = list(ids)
+            mat = (np.frombuffer(bytes(blob), dtype=np.int64)
+                   .reshape(-1, num_perm))
+        else:
+            ids, mat = [], np.empty((0, num_perm), dtype=np.int64)
+        out_a, out_b, out_e = [], [], []
+
+        def emit(x, y, est):
+            a, b = (x, y) if x < y else (y, x)
+            out_a.append(a); out_b.append(b); out_e.append(est)
+
+        for pdf in pdf_iter:
+            if not len(pdf):
+                continue
+            new_ids = pdf[id_col].tolist()
+            new_mat = np.asarray(pdf["sig"].tolist(), dtype=np.int64)
+            if len(ids):
+                est = (new_mat[:, None, :] == mat[None, :, :]).mean(axis=2)
+                for i, j in zip(*np.nonzero(est >= threshold)):
+                    if new_ids[i] != ids[j]:
+                        emit(new_ids[i], ids[j], float(est[i, j]))
+            est_nn = (new_mat[:, None, :] == new_mat[None, :, :]).mean(axis=2)
+            for i, j in zip(*np.nonzero(est_nn >= threshold)):
+                if i < j and new_ids[i] != new_ids[j]:
+                    emit(new_ids[i], new_ids[j], float(est_nn[i, j]))
+            room = max_bucket_members - len(ids)
+            if room > 0:
+                ids.extend(new_ids[:room])
+                mat = np.concatenate([mat, new_mat[:room]])
+        state.update((ids, bytearray(mat.tobytes())))
+        if out_a:
+            yield pd.DataFrame(
+                {"id_a": out_a, "id_b": out_b, "est_jaccard": out_e})
+
+    return banded.groupBy("band", "bucket").applyInPandasWithState(
+        update, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout)
+
+
 def stream_dedup_exact(
     stream_df: DataFrame,
     text_col: str = "text",

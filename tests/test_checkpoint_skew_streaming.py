@@ -570,3 +570,42 @@ def test_sample_by_group(spark, sf001_dir):
           sample_by_group(docs, ["source"], k, "doc_id",
                           oversample=1e-6).collect()}
     assert fb == got
+
+
+def test_streaming_dedup_near_matches_batch(spark, sf001_dir, tmp_path):
+    """Stateful streaming LSH: the deduplicated emitted pair set equals the
+    batch minhash_lsh_pairs candidates at the same threshold, across
+    micro-batch boundaries (one file per trigger), with est_jaccard values
+    matching bit-for-bit."""
+    from ddsketchy_spark.pipeline.dedup import minhash_lsh_pairs
+    from ddsketchy_spark.streaming import stream_dedup_near
+
+    base = spark.read.parquet(f"{sf001_dir}/documents.parquet")
+    dup = (base.filter("doc_id < 20")
+           .withColumn("doc_id", F.col("doc_id") + 100000))
+    docs = base.unionByName(dup).select("doc_id", "text")
+    src = str(tmp_path / "near_src")
+    docs.repartition(5).write.parquet(src)
+
+    kw = dict(num_perm=64, bands=16)
+    stream = (spark.readStream.schema(docs.schema)
+              .option("maxFilesPerTrigger", "1").parquet(src))
+    out = stream_dedup_near(stream, threshold=0.5, **kw)
+    query = (out.writeStream.format("memory").queryName("near_pairs")
+             .outputMode("append")
+             .option("checkpointLocation", str(tmp_path / "near_ck"))
+             .trigger(availableNow=True).start())
+    query.awaitTermination(180)
+    got = {}
+    for r in spark.sql("SELECT * FROM near_pairs").collect():
+        got[(r["id_a"], r["id_b"])] = r["est_jaccard"]
+
+    batch = {(r["id_a"], r["id_b"]): r["est_jaccard"] for r in
+             minhash_lsh_pairs(docs, verify="local", **kw).collect()
+             if r["est_jaccard"] >= 0.5}
+    assert set(got) == set(batch)
+    for k in batch:
+        assert got[k] == batch[k], k
+    # planted exact dups all present at est 1.0
+    for i in range(20):
+        assert got.get((i, i + 100000)) == 1.0, i
