@@ -720,6 +720,47 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["tpch_q1_pricing_summary"] = tpch_q1_pricing_summary
 
+    def tpch_q6_forecast_revenue(spark, sf):
+        """Pure filter+aggregate: every predicate must reach the parquet
+        scan (PushedFilters) — the pushdown showcase."""
+        li = _load(spark, sf, "lineitem")
+        rev = (li.where((F.col("l_shipdate") >= "1996-01-01")
+                        & (F.col("l_shipdate") < "1997-01-01")
+                        & (F.col("l_discount") >= 0.05)
+                        & (F.col("l_discount") <= 0.07)
+                        & (F.col("l_quantity") < 24))
+               .agg(_r2(F.sum(F.col("l_extendedprice") * F.col("l_discount")))
+                    .alias("revenue"),
+                    F.count(F.lit(1)).alias("cnt")))
+        return rev
+
+    q["tpch_q6_forecast_revenue"] = tpch_q6_forecast_revenue
+
+    def tpch_q3_shipping_priority(spark, sf):
+        """Join + aggregate + deterministic top-10: broadcast the filtered
+        dims, TakeOrdered for the limit."""
+        li = _load(spark, sf, "lineitem")
+        orders = _load(spark, sf, "orders")
+        cust = _load(spark, sf, "customer")
+        seg = cust.where(F.col("c_mktsegment") == "BUILDING") \
+                  .select("c_custkey")
+        op = orders.where(F.col("o_orderdate") < "1998-06-15") \
+                   .select("o_orderkey", "o_custkey", "o_orderdate")
+        return (
+            li.where(F.col("l_shipdate") > "1998-06-15")
+            .join(F.broadcast(op), li.l_orderkey == op.o_orderkey)
+            .join(F.broadcast(seg), op.o_custkey == seg.c_custkey)
+            .groupBy("l_orderkey", "o_orderdate")
+            .agg(_r2(F.sum(F.col("l_extendedprice")
+                           * (1 - F.col("l_discount")))).alias("revenue"))
+            .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+            .limit(10)
+            .select("l_orderkey", "revenue",
+                    F.col("o_orderdate").cast("string").alias("o_orderdate"))
+        )
+
+    q["tpch_q3_shipping_priority"] = tpch_q3_shipping_priority
+
     def revenue_by_customer_broadcast(spark, sf):
         """lineitem JOIN orders JOIN customer with broadcast dims — the
         small sides broadcast (verified in tools/explain_plans.py), so the
@@ -1262,6 +1303,27 @@ FROM lineitem
 WHERE l_shipdate <= DATE '2002-09-02'
 GROUP BY l_returnflag, l_linestatus
 ORDER BY l_returnflag, l_linestatus
+"""
+    o["tpch_q6_forecast_revenue"] = """
+SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+       count(*) AS cnt
+FROM lineitem
+WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1997-01-01'
+  AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24
+"""
+    o["tpch_q3_shipping_priority"] = """
+SELECT l.l_orderkey,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+       CAST(o.o_orderdate AS VARCHAR) AS o_orderdate
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < DATE '1998-06-15'
+  AND l.l_shipdate > DATE '1998-06-15'
+GROUP BY l.l_orderkey, o.o_orderdate
+ORDER BY revenue DESC, l.l_orderkey ASC
+LIMIT 10
 """
     o["revenue_by_customer_broadcast"] = """
 SELECT c.c_custkey, c.c_name,
