@@ -383,6 +383,10 @@ def minhash_lsh_pairs(
             "use verify='local' (fully distributed) at this scale")
     sigs = minhash_signatures(df, text_col, id_col, num_perm, shingle_k, seed)
     pdf = sigs.toPandas()
+    if not len(pdf):  # empty corpus: no pairs (np.stack rejects zero rows)
+        t = df.schema[id_col].dataType.simpleString()
+        return df.sparkSession.createDataFrame(
+            [], f"id_a {t}, id_b {t}, est_jaccard double")
     # ids may be any type (input_hint doc_id is string): join on dense row
     # indices, map back to original ids when scoring
     id_values = pdf[id_col].to_numpy()

@@ -624,3 +624,25 @@ def test_minhash_lsh_local_string_ids(spark, docs_with_dups):
     for i in range(20):
         pair = tuple(sorted((f"doc-{i}", f"doc-{i + 100000}")))
         assert lp.get(pair) == 1.0, pair
+
+
+def test_pipeline_ops_on_empty_input(spark):
+    """Every pipeline operator must return an empty (not crashing) result
+    on an empty corpus — the first micro-batch of any real pipeline."""
+    from ddsketchy_spark.pipeline.dedup import dedup_near_text
+    from ddsketchy_spark.pipeline.similarity import ann_query_batch
+    from ddsketchy_spark.pipeline.text import ngram_counts, quality_filter
+    from ddsketchy_spark.spark.skew import sample_by_group
+
+    docs = spark.createDataFrame([], "doc_id long, text string")
+    emb = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    assert minhash_lsh_pairs(docs, verify="local", num_perm=32,
+                             bands=8).count() == 0
+    assert minhash_lsh_pairs(docs, verify="broadcast", num_perm=32,
+                             bands=8).count() == 0
+    assert word_jaccard_pairs(docs, method="allpairs").count() == 0
+    assert dedup_near_text(docs, verify="local").count() == 0
+    assert quality_filter(docs).count() == 0
+    assert ngram_counts(docs).count() == 0
+    assert sample_by_group(docs, ["doc_id"], 3, "doc_id").count() == 0
+    assert ann_query_batch(emb, np.ones((1, 4))).count() == 0
