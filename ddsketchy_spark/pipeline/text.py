@@ -179,6 +179,9 @@ def winnowing_fingerprints(
     def run(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         B = np.int64(1000003)
         MASK = np.int64((1 << 61) - 1)
+        # k-gram position weights, hoisted: identical for every document
+        powers = np.array([int(B) ** (k - 1 - j) % int(MASK + 1) for j in range(k)],
+                          dtype=np.int64)
         for batch in batches:
             ids = batch.column(0).to_pylist()
             texts = batch.column(1).to_pylist()
@@ -191,8 +194,6 @@ def winnowing_fingerprints(
                 if n <= 0:
                     continue
                 # rolling hash of all k-grams, vectorized via powers
-                powers = np.array([int(B) ** (k - 1 - j) % int(MASK + 1) for j in range(k)],
-                                  dtype=np.int64)
                 with np.errstate(over="ignore"):
                     grams = np.lib.stride_tricks.sliding_window_view(a, k).astype(np.int64)
                     h = (grams * powers).sum(axis=1) & MASK
