@@ -646,3 +646,31 @@ def test_pipeline_ops_on_empty_input(spark):
     assert ngram_counts(docs).count() == 0
     assert sample_by_group(docs, ["doc_id"], 3, "doc_id").count() == 0
     assert ann_query_batch(emb, np.ones((1, 4))).count() == 0
+
+
+def test_multimodal_features_through_batch_ann(spark):
+    """Media features (deterministic fake extractor over binary payloads)
+    flow through the batched ANN engine: duplicate payloads are each
+    other's top neighbor at cos~1 — the media near-dup retrieval path."""
+    from ddsketchy_spark.pipeline.multimodal import (
+        fake_feature_extract, synth_media)
+    from ddsketchy_spark.pipeline.similarity import ann_query_batch
+
+    media = synth_media(spark, n=32, seed=7)
+    # plant an exact payload duplicate of media 0 under a new id
+    dup = (media.limit(1)
+           .withColumn("media_id", F.lit("dup-of-first")))
+    feats = (fake_feature_extract(media.unionByName(dup), dim=16)
+             .select("media_id",
+                     F.col("features").cast("array<double>").alias("emb")))
+    q0 = feats.where(F.col("media_id") == "dup-of-first") \
+              .first()["emb"]
+    rows = ann_query_batch(feats, [q0], vec_col="emb", id_col="media_id",
+                           k=2).collect()
+    assert len(rows) == 2
+    top = sorted(rows, key=lambda r: -r["cos"])
+    got_ids = {r["media_id"] for r in top}
+    assert "dup-of-first" in got_ids
+    orig = media.first()["media_id"]
+    assert orig in got_ids
+    assert all(r["cos"] == pytest.approx(1.0, abs=1e-9) for r in top)
