@@ -201,19 +201,25 @@ def main() -> None:
     # map-side reduction to show for it (measured 28.8s vs 2.5s at 147k keys)
     from ddsketchy_spark.spark.companions import tdigest_quantiles
 
-    t0 = time.perf_counter()
-    n_td = tdigest_quantiles(li, "l_extendedprice", by=["l_orderkey"],
-                             quantiles=(0.5, 0.99),
-                             strategy="shuffle").count()
-    queries["q12_grouped_highcard_tdigest"] = round(time.perf_counter() - t0, 3)
+    q12_trials = []
+    for _ in range(2):  # best-of-2 (CLAUDE.md bench methodology)
+        t0 = time.perf_counter()
+        n_td = tdigest_quantiles(li, "l_extendedprice", by=["l_orderkey"],
+                                 quantiles=(0.5, 0.99),
+                                 strategy="shuffle").count()
+        q12_trials.append(time.perf_counter() - t0)
+    queries["q12_grouped_highcard_tdigest"] = round(min(q12_trials), 3)
     queries["q12_group_count"] = n_td
 
     # q13: grouped sketches WITH state blobs (the rollup/checkpoint path) —
     # must stay within ~2x of the stateless q11
-    t0 = time.perf_counter()
-    ddsketch_quantiles(li, "l_extendedprice", by=["l_orderkey"], alpha=ALPHA,
-                       quantiles=(0.5, 0.99), keep_state=True).count()
-    queries["q13_grouped_highcard_keepstate"] = round(time.perf_counter() - t0, 3)
+    q13_trials = []
+    for _ in range(2):  # best-of-2
+        t0 = time.perf_counter()
+        ddsketch_quantiles(li, "l_extendedprice", by=["l_orderkey"], alpha=ALPHA,
+                           quantiles=(0.5, 0.99), keep_state=True).count()
+        q13_trials.append(time.perf_counter() - t0)
+    queries["q13_grouped_highcard_keepstate"] = round(min(q13_trials), 3)
 
     # q14: the full composed text-dedup pipeline through the fully
     # distributed engines (LSH verify='local' -> threshold -> connected
@@ -235,6 +241,10 @@ def main() -> None:
     # engine, not the size of an inherently huge answer
     from ddsketchy_spark.pipeline.dedup import word_jaccard_pairs
 
+    # warm-up on a 1/10 subset compiles the window/join/array-verify plans
+    # (full best-of-2 would double a ~30 s query for little extra signal)
+    word_jaccard_pairs(dupdocs.limit(500), threshold=0.95,
+                       method="allpairs").count()
     t0 = time.perf_counter()
     n_jac = word_jaccard_pairs(dupdocs, threshold=0.95,
                                method="allpairs").count()

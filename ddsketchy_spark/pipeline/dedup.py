@@ -228,6 +228,35 @@ def _band_buckets(sig_matrix: np.ndarray, bands: int, r: int) -> np.ndarray:
     return out
 
 
+def make_band_explode(id_col: str, num_perm: int, bands: int, r: int,
+                      carry_sig: bool = False):
+    """mapInArrow function exploding (id, sig) rows to one row per band:
+    (id[, sig], band, bucket) — the ONE banding layout shared by the batch
+    LSH engine and the streaming near-dup operator (their documented
+    pair-for-pair parity depends on the layouts staying bit-identical)."""
+
+    def to_buckets(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        band_ids = np.arange(bands, dtype=np.int64)
+        for batch in batches:
+            n = batch.num_rows
+            if not n:
+                continue
+            mat = (batch.column(1).flatten().to_numpy()
+                   .reshape(n, num_perm).astype(np.int64, copy=False))
+            bk = _band_buckets(mat, bands, r)
+            idx = pa.array(np.repeat(np.arange(n, dtype=np.int64), bands))
+            cols = [batch.column(0).take(idx)]
+            names = [id_col]
+            if carry_sig:
+                cols.append(batch.column(1).take(idx))
+                names.append("sig")
+            cols += [pa.array(np.tile(band_ids, n)), pa.array(bk.ravel())]
+            names += ["band", "bucket"]
+            yield pa.RecordBatch.from_arrays(cols, names=names)
+
+    return to_buckets
+
+
 def _minhash_lsh_pairs_local(
     df: DataFrame,
     text_col: str,
@@ -259,7 +288,10 @@ def _minhash_lsh_pairs_local(
 
     sigs = minhash_signatures(df, text_col, id_col, num_perm, shingle_k, seed)
     # two consumers (bucket explode + sig join-back): persist or the minhash
-    # pass over the full corpus runs twice
+    # pass over the full corpus runs twice. The cache lives until the
+    # session drops it (LRU) — the result is lazy, so this function cannot
+    # unpersist; long-lived drivers re-running many corpora can
+    # spark.catalog.clearCache() between runs
     sigs = sigs.persist(StorageLevel.MEMORY_AND_DISK)
     id_field = df.schema[id_col]
     bucket_schema = StructType([
@@ -268,24 +300,8 @@ def _minhash_lsh_pairs_local(
         StructField("bucket", LongType()),
     ])
 
-    def to_buckets(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
-        band_ids = np.arange(bands, dtype=np.int64)
-        for batch in batches:
-            n = batch.num_rows
-            if not n:
-                continue
-            ids = batch.column(0)
-            mat = (batch.column(1).flatten().to_numpy()
-                   .reshape(n, num_perm).astype(np.int64, copy=False))
-            bk = _band_buckets(mat, bands, r)
-            idx = pa.array(np.repeat(np.arange(n, dtype=np.int64), bands))
-            yield pa.RecordBatch.from_arrays(
-                [ids.take(idx),
-                 pa.array(np.tile(band_ids, n)),
-                 pa.array(bk.ravel())],
-                names=[id_col, "band", "bucket"])
-
-    banded = sigs.mapInArrow(to_buckets, bucket_schema)
+    banded = sigs.mapInArrow(
+        make_band_explode(id_col, num_perm, bands, r), bucket_schema)
     if max_bucket_size is not None:
         small = (banded.groupBy("band", "bucket")
                  .agg(F.count(F.lit(1)).alias("_bn"))
@@ -610,6 +626,24 @@ def cosine_near_pairs(
     raise ValueError(f"unknown method {method!r}")
 
 
+def _keep_canonical(df: DataFrame, id_col: str, comp: DataFrame) -> DataFrame:
+    """(id_col, component, keep) from a node->component labeling: cluster
+    members get the cluster's min id as component, the min-id member is the
+    canonical survivor, singletons keep themselves. Rows with NULL ids
+    cannot be canonicalized (they can never appear in the pair graph) —
+    they pass through with keep=TRUE and component = NULL, never a NULL
+    boolean (NULL booleans sort non-deterministically in the oracle
+    comparator and silently vanish under ``.where("keep")``)."""
+    ids = df.select(F.col(id_col))
+    joined = ids.join(comp, ids[id_col] == comp["node"], "left")
+    component = F.coalesce(F.col("comp"), F.col(id_col))
+    return joined.select(
+        F.col(id_col),
+        component.alias("component"),
+        F.coalesce(component == F.col(id_col), F.lit(True)).alias("keep"),
+    )
+
+
 def dedup_near_text(
     df: DataFrame,
     threshold: float = 0.8,
@@ -644,13 +678,7 @@ def dedup_near_text(
         max_bucket_size=max_bucket_size,
     ).filter(F.col("est_jaccard") >= threshold)
     comp = connected_components(pairs, "id_a", "id_b")
-    ids = df.select(F.col(id_col))
-    joined = ids.join(comp, ids[id_col] == comp["node"], "left")
-    return joined.select(
-        F.col(id_col),
-        F.coalesce(F.col("comp"), F.col(id_col)).alias("component"),
-        (F.coalesce(F.col("comp"), F.col(id_col)) == F.col(id_col)).alias("keep"),
-    )
+    return _keep_canonical(df, id_col, comp)
 
 
 def dedup_semantic(
@@ -670,10 +698,4 @@ def dedup_semantic(
     themselves."""
     pairs = cosine_near_pairs(df, threshold, vec_col, id_col, method, **kw)
     comp = connected_components(pairs, "src", "dst")
-    ids = df.select(F.col(id_col))
-    joined = ids.join(comp, ids[id_col] == comp["node"], "left")
-    return joined.select(
-        F.col(id_col),
-        F.coalesce(F.col("comp"), F.col(id_col)).alias("component"),
-        (F.coalesce(F.col("comp"), F.col(id_col)) == F.col(id_col)).alias("keep"),
-    )
+    return _keep_canonical(df, id_col, comp)

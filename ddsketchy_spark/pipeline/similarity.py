@@ -191,6 +191,8 @@ def lsh_cosine_topk(
         enriched = _lsh_enriched(v, id_field, planes, n_planes, bands, width)
         # consumed by the band explode AND both join-back sides: persist or
         # the normalize+sign pass over the full table runs three times
+        # (cache lives until session LRU eviction — the lazy result forbids
+        # unpersisting here; clearCache() between corpora if needed)
         enriched = enriched.persist(StorageLevel.MEMORY_AND_DISK)
         banded = enriched.select(
             "id", F.posexplode("keys").alias("blk", "key"))
@@ -549,6 +551,7 @@ def ivf_cosine_topk(
 
     enriched = v.mapInArrow(assign_batches, assign_schema)
     # consumed by the cluster explode AND both vector join-back sides
+    # (cache lives until session LRU eviction — see lsh_cosine_topk note)
     enriched = enriched.persist(StorageLevel.MEMORY_AND_DISK)
 
     # --- 3. candidates: slim (cluster, id) self-join ------------------------
@@ -643,9 +646,14 @@ def ann_query_batch(
             np.nan_to_num(sims, copy=False, nan=-2.0)
             kk = min(k, n)
             # per-query k-th score; keep every row >= it (ties included, so
-            # the global id-asc tie-break can never lose the true winner)
+            # the global id-asc tie-break can never lose the true winner).
+            # Floor at -1.5: a batch with fewer than kk valid rows has
+            # kth = -2.0 (the NaN sentinel), which would otherwise pass
+            # every degenerate row through to the output
             kth = np.partition(sims, n - kk, axis=0)[n - kk, :]
-            rows, cols = np.nonzero(sims >= kth[None, :])
+            rows, cols = np.nonzero(sims >= np.maximum(kth[None, :], -1.5))
+            if not len(rows):
+                continue
             yield pa.RecordBatch.from_arrays(
                 [pa.array(qid_arr[cols]),
                  batch.column(0).take(pa.array(rows, type=pa.int64())),

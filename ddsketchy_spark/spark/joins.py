@@ -195,7 +195,7 @@ def asof_join(
     if time_buckets is not None and time_buckets > 1:
         # hot-key path: split the timeline at global ts quantiles so each
         # (key, range) sorts independently; stitch with a per-range carry-in
-        for tmp in ("_tb", "_bf", "_ci"):
+        for tmp in ("_tb", "_bf", "_ci", "_asof_local"):
             if tmp in left.columns or tmp in right.columns:
                 raise ValueError(f"reserved column name {tmp!r} present in input")
         # monotone numeric image of the ts column (only ORDER matters for

@@ -48,14 +48,18 @@ def stream_dedup_near(
     State per bucket is capped at ``max_bucket_members`` EARLIEST members
     (the canonical representatives persist; a boilerplate flood bucket
     stops growing instead of OOMing — its members are exact-dup fodder
-    anyway). Rows with NULL text or NULL id are ignored."""
+    anyway). The cap applies to PERSISTED state only: co-arriving docs
+    within one micro-batch are always scored against each other, so the
+    emitted pair set never depends on Arrow chunk boundaries; per-call
+    scoring memory is O((bucket's batch rows + cap) * chunk * num_perm)
+    bools. Rows with NULL text or NULL id are ignored."""
     import pandas as pd
 
     from pyspark.sql.streaming.state import GroupStateTimeout
     from pyspark.sql.types import (
         ArrayType, BinaryType, DoubleType, LongType, StructField, StructType)
 
-    from ..pipeline.dedup import _band_buckets, minhash_signatures
+    from ..pipeline.dedup import make_band_explode, minhash_signatures
 
     if num_perm % bands:
         raise ValueError("bands must divide num_perm")
@@ -66,7 +70,6 @@ def stream_dedup_near(
     id_field = sigs.schema[id_col]
 
     import numpy as np
-    import pyarrow as pa
 
     bucket_schema = StructType([
         id_field,
@@ -75,22 +78,9 @@ def stream_dedup_near(
         StructField("bucket", LongType()),
     ])
 
-    def to_buckets(batches):
-        band_ids = np.arange(bands, dtype=np.int64)
-        for batch in batches:
-            n = batch.num_rows
-            if not n:
-                continue
-            mat = (batch.column(1).flatten().to_numpy()
-                   .reshape(n, num_perm).astype(np.int64, copy=False))
-            bk = _band_buckets(mat, bands, r)
-            idx = pa.array(np.repeat(np.arange(n, dtype=np.int64), bands))
-            yield pa.RecordBatch.from_arrays(
-                [batch.column(0).take(idx), batch.column(1).take(idx),
-                 pa.array(np.tile(band_ids, n)), pa.array(bk.ravel())],
-                names=[id_col, "sig", "band", "bucket"])
-
-    banded = sigs.mapInArrow(to_buckets, bucket_schema)
+    banded = sigs.mapInArrow(
+        make_band_explode(id_col, num_perm, bands, r, carry_sig=True),
+        bucket_schema)
 
     out_schema = StructType([
         StructField("id_a", id_field.dataType),
@@ -130,10 +120,15 @@ def stream_dedup_near(
             for i, j in zip(*np.nonzero(est_nn >= threshold)):
                 if i < j and new_ids[i] != new_ids[j]:
                     emit(new_ids[i], new_ids[j], float(est_nn[i, j]))
-            room = max_bucket_members - len(ids)
-            if room > 0:
-                ids.extend(new_ids[:room])
-                mat = np.concatenate([mat, new_mat[:room]])
+            # co-arriving docs in LATER pandas chunks of this micro-batch
+            # must still see these rows (the member cap applies only to the
+            # PERSISTED state, truncated at update time below) — otherwise
+            # a full bucket would silently drop intra-batch pairs and the
+            # emitted set would depend on Arrow chunking
+            ids.extend(new_ids)
+            mat = np.concatenate([mat, new_mat])
+        ids = ids[:max_bucket_members]
+        mat = mat[:max_bucket_members]
         state.update((ids, bytearray(mat.tobytes())))
         if out_a:
             yield pd.DataFrame(

@@ -253,6 +253,14 @@ def test_ann_query_batch_exact(spark, sf001_dir):
     rows = ann_query_batch(withzero, qvecs[:1], k=5).collect()
     assert len(rows) == 5 and all(not np.isnan(r["cos"]) for r in rows)
     assert all(r["vec_id"] != 99_999 for r in rows)
+    # fewer valid rows than k: the NaN sentinel (-2.0) must never leak as
+    # a "neighbor" — only the real vectors come back
+    tiny = emb.select("vec_id", "embedding").limit(2).unionByName(
+        spark.createDataFrame([(99_999, [0.0] * 64)],
+                              "vec_id long, embedding array<double>"))
+    trows = ann_query_batch(tiny, qvecs[:1], k=5).collect()
+    assert len(trows) == 2, trows
+    assert all(r["vec_id"] != 99_999 and r["cos"] >= -1.0001 for r in trows)
 
 
 def test_ivf_sample_trained(spark, sf001_dir):
