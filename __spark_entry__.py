@@ -391,6 +391,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["sample_by_group_documents"] = sample_by_group_documents
 
+    def decontaminate_documents(spark, sf):
+        """GPT-3-style 13-gram benchmark decontamination: the first five
+        documents act as the eval set; every corpus doc sharing a 13-gram
+        with them is dropped. Counts hash-matched against a DuckDB string
+        n-gram re-derivation (Spark joins on xxhash64(gram), DuckDB on the
+        gram itself — equal absent a 64-bit collision)."""
+        from ddsketchy_spark.pipeline.text import contamination_pairs, decontaminate
+
+        docs = _load(spark, sf, "documents")
+        bench = docs.filter("doc_id < 5")
+        contaminated = (contamination_pairs(docs, bench, n=13)
+                        .select("corpus_id").distinct().count())
+        kept = decontaminate(docs, bench, n=13).count()
+        return spark.createDataFrame(
+            [(int(contaminated), int(kept))],
+            "contaminated_docs long, docs_after_decontam long")
+
+    q["decontaminate_documents"] = decontaminate_documents
+
     def dedup_exact_documents(spark, sf):
         from ddsketchy_spark.pipeline.dedup import dedup_exact, exact_dup_groups
 
@@ -1164,6 +1183,20 @@ i AS (SELECT words, unnest(generate_series(1, len(words) - 1)) AS p
 g AS (SELECT words[p] || ' ' || words[p + 1] AS ngram FROM i)
 SELECT ngram, count(*) AS cnt FROM g GROUP BY 1
 ORDER BY cnt DESC, ngram ASC LIMIT 20
+"""
+    o["decontaminate_documents"] = """
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents
+           WHERE text IS NOT NULL),
+ci AS (SELECT doc_id, words, unnest(generate_series(1, len(words) - 12)) AS p
+       FROM w WHERE len(words) >= 13),
+cg AS (SELECT doc_id AS corpus_id, array_to_string(words[p:p+12], ' ') AS gram
+       FROM ci),
+bg AS (SELECT DISTINCT gram FROM cg WHERE corpus_id < 5),
+bad AS (SELECT DISTINCT corpus_id FROM cg JOIN bg USING (gram))
+SELECT CAST(count(*) AS BIGINT) AS contaminated_docs,
+       (SELECT CAST(count(*) AS BIGINT) FROM documents)
+         - CAST(count(*) AS BIGINT) AS docs_after_decontam
+FROM bad
 """
     o["sample_by_group_documents"] = """
 SELECT source,

@@ -154,6 +154,59 @@ def ngram_counts(
     return out
 
 
+def contamination_pairs(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    n: int = 13,
+    text_col: str = "text",
+    corpus_id: str = "doc_id",
+    bench_id: str = "doc_id",
+) -> DataFrame:
+    """(corpus_id, bench_id) pairs sharing at least one word n-gram — the
+    GPT-3-style contamination criterion (13-gram overlap by default).
+
+    All native: both sides build n-grams inside codegen (same transform/
+    slice law as ``ngram_counts``), hash them to one BIGINT with xxhash64,
+    and inner-join on the hash. The benchmark side is tiny by construction
+    (eval sets are small) — mark it broadcast-able and Spark ships only
+    its distinct gram hashes; the corpus side streams through the join
+    with no shuffle. Output deduplicates to one row per (corpus doc,
+    benchmark doc)."""
+    def grams(df, id_col, out_id):
+        words = _words(text_col)
+        g = F.transform(
+            F.sequence(F.lit(0), F.size(words) - n),
+            lambda i: F.xxhash64(F.array_join(F.slice(words, i + 1, n), " ")))
+        return (df.where(F.col(text_col).isNotNull())
+                .where(F.size(words) >= n)
+                .select(F.col(id_col).alias(out_id),
+                        F.explode(F.array_distinct(g)).alias("gram")))
+
+    cg = grams(corpus, corpus_id, "corpus_id")
+    bg = grams(benchmark, bench_id, "bench_id").dropDuplicates(["bench_id", "gram"])
+    return (cg.join(F.broadcast(bg), "gram")
+            .select("corpus_id", "bench_id")
+            .dropDuplicates(["corpus_id", "bench_id"]))
+
+
+def decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    n: int = 13,
+    text_col: str = "text",
+    corpus_id: str = "doc_id",
+    bench_id: str = "doc_id",
+) -> DataFrame:
+    """Drop every corpus document sharing an n-gram with the benchmark —
+    test-set decontamination for training data. Left-anti join against the
+    contaminated id set; rows with NULL text pass through (they cannot
+    contain benchmark text)."""
+    bad = (contamination_pairs(corpus, benchmark, n, text_col,
+                               corpus_id, bench_id)
+           .select(F.col("corpus_id").alias(corpus_id)).distinct())
+    return corpus.join(bad, corpus_id, "left_anti")
+
+
 def exact_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Deterministic whole-document fingerprint (md5 of normalized text) —
     the exact-dedup key, portable across engines."""

@@ -682,3 +682,33 @@ def test_multimodal_features_through_batch_ann(spark):
     orig = media.first()["media_id"]
     assert orig in got_ids
     assert all(r["cos"] == pytest.approx(1.0, abs=1e-9) for r in top)
+
+
+def test_decontaminate(spark, sf001_dir):
+    """Benchmark decontamination: a corpus doc containing a benchmark
+    n-gram verbatim is dropped; untouched docs survive; NULL text passes;
+    the pair list names exactly the contaminated (corpus, bench) pairs."""
+    from ddsketchy_spark.pipeline.text import contamination_pairs, decontaminate
+
+    base = spark.read.parquet(f"{sf001_dir}/documents.parquet") \
+        .select("doc_id", "text")
+    bench = spark.createDataFrame(
+        [(0, "alpha beta gamma delta epsilon zeta"),
+         (1, "one two three four five six")],
+        "doc_id long, text string")
+    # plant: doc 900001 quotes bench doc 0's 6-gram inside other text,
+    # doc 900002 is clean, doc 900003 has NULL text
+    planted = spark.createDataFrame(
+        [(900001, "prefix words alpha beta gamma delta epsilon zeta suffix"),
+         (900002, "totally original content with no quoted benchmark text"),
+         (900003, None)],
+        "doc_id long, text string")
+    corpus = base.unionByName(planted)
+    pairs = {(r["corpus_id"], r["bench_id"]) for r in
+             contamination_pairs(corpus, bench, n=6).collect()}
+    assert (900001, 0) in pairs
+    assert not any(c == 900002 or c == 900003 for c, _ in pairs)
+    clean = decontaminate(corpus, bench, n=6)
+    kept = {r["doc_id"] for r in clean.select("doc_id").collect()}
+    assert 900001 not in kept and 900002 in kept and 900003 in kept
+    assert clean.count() == corpus.count() - len({c for c, _ in pairs})
