@@ -410,6 +410,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["decontaminate_documents"] = decontaminate_documents
 
+    def redact_pii_documents(spark, sf):
+        """PII scrubbing over the corpus plus planted PII rows (planted
+        identically in the DuckDB oracle as VALUES literals): redacted
+        text and per-type counts hash-matched row-for-row."""
+        from ddsketchy_spark.pipeline.text import redact_pii
+
+        docs = _load(spark, sf, "documents").select("doc_id", "text")
+        planted = spark.createDataFrame(
+            [(900001, "mail a@b.io or jane.doe+x@example.org now"),
+             (900002, "host 10.0.0.1 peer 192.168.1.255"),
+             (900003, "dial +1 555-123-4567 or +44 20 7946 0958")],
+            "doc_id long, text string")
+        return (redact_pii(docs.unionByName(planted))
+                .select("doc_id", "n_email", "n_ip", "n_phone", "n_pii",
+                        "text_redacted")
+                .orderBy("doc_id"))
+
+    q["redact_pii_documents"] = redact_pii_documents
+
     def dedup_exact_documents(spark, sf):
         from ddsketchy_spark.pipeline.dedup import dedup_exact, exact_dup_groups
 
@@ -1197,6 +1216,39 @@ SELECT CAST(count(*) AS BIGINT) AS contaminated_docs,
        (SELECT CAST(count(*) AS BIGINT) FROM documents)
          - CAST(count(*) AS BIGINT) AS docs_after_decontam
 FROM bad
+"""
+    _pii_email = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+    _pii_ip = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+    _pii_phone = r"\+\d[\d\- ]{7,}\d"
+    o["redact_pii_documents"] = f"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT * FROM (VALUES
+    (900001, 'mail a@b.io or jane.doe+x@example.org now'),
+    (900002, 'host 10.0.0.1 peer 192.168.1.255'),
+    (900003, 'dial +1 555-123-4567 or +44 20 7946 0958')
+  ) AS v(doc_id, text)
+),
+s1 AS (
+  SELECT doc_id, text,
+         coalesce(len(regexp_extract_all(text, '{_pii_email}')), 0) AS n_email,
+         regexp_replace(text, '{_pii_email}', '[EMAIL]', 'g') AS t1
+  FROM corpus
+),
+s2 AS (
+  SELECT *, coalesce(len(regexp_extract_all(t1, '{_pii_ip}')), 0) AS n_ip,
+         regexp_replace(t1, '{_pii_ip}', '[IP]', 'g') AS t2
+  FROM s1
+),
+s3 AS (
+  SELECT *, coalesce(len(regexp_extract_all(t2, '{_pii_phone}')), 0) AS n_phone,
+         regexp_replace(t2, '{_pii_phone}', '[PHONE]', 'g') AS text_redacted
+  FROM s2
+)
+SELECT doc_id, n_email, n_ip, n_phone,
+       n_email + n_ip + n_phone AS n_pii, text_redacted
+FROM s3 ORDER BY doc_id
 """
     o["sample_by_group_documents"] = """
 SELECT source,

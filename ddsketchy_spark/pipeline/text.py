@@ -154,6 +154,40 @@ def ngram_counts(
     return out
 
 
+# (placeholder, pattern) — ordered: emails first (an address would
+# otherwise have its digit runs partially eaten by the phone pattern).
+# Patterns stay in the common Java-regex/RE2 subset (no backreferences, no
+# lookaround) so the DuckDB oracle can run them verbatim.
+PII_PATTERNS: tuple[tuple[str, str], ...] = (
+    ("EMAIL", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"),
+    ("IP", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"),
+    ("PHONE", r"\+\d[\d\- ]{7,}\d"),
+)
+
+
+def redact_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Corpus PII scrubbing: emails, IPv4 addresses, and international
+    phone numbers replaced with ``[EMAIL]``/``[IP]``/``[PHONE]`` tokens.
+
+    Appends ``text_redacted`` plus per-type match counts
+    (``n_email``/``n_ip``/``n_phone``, counted BEFORE replacement) and
+    ``n_pii``. Pure regexp projections — whole-stage codegen, no shuffle,
+    NULL text passes through as NULL. Heuristic patterns (the
+    deterministic, oracle-checkable core of a PII pass); a production
+    pipeline layers NER on top for names/addresses."""
+    redacted = F.col(text_col)
+    counts = {}
+    for name, pat in PII_PATTERNS:
+        counts[f"n_{name.lower()}"] = F.coalesce(
+            F.size(F.regexp_extract_all(redacted, F.lit(pat), 0)), F.lit(0))
+        redacted = F.regexp_replace(redacted, pat, f"[{name}]")
+    total = None
+    for c in counts.values():
+        total = c if total is None else total + c
+    return df.withColumns({**counts, "n_pii": total,
+                           "text_redacted": redacted})
+
+
 def contamination_pairs(
     corpus: DataFrame,
     benchmark: DataFrame,

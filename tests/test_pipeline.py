@@ -712,3 +712,28 @@ def test_decontaminate(spark, sf001_dir):
     kept = {r["doc_id"] for r in clean.select("doc_id").collect()}
     assert 900001 not in kept and 900002 in kept and 900003 in kept
     assert clean.count() == corpus.count() - len({c for c, _ in pairs})
+
+
+def test_redact_pii(spark):
+    """Emails, IPv4s, phone numbers -> placeholders with per-type counts;
+    NULL text passes through; clean text untouched."""
+    from ddsketchy_spark.pipeline.text import redact_pii
+
+    rows = [
+        (1, "contact me at jane.doe+x@example.org or bob@sub.example.co"),
+        (2, "server 10.0.0.1 and 192.168.1.255 are down"),
+        (3, "call +1 555-123-4567 now"),
+        (4, "mixed: a@b.io from 8.8.8.8 dial +44 20 7946 0958"),
+        (5, "perfectly clean sentence"),
+        (6, None),
+    ]
+    out = {r["doc_id"]: r for r in
+           redact_pii(spark.createDataFrame(rows, "doc_id long, text string")
+                      ).collect()}
+    assert out[1]["n_email"] == 2 and "[EMAIL]" in out[1]["text_redacted"]
+    assert "@" not in out[1]["text_redacted"]
+    assert out[2]["n_ip"] == 2 and out[2]["text_redacted"].count("[IP]") == 2
+    assert out[3]["n_phone"] == 1 and "[PHONE]" in out[3]["text_redacted"]
+    assert out[4]["n_pii"] == 3
+    assert out[5]["n_pii"] == 0 and out[5]["text_redacted"] == rows[4][1]
+    assert out[6]["text_redacted"] is None and out[6]["n_pii"] == 0
