@@ -397,13 +397,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         with them is dropped. Counts hash-matched against a DuckDB string
         n-gram re-derivation (Spark joins on xxhash64(gram), DuckDB on the
         gram itself — equal absent a 64-bit collision)."""
-        from ddsketchy_spark.pipeline.text import contamination_pairs, decontaminate
+        from ddsketchy_spark.pipeline.text import contamination_pairs
 
         docs = _load(spark, sf, "documents")
         bench = docs.filter("doc_id < 5")
-        contaminated = (contamination_pairs(docs, bench, n=13)
-                        .select("corpus_id").distinct().count())
-        kept = decontaminate(docs, bench, n=13).count()
+        # one contamination join serves both numbers (decontaminate() would
+        # recompute the same gram join for the anti-join)
+        bad = (contamination_pairs(docs, bench, n=13)
+               .select(F.col("corpus_id").alias("doc_id")).distinct())
+        contaminated = bad.count()
+        kept = docs.join(bad, "doc_id", "left_anti").count()
         return spark.createDataFrame(
             [(int(contaminated), int(kept))],
             "contaminated_docs long, docs_after_decontam long")

@@ -128,6 +128,21 @@ def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     return out.withColumn("pred_lang", pred)
 
 
+def _gram_rows(df: DataFrame, text_col: str, n: int, gram_col: str,
+               *extra_cols) -> DataFrame:
+    """One row per word n-gram: the single codegen gram-build law
+    (``transform(sequence(...), i -> array_join(slice(words, i+1, n)))``
+    with NULL-text and too-short-doc guards) shared by ``ngram_counts``
+    and ``contamination_pairs`` — their gram sets must never diverge."""
+    words = _words(text_col)
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(words) - n),
+        lambda i: F.array_join(F.slice(words, i + 1, n), " "))
+    return (df.where(F.col(text_col).isNotNull())
+            .where(F.size(words) >= n)
+            .select(*extra_cols, F.explode(grams).alias(gram_col)))
+
+
 def ngram_counts(
     df: DataFrame,
     n: int = 2,
@@ -136,18 +151,11 @@ def ngram_counts(
 ) -> DataFrame:
     """Corpus word-n-gram frequencies — (ngram, cnt), all native.
 
-    n-grams are built inside codegen (``transform(sequence(...),
-    i -> array_join(slice(words, i+1, n), ' '))``), exploded, and counted
-    with a map-side-combining hash aggregate; ``top_k`` adds a
+    n-grams are built inside codegen (``_gram_rows``), exploded, and
+    counted with a map-side-combining hash aggregate; ``top_k`` adds a
     deterministic (cnt desc, ngram asc) TakeOrdered — no global sort.
     Shuffle volume is O(distinct n-grams), never O(rows x n-grams)."""
-    words = _words(text_col)
-    grams = F.transform(
-        F.sequence(F.lit(0), F.size(words) - n),
-        lambda i: F.array_join(F.slice(words, i + 1, n), " "))
-    out = (df.where(F.col(text_col).isNotNull())
-           .where(F.size(words) >= n)
-           .select(F.explode(grams).alias("ngram"))
+    out = (_gram_rows(df, text_col, n, "ngram")
            .groupBy("ngram").agg(F.count(F.lit(1)).alias("cnt")))
     if top_k is not None:
         out = out.orderBy(F.desc("cnt"), F.asc("ngram")).limit(top_k)
@@ -207,17 +215,15 @@ def contamination_pairs(
     with no shuffle. Output deduplicates to one row per (corpus doc,
     benchmark doc)."""
     def grams(df, id_col, out_id):
-        words = _words(text_col)
-        g = F.transform(
-            F.sequence(F.lit(0), F.size(words) - n),
-            lambda i: F.xxhash64(F.array_join(F.slice(words, i + 1, n), " ")))
-        return (df.where(F.col(text_col).isNotNull())
-                .where(F.size(words) >= n)
-                .select(F.col(id_col).alias(out_id),
-                        F.explode(F.array_distinct(g)).alias("gram")))
+        # the SAME gram-build law as ngram_counts (_gram_rows), hashed to
+        # one BIGINT so the join key is 8 bytes, deduped per doc
+        return (_gram_rows(df, text_col, n, "gram",
+                           F.col(id_col).alias(out_id))
+                .withColumn("gram", F.xxhash64("gram"))
+                .dropDuplicates([out_id, "gram"]))
 
     cg = grams(corpus, corpus_id, "corpus_id")
-    bg = grams(benchmark, bench_id, "bench_id").dropDuplicates(["bench_id", "gram"])
+    bg = grams(benchmark, bench_id, "bench_id")
     return (cg.join(F.broadcast(bg), "gram")
             .select("corpus_id", "bench_id")
             .dropDuplicates(["corpus_id", "bench_id"]))
