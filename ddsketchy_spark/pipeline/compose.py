@@ -1,0 +1,75 @@
+"""One-call training-corpus cleaning: the standard pipeline composition.
+
+Each stage is an independently tested + oracled operator; this module only
+wires them in the canonical order (cheap row-local filters first, the
+joins/shuffles last, on the already-shrunk corpus):
+
+    redact PII -> quality filter -> exact dedup -> near dedup ->
+    benchmark decontamination
+
+Spark-first: the whole composition is ONE lazy DataFrame plan — Catalyst
+fuses the projection stages (redaction + quality features + filter) into a
+single codegen pass over the scan, and only survivors reach the dedup
+shuffles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from .dedup import dedup_near_text
+from .text import decontaminate, quality_filter, redact_pii
+
+
+def clean_corpus(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    benchmark: DataFrame | None = None,
+    redact: bool = True,
+    quality_kw: dict | None = None,
+    near_dedup_kw: dict | None = None,
+    decontam_n: int = 13,
+) -> DataFrame:
+    """Run the standard corpus-cleaning pipeline; returns the SURVIVING
+    rows of ``df`` (original columns, with ``text_col`` replaced by its
+    redacted form when ``redact``).
+
+    Stages (each skippable):
+    1. ``redact_pii`` — emails/IPs/phones -> placeholder tokens (pure
+       projection; NULL text passes through).
+    2. ``quality_filter`` — Gopher/C4-style keep/drop on the redacted
+       text (``quality_kw`` forwards thresholds). Drops NULL-text rows
+       (``null_text`` is a drop reason).
+    3. near dedup — ``dedup_near_text`` (MinHash-LSH -> connected
+       components; exact duplicates are Jaccard-1.0 members of the same
+       clusters, so a separate exact pass is redundant), keeping each
+       cluster's min-id canonical doc. ``near_dedup_kw`` forwards
+       num_perm/bands/threshold/verify; pass ``None``-ing kwargs via
+       ``{"threshold": 1.01}`` is NOT the way to skip — use
+       ``near_dedup_kw={"skip": True}``.
+    4. ``decontaminate`` — drop docs sharing a ``decontam_n``-gram with
+       ``benchmark`` (skipped when ``benchmark`` is None).
+    """
+    quality_kw = dict(quality_kw or {})
+    near_kw = dict(near_dedup_kw or {})
+    skip_near = near_kw.pop("skip", False)
+
+    out = df
+    if redact:
+        keep_cols = [c for c in df.columns if c != text_col]
+        out = (redact_pii(out, text_col)
+               .select(*keep_cols, F.col("text_redacted").alias(text_col)))
+    out = (quality_filter(out, text_col, **quality_kw)
+           .where("keep").select(*df.columns))
+    if not skip_near:
+        labels = dedup_near_text(out, text_col=text_col, id_col=id_col,
+                                 **near_kw)
+        out = (out.join(labels.where("keep").select(id_col), id_col,
+                        "inner"))
+    if benchmark is not None:
+        out = decontaminate(out, benchmark, n=decontam_n, text_col=text_col,
+                            corpus_id=id_col,
+                            bench_id=id_col if id_col in benchmark.columns
+                            else benchmark.columns[0])
+    return out

@@ -737,3 +737,41 @@ def test_redact_pii(spark):
     assert out[4]["n_pii"] == 3
     assert out[5]["n_pii"] == 0 and out[5]["text_redacted"] == rows[4][1]
     assert out[6]["text_redacted"] is None and out[6]["n_pii"] == 0
+
+
+def test_clean_corpus_composition(spark, sf001_dir):
+    """The one-call pipeline: PII redacted in surviving text, low-quality
+    and duplicate docs gone (planted copy loses to the original),
+    benchmark-contaminated docs gone, clean docs survive."""
+    from ddsketchy_spark.pipeline.compose import clean_corpus
+
+    base = spark.read.parquet(f"{sf001_dir}/documents.parquet") \
+        .select("doc_id", "text", "source")
+    planted = spark.createDataFrame(
+        [(800001, "x " * 2, "t"),                      # too few words
+         (800002, None, "t"),                          # null text
+         (800003, "email me at a@b.io " + "steady flow of ordinary the "
+          "words goes on and on here for a while longer", "t")],
+        "doc_id long, text string, source string")
+    dup = (base.filter("doc_id = 3")
+           .withColumn("doc_id", F.lit(800004).cast("long")))
+    bench = spark.createDataFrame(
+        [(0, " ".join(f"w{i}" for i in range(20)))], "doc_id long, text string")
+    contaminated = spark.createDataFrame(
+        [(800005, "prologue " + " ".join(f"w{i}" for i in range(13))
+          + " epilogue words continue here beyond the quoted span of it")],
+        "doc_id long, text string").withColumn("source", F.lit("t"))
+    corpus = base.unionByName(planted).unionByName(dup) \
+                 .unionByName(contaminated)
+    out = clean_corpus(corpus, benchmark=bench,
+                       quality_kw={"min_words": 5},
+                       near_dedup_kw={"threshold": 0.9, "num_perm": 64,
+                                      "bands": 16, "verify": "local"})
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert 800001 not in rows and 800002 not in rows   # quality-dropped
+    assert 800004 not in rows and 3 in rows            # dup loses to orig
+    assert 800005 not in rows                          # decontaminated
+    assert 800003 in rows
+    assert "[EMAIL]" in rows[800003]["text"] and "@" not in rows[800003]["text"]
+    assert set(out.columns) == {"doc_id", "text", "source"}
+    assert len(rows) > 400  # the bulk of the corpus survives
