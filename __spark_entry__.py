@@ -137,32 +137,51 @@ def _dds_oracle(
     gpart = f"PARTITION BY {g}" if g else ""
     gby = f"{g}," if g else ""
     qvals = ", ".join(f"({q!r})" for q in qs)
+    # zero-bucket-aware estimate: rank below zero_n -> 0.0 (the sketch's
+    # zero bucket), else the positive-store key walk offset by zero_n
     cases = ",\n  ".join(
-        f"max(CASE WHEN q = {q!r} THEN round(exp(CAST(key AS DOUBLE) * {gl}) * {coef}, 6) END)"
+        f"max(CASE WHEN q = {q!r} THEN CASE WHEN rank < zero_n THEN 0.0 "
+        f"ELSE round(exp(CAST(key AS DOUBLE) * {gl}) * {coef}, 6) END END)"
         f" AS {_QLABELS[q]}"
         for q in qs
     )
     order = f"ORDER BY {g}" if g else ""
+    jg = f"cum.{g} = r.{g} AND " if g else ""
+    rg = f"r.{g}, " if g else ""
+    # Non-negative-data oracle: total count INCLUDES the zero bucket
+    # (|x| < min_indexable — the sketch counts those and returns 0.0 for
+    # ranks inside it); negatives are excluded by construction because the
+    # oracled tables have none (the full three-region walk incl. the
+    # negative store is exercised by dds_mixed_sign_centered).
     return f"""
 WITH base AS (
   SELECT {gsel}CAST({col} AS DOUBLE) AS x FROM {table}
 ),
+fin AS (SELECT * FROM base WHERE isfinite(x) AND x > -{miv}),
+tot AS (
+  SELECT {gsel}count(*) AS n,
+         count(*) FILTER (WHERE x < {miv}) AS zero_n
+  FROM fin GROUP BY ALL
+),
 k AS (
   SELECT {gsel}CAST(ceil(ln(x) * {ilg}) AS BIGINT) AS key, count(*) AS c
-  FROM base WHERE isfinite(x) AND x >= {miv}
+  FROM fin WHERE x >= {miv}
   GROUP BY ALL
 ),
 cum AS (
-  SELECT {gsel}key,
-         sum(c) OVER ({gpart} ORDER BY key) AS cum,
-         sum(c) OVER ({gpart}) AS n
+  SELECT {gsel}key, sum(c) OVER ({gpart} ORDER BY key) AS cum
   FROM k
 ),
+ranks AS (
+  SELECT {gsel}qs.q AS q,
+         CAST(floor(qs.q * (n - 1)) AS BIGINT) AS rank, n, zero_n
+  FROM tot CROSS JOIN (VALUES {qvals}) qs(q)
+),
 kq AS (
-  SELECT {gsel}qs.q AS q, min(key) AS key, any_value(n) AS n
-  FROM cum CROSS JOIN (VALUES {qvals}) qs(q)
-  WHERE cum.cum > CAST(floor(qs.q * (n - 1)) AS BIGINT)
-  GROUP BY {gby} qs.q
+  SELECT {rg}r.q AS q, any_value(r.n) AS n, any_value(r.rank) AS rank,
+         any_value(r.zero_n) AS zero_n, min(cum.key) AS key
+  FROM ranks r LEFT JOIN cum ON {jg}cum.cum > r.rank - r.zero_n
+  GROUP BY ALL
 )
 SELECT {gsel}CAST(any_value(n) AS BIGINT) AS cnt,
   {cases}
