@@ -797,8 +797,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["tpch_q6_forecast_revenue"] = tpch_q6_forecast_revenue
 
     def tpch_q3_shipping_priority(spark, sf):
-        """Join + aggregate + deterministic top-10: broadcast the filtered
-        dims, TakeOrdered for the limit."""
+        """Join + aggregate + deterministic top-10 via TakeOrdered.
+        orders/customer scale with the fact table at 100 TB, so no
+        explicit broadcast hints — AQE picks broadcast at runtime when the
+        filtered side is actually small."""
         li = _load(spark, sf, "lineitem")
         orders = _load(spark, sf, "orders")
         cust = _load(spark, sf, "customer")
@@ -808,8 +810,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                    .select("o_orderkey", "o_custkey", "o_orderdate")
         return (
             li.where(F.col("l_shipdate") > "1998-06-15")
-            .join(F.broadcast(op), li.l_orderkey == op.o_orderkey)
-            .join(F.broadcast(seg), op.o_custkey == seg.c_custkey)
+            .join(op, li.l_orderkey == op.o_orderkey)
+            .join(seg, op.o_custkey == seg.c_custkey)
             .groupBy("l_orderkey", "o_orderdate")
             .agg(_r2(F.sum(F.col("l_extendedprice")
                            * (1 - F.col("l_discount")))).alias("revenue"))
@@ -821,10 +823,45 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["tpch_q3_shipping_priority"] = tpch_q3_shipping_priority
 
+    def tpch_q5_local_supplier_volume(spark, sf):
+        """Six-table star join (lineitem x orders x customer x supplier x
+        nation x region) — revenue per nation where supplier and customer
+        share the nation. orders scales WITH the fact table, so
+        lineitem-orders is a shuffled key join; only the four true dims
+        (customer/supplier/nation/region) broadcast."""
+        li = _load(spark, sf, "lineitem")
+        orders = _load(spark, sf, "orders").select("o_orderkey", "o_custkey")
+        cust = _load(spark, sf, "customer").select("c_custkey", "c_nationkey")
+        supp = _load(spark, sf, "supplier").select("s_suppkey", "s_nationkey")
+        nation = _load(spark, sf, "nation").select("n_nationkey", "n_name",
+                                                   "n_regionkey")
+        region = _load(spark, sf, "region").select("r_regionkey", "r_name")
+        return (
+            li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .join(cust, orders.o_custkey == cust.c_custkey)
+            .join(supp, li.l_suppkey == supp.s_suppkey)
+            .where(F.col("c_nationkey") == F.col("s_nationkey"))
+            .join(F.broadcast(nation),
+                  F.col("s_nationkey") == nation.n_nationkey)
+            .join(F.broadcast(region),
+                  nation.n_regionkey == region.r_regionkey)
+            .groupBy("n_name")
+            .agg(_r2(F.sum(F.col("l_extendedprice")
+                           * (1 - F.col("l_discount")))).alias("revenue"),
+                 F.count(F.lit(1)).alias("n_items"))
+            .orderBy("n_name")
+        )
+
+    q["tpch_q5_local_supplier_volume"] = tpch_q5_local_supplier_volume
+
     def revenue_by_customer_broadcast(spark, sf):
         """lineitem JOIN orders JOIN customer with broadcast dims — the
         small sides broadcast (verified in tools/explain_plans.py), so the
-        fact table never shuffles for the join."""
+        fact table never shuffles for the join. This is the explicit
+        broadcast-strategy demonstrator; at an SF where orders no longer
+        fits an executor, drop the hint and the q5-style shuffled key
+        join (with AQE runtime upgrades) is the pattern — see
+        tpch_q5_local_supplier_volume."""
         li = _load(spark, sf, "lineitem")
         orders = _load(spark, sf, "orders")
         cust = _load(spark, sf, "customer").filter(F.col("c_custkey") < 50)
@@ -1431,6 +1468,19 @@ WHERE c.c_mktsegment = 'BUILDING'
 GROUP BY l.l_orderkey, o.o_orderdate
 ORDER BY revenue DESC, l.l_orderkey ASC
 LIMIT 10
+"""
+    o["tpch_q5_local_supplier_volume"] = """
+SELECT n.n_name,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+       count(*) AS n_items
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+WHERE c.c_nationkey = s.s_nationkey
+GROUP BY n.n_name ORDER BY n.n_name
 """
     o["revenue_by_customer_broadcast"] = """
 SELECT c.c_custkey, c.c_name,
