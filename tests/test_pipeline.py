@@ -68,6 +68,82 @@ def test_minhash_signature_deterministic(spark, docs_with_dups):
     assert s1 == s2
 
 
+def test_signature_law_v2_rederivation(spark, monkeypatch):
+    """Pin signature law v2 (round 3): MinHash and SimHash signatures are
+    re-derived doc-by-doc in pure Python integer arithmetic — word hashes
+    from a plain top-level xxhash64 projection (no lambda, no mapInArrow),
+    FNV-poly shingle combine, splitmix64 finalize, per-perm min / bit
+    votes — and must match the vectorized engines bit-for-bit, with the
+    permutation chunk shrunk to force chunk boundaries mid-batch."""
+    import ddsketchy_spark.pipeline.dedup as dd
+
+    rng = np.random.default_rng(7)
+    vocab = ["alpha", "beta", "gamma", "δδδ", "x", "the", "of", "zz9"]
+    rows = [(i, " ".join(rng.choice(vocab, size=int(rng.integers(1, 40)))))
+            for i in range(30)]
+    rows += [(100, ""), (101, "single"), (102, "two words"), (103, None)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    seed, num_perm, k = 5, 16, 3
+    monkeypatch.setattr(dd, "_PERM_CHUNK_SHINGLES", 16)
+    monkeypatch.setattr(dd, "_SIMHASH_CHUNK_WORDS", 16)
+    got_min = {r["doc_id"]: list(r["sig"]) for r in
+               dd.minhash_signatures(df.coalesce(1), num_perm=num_perm,
+                                     shingle_k=k, seed=seed).collect()}
+    got_sim = {r["doc_id"]: r["simhash"] for r in
+               dd.simhash_signatures(df.coalesce(1), seed=seed).collect()}
+
+    # word hashes via an independent plain projection
+    wh_rows = (df.where("text IS NOT NULL")
+               .select("doc_id", F.posexplode(F.split("text", " ")))
+               .select("doc_id", "pos",
+                       F.xxhash64(F.col("col"), F.lit(seed)).alias("h"))
+               .collect())
+    words_of: dict[int, dict[int, int]] = {}
+    for r in wh_rows:
+        words_of.setdefault(r["doc_id"], {})[r["pos"]] = r["h"]
+
+    MASK = (1 << 64) - 1
+    P = 0x100000001B3
+
+    def smix(x, s):
+        z = (x + (0x9E3779B97F4A7C15 * (s + 1))) & MASK
+        z = ((z ^ (z >> 30)) * 0xBF58476D1CE4E5B9) & MASK
+        z = ((z ^ (z >> 27)) * 0x94D049BB133111EB) & MASK
+        return z ^ (z >> 31)
+
+    def signed(v):
+        return v - (1 << 64) if v >= (1 << 63) else v
+
+    arng = np.random.default_rng(seed)
+    A = (arng.integers(1, (1 << 61) - 1, size=num_perm, dtype=np.int64) | 1).tolist()
+    B = arng.integers(0, (1 << 61) - 1, size=num_perm, dtype=np.int64).tolist()
+
+    assert set(got_min) == set(words_of) and 103 not in got_min
+    for doc_id, by_pos in words_of.items():
+        wh = [by_pos[p] & MASK for p in range(len(by_pos))]
+        m = len(wh)
+        if m < k:
+            windows = [wh]
+        else:
+            windows = [wh[j:j + k] for j in range(m - k + 1)]
+        shingles = []
+        for win in windows:
+            poly = 0
+            for h in win:
+                poly = (poly * P + h) & MASK
+            shingles.append(signed(smix(poly, seed)))
+        exp_sig = [min(signed((A[i] * (s & MASK) + B[i]) & MASK)
+                       for s in shingles) for i in range(num_perm)]
+        assert got_min[doc_id] == exp_sig, doc_id
+        # simhash: majority vote per bit over word-occurrence hashes
+        bits = 0
+        for b in range(64):
+            votes = sum((h >> b) & 1 for h in wh)
+            if 2 * votes > m:
+                bits |= 1 << b
+        assert got_sim[doc_id] == signed(bits), doc_id
+
+
 def test_simhash_near_pairs(spark, docs_with_dups):
     pairs = simhash_near_pairs(docs_with_dups, max_hamming=3).collect()
     found = {(r["id_a"], r["id_b"]): r["hamming"] for r in pairs}
