@@ -44,10 +44,13 @@ def clean_corpus(
     3. near dedup — ``dedup_near_text`` (MinHash-LSH -> connected
        components; exact duplicates are Jaccard-1.0 members of the same
        clusters, so a separate exact pass is redundant), keeping each
-       cluster's min-id canonical doc. ``near_dedup_kw`` forwards
-       num_perm/bands/threshold/verify; pass ``None``-ing kwargs via
-       ``{"threshold": 1.01}`` is NOT the way to skip — use
-       ``near_dedup_kw={"skip": True}``.
+       cluster's min-id canonical doc. Rows with a NULL id cannot be
+       canonicalized — they bypass this stage and survive (mirroring
+       ``_keep_canonical``'s NULL-id pass-through; an equi-join would
+       silently drop them). Ids should be UNIQUE: duplicate ids are kept
+       or dropped as one unit (the keep set is distinct on id).
+       ``near_dedup_kw`` forwards num_perm/bands/threshold/verify; use
+       ``near_dedup_kw={"skip": True}`` to skip.
     4. ``decontaminate`` — drop docs sharing a ``decontam_n``-gram with
        ``benchmark`` (skipped when ``benchmark`` is None).
     """
@@ -62,14 +65,22 @@ def clean_corpus(
                .select(*keep_cols, F.col("text_redacted").alias(text_col)))
     out = (quality_filter(out, text_col, **quality_kw)
            .where("keep").select(*df.columns))
+    cached = []
     if not skip_near:
-        labels = dedup_near_text(out, text_col=text_col, id_col=id_col,
+        from .cache import cached_deps
+
+        nulls = out.where(F.col(id_col).isNull())
+        nonnull = out.where(F.col(id_col).isNotNull())
+        labels = dedup_near_text(nonnull, text_col=text_col, id_col=id_col,
                                  **near_kw)
-        out = (out.join(labels.where("keep").select(id_col), id_col,
-                        "inner"))
+        cached = cached_deps(labels)
+        keep_ids = labels.where("keep").select(id_col).distinct()
+        out = nonnull.join(keep_ids, id_col, "inner").unionByName(nulls)
     if benchmark is not None:
         out = decontaminate(out, benchmark, n=decontam_n, text_col=text_col,
                             corpus_id=id_col,
                             bench_id=id_col if id_col in benchmark.columns
                             else benchmark.columns[0])
-    return out
+    from .cache import tag_cached_deps
+
+    return tag_cached_deps(out, cached)

@@ -182,8 +182,12 @@ def lsh_cosine_topk(
     if verify not in ("auto", "broadcast", "local", "sql"):
         raise ValueError(f"unknown verify mode {verify!r}")
     if verify == "auto":
-        verify = "broadcast" if v.count() <= max_broadcast_rows else "local"
+        # bounded probe: early-stops after cap+1 rows instead of a full
+        # count of a possibly-100-TB table (round-2 advice)
+        over = v.limit(max_broadcast_rows + 1).count() > max_broadcast_rows
+        verify = "local" if over else "broadcast"
 
+    cached: list = []
     if verify == "local":
         from pyspark import StorageLevel
 
@@ -191,9 +195,10 @@ def lsh_cosine_topk(
         enriched = _lsh_enriched(v, id_field, planes, n_planes, bands, width)
         # consumed by the band explode AND both join-back sides: persist or
         # the normalize+sign pass over the full table runs three times
-        # (cache lives until session LRU eviction — the lazy result forbids
-        # unpersisting here; clearCache() between corpora if needed)
+        # (lazy result forbids unpersisting here — tagged on the result for
+        # pipeline.cache.release_cached_deps)
         enriched = enriched.persist(StorageLevel.MEMORY_AND_DISK)
+        cached.append(enriched)
         banded = enriched.select(
             "id", F.posexplode("keys").alias("blk", "key"))
         sa, sb = banded.alias("a"), banded.alias("b")
@@ -289,9 +294,12 @@ def lsh_cosine_topk(
             .withColumn("cos", cosine_expr(F.col("va"), F.col("vb")))
             .drop("va", "vb")
         )
+    from .cache import tag_cached_deps
+
     w = Window.partitionBy("id").orderBy(F.desc("cos"), F.asc("neighbor"))
-    return (scored.withColumn("rk", F.row_number().over(w))
-            .filter(F.col("rk") <= k).drop("rk"))
+    return tag_cached_deps(
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k).drop("rk"), cached)
 
 
 def _train_ivf_centroids(
@@ -551,7 +559,7 @@ def ivf_cosine_topk(
 
     enriched = v.mapInArrow(assign_batches, assign_schema)
     # consumed by the cluster explode AND both vector join-back sides
-    # (cache lives until session LRU eviction — see lsh_cosine_topk note)
+    # (tagged on the result for pipeline.cache.release_cached_deps)
     enriched = enriched.persist(StorageLevel.MEMORY_AND_DISK)
 
     # --- 3. candidates: slim (cluster, id) self-join ------------------------
@@ -570,9 +578,12 @@ def ivf_cosine_topk(
                          F.col("nvec").alias("_vb"))
     scored = _score_pairs_arrow(cand.join(va, "id").join(vb, "neighbor"),
                                 id_field, dim)
+    from .cache import tag_cached_deps
+
     w = Window.partitionBy("id").orderBy(F.desc("cos"), F.asc("neighbor"))
-    return (scored.withColumn("rk", F.row_number().over(w))
-            .filter(F.col("rk") <= k).drop("rk"))
+    return tag_cached_deps(
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k).drop("rk"), [enriched])
 
 
 def ann_query(

@@ -129,22 +129,20 @@ def sample_by_group(
     # min(k, n) survivors — start from `counts`, not `ranked`: a group the
     # prefilter wiped out entirely has NO ranked rows to detect from
     surv = ranked.groupBy(*by).agg(F.max("_rk").alias("_m"))
-    got = (counts.join(surv, by, "left")
-           .where(F.coalesce(F.col("_m"), F.lit(0))
-                  < F.least(F.lit(k), F.col("_gn")))
-           .select(*by))
-    short = [tuple(r) for r in got.collect()]  # ~never non-empty; tiny
+    short = (counts.join(surv, by, "left")
+             .where(F.coalesce(F.col("_m"), F.lit(0))
+                    < F.least(F.lit(k), F.col("_gn")))
+             .select(*by)
+             # ~never non-empty; checkpoint freezes the (tiny) shortfall
+             # set so the three consumers below don't recompute it — and
+             # the redo stays JOIN-based end to end: no driver-side
+             # condition list that an adversarial salt could blow up
+             # (round-2 verdict #8)
+             .localCheckpoint())
     out = ranked.where(F.col("_rk") <= k)
-    if short:
-        cond = None
-        for row in short:
-            c = None
-            for g, val in zip(by, row):
-                e = F.col(g) == F.lit(val)
-                c = e if c is None else (c & e)
-            cond = c if cond is None else (cond | c)
-        redo = (joined.where(cond)
+    if not short.isEmpty():
+        redo = (joined.join(short, by, "leftsemi")
                 .withColumn("_rk", F.row_number().over(w))
                 .where(F.col("_rk") <= k))
-        out = out.where(~cond).unionByName(redo)
+        out = out.join(short, by, "left_anti").unionByName(redo)
     return out.drop("_rk", "_gn")

@@ -23,6 +23,7 @@ def stream_dedup_near(
     seed: int = 1,
     threshold: float = 0.8,
     max_bucket_members: int = 256,
+    state_ttl_ms: int | None = None,
 ) -> DataFrame:
     """Streaming near-duplicate PAIR detection: MinHash-LSH with per-bucket
     state — the custom stateful operator Structured Streaming lacks.
@@ -52,7 +53,17 @@ def stream_dedup_near(
     within one micro-batch are always scored against each other, so the
     emitted pair set never depends on Arrow chunk boundaries; per-call
     scoring memory is O((bucket's batch rows + cap) * chunk * num_perm)
-    bools. Rows with NULL text or NULL id are ignored."""
+    bools. Rows with NULL text or NULL id are ignored.
+
+    ``state_ttl_ms`` bounds TOTAL state: a (band, bucket) whose state has
+    seen no new member for that many processing-time milliseconds is
+    evicted, so the state-store row count tracks the recent-activity
+    working set instead of growing with stream lifetime. The trade-off
+    mirrors ``stream_dedup_exact``'s watermark regime: a duplicate
+    arriving after its bucket expired is NOT paired with the pre-expiry
+    members (run the batch pipeline for the long tail). ``None``
+    (default) keeps buckets forever — per-bucket members stay capped but
+    the bucket COUNT grows with the stream's distinct-bucket lifetime."""
     import pandas as pd
 
     from pyspark.sql.streaming.state import GroupStateTimeout
@@ -93,6 +104,9 @@ def stream_dedup_near(
     ])
 
     def update(key, pdf_iter, state):
+        if state_ttl_ms is not None and state.hasTimedOut:
+            state.remove()
+            return
         if state.exists:
             ids, blob = state.get
             ids = list(ids)
@@ -130,12 +144,17 @@ def stream_dedup_near(
         ids = ids[:max_bucket_members]
         mat = mat[:max_bucket_members]
         state.update((ids, bytearray(mat.tobytes())))
+        if state_ttl_ms is not None:
+            # the TTL clock restarts on every update — idle buckets expire
+            state.setTimeoutDuration(state_ttl_ms)
         if out_a:
             yield pd.DataFrame(
                 {"id_a": out_a, "id_b": out_b, "est_jaccard": out_e})
 
+    timeout = (GroupStateTimeout.ProcessingTimeTimeout
+               if state_ttl_ms is not None else GroupStateTimeout.NoTimeout)
     return banded.groupBy("band", "bucket").applyInPandasWithState(
-        update, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout)
+        update, out_schema, state_schema, "append", timeout)
 
 
 def stream_dedup_exact(

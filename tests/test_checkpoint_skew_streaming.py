@@ -572,6 +572,56 @@ def test_sample_by_group(spark, sf001_dir):
     assert fb == got
 
 
+def test_streaming_dedup_near_state_ttl(spark, tmp_path):
+    """state_ttl_ms evicts idle (band, bucket) state: a duplicate arriving
+    after its bucket expired is no longer paired with pre-expiry members,
+    intra-batch pairs still emit, and the state-store row count shrinks vs
+    the NoTimeout regime. Three triggers: the middle (unrelated) batch
+    advances processing time so the idle buckets' timeouts fire."""
+    import time as _time
+
+    from ddsketchy_spark.streaming import stream_dedup_near
+
+    T = "the quick brown fox jumps over the lazy dog again and again"
+    U = "completely unrelated words about quasars pulsars and nebulae"
+    src = str(tmp_path / "ttl_src")
+    schema = "doc_id long, text string"
+    spark.createDataFrame([(1, T), (2, T)], schema).coalesce(1) \
+        .write.mode("append").parquet(src)
+    _time.sleep(1.1)
+    spark.createDataFrame([(10, U)], schema).coalesce(1) \
+        .write.mode("append").parquet(src)
+    _time.sleep(1.1)
+    spark.createDataFrame([(3, T), (4, T)], schema).coalesce(1) \
+        .write.mode("append").parquet(src)
+
+    def run(name, **kw):
+        stream = (spark.readStream.schema(schema)
+                  .option("maxFilesPerTrigger", "1")
+                  .option("latestFirst", "false").parquet(src))
+        out = stream_dedup_near(stream, threshold=0.5, num_perm=32,
+                                bands=8, **kw)
+        q = (out.writeStream.format("memory").queryName(name)
+             .outputMode("append")
+             .option("checkpointLocation", str(tmp_path / f"{name}_ck"))
+             .trigger(availableNow=True).start())
+        q.awaitTermination(180)
+        state_rows = q.lastProgress["stateOperators"][0]["numRowsTotal"]
+        pairs = {(r["id_a"], r["id_b"]) for r in
+                 spark.sql(f"SELECT * FROM {name}").collect()}
+        return pairs, state_rows
+
+    ttl_pairs, ttl_rows = run("near_ttl", state_ttl_ms=1)
+    no_pairs, no_rows = run("near_nottl")
+    # without TTL the batch-3 copies pair with the expired-batch members
+    assert {(1, 2), (3, 4), (1, 3), (1, 4), (2, 3), (2, 4)} <= no_pairs
+    # with TTL: intra-batch pairs survive, cross-expiry pairs are gone
+    assert (1, 2) in ttl_pairs and (3, 4) in ttl_pairs
+    assert not any(a in (1, 2) and b in (3, 4) for a, b in ttl_pairs)
+    # and total state is strictly smaller (expired buckets removed)
+    assert ttl_rows < no_rows, (ttl_rows, no_rows)
+
+
 def test_streaming_dedup_near_matches_batch(spark, sf001_dir, tmp_path):
     """Stateful streaming LSH: the deduplicated emitted pair set equals the
     batch minhash_lsh_pairs candidates at the same threshold, across

@@ -710,6 +710,62 @@ def test_minhash_lsh_local_string_ids(spark, docs_with_dups):
         assert lp.get(pair) == 1.0, pair
 
 
+def test_clean_corpus_null_and_dup_ids(spark, sf001_dir):
+    """Rows with a NULL doc id must BYPASS the near-dedup stage and survive
+    (an equi-join would silently drop them), and duplicate ids must not
+    multiply rows through the keep-set join."""
+    from ddsketchy_spark.pipeline.compose import clean_corpus
+
+    base = (spark.read.parquet(f"{sf001_dir}/documents.parquet")
+            .filter("doc_id < 50").select("doc_id", "text", "source"))
+    extra = spark.createDataFrame(
+        [(None, "a perfectly ordinary document the of and to in it goes on "
+          "with enough words to pass the quality gate easily", "t"),
+         (777777, "first distinct body about owls the of and rivers with "
+          "plenty of ordinary words to pass the gate", "t"),
+         (777777, "second distinct body about quasars the of and pulsars "
+          "with plenty of ordinary words to pass the gate", "t")],
+        "doc_id long, text string, source string")
+    corpus = base.unionByName(extra)
+    out = clean_corpus(corpus,
+                       near_dedup_kw={"verify": "local", "num_perm": 64,
+                                      "bands": 16})
+    rows = out.collect()
+    assert sum(r["doc_id"] is None for r in rows) == 1
+    assert sum(r["doc_id"] == 777777 for r in rows) == 2  # kept as one unit
+
+
+def test_release_cached_deps(spark, docs_with_dups, sf001_dir):
+    """The verify='local' engines tag their persisted intermediates on the
+    (lazy) result so long-lived drivers can release them deterministically
+    after materializing; the broadcast engine caches nothing."""
+    from ddsketchy_spark.pipeline.cache import cached_deps, release_cached_deps
+    from ddsketchy_spark.pipeline.dedup import dedup_near_text
+
+    pairs = minhash_lsh_pairs(docs_with_dups, verify="local",
+                              num_perm=32, bands=8)
+    pairs.count()
+    deps = cached_deps(pairs)
+    assert len(deps) == 1 and deps[0].storageLevel.useMemory
+    assert release_cached_deps(pairs) == 1
+    assert not deps[0].storageLevel.useMemory
+    assert release_cached_deps(pairs) == 0  # idempotent
+    bp = minhash_lsh_pairs(docs_with_dups, verify="broadcast",
+                           num_perm=32, bands=8)
+    assert cached_deps(bp) == [] and release_cached_deps(bp) == 0
+    # composition propagates the tag end to end
+    res = dedup_near_text(docs_with_dups, verify="local", num_perm=32,
+                          bands=8)
+    res.count()
+    assert release_cached_deps(res) == 1
+    # similarity: local engine tags, broadcast doesn't
+    emb = spark.read.parquet(f"{sf001_dir}/embeddings.parquet")
+    lp = lsh_cosine_topk(emb, k=2, n_planes=8, bands=4, dim=64,
+                         verify="local")
+    lp.count()
+    assert release_cached_deps(lp) == 1
+
+
 def test_pipeline_ops_on_empty_input(spark):
     """Every pipeline operator must return an empty (not crashing) result
     on an empty corpus — the first micro-batch of any real pipeline."""
