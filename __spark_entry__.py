@@ -668,32 +668,48 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["ann_query_batch_embeddings"] = ann_query_batch_embeddings
 
     def ann_query_ivf_embeddings(spark, sf):
-        """Sublinear IVF query path (probe n_probe inverted lists only):
-        every query drawn from the table finds itself at cos~1, and
-        recall@1 vs the exact scan holds. The oracle anchors n_vecs; the
-        booleans carry the approximate-index guarantees."""
+        """Sublinear IVF query path served ENTIRELY FROM DISK: the index is
+        persisted with write_ivf_index (partitionBy(cluster) parquet +
+        centroid sidecar via the Hadoop FS API), reloaded with
+        read_ivf_index, and probed (n_probe inverted lists only, partition
+        pruning at the scan). Every query drawn from the table finds
+        itself at cos~1 and recall@1 vs the exact scan holds. The oracle
+        anchors n_vecs; the booleans carry the index guarantees."""
+        import shutil
+        import tempfile
+
         from ddsketchy_spark.pipeline.similarity import (
-            ann_query, ann_query_ivf, ivf_index)
+            ann_query, ann_query_ivf, ivf_index, read_ivf_index,
+            write_ivf_index)
 
         emb = _load(spark, sf, "embeddings")
         idx, cents = ivf_index(emb, n_clusters=8, train_rows=200)
-        qrows = (emb.filter("vec_id IN (0, 1, 2)").orderBy("vec_id")
-                 .select("vec_id", "embedding").collect())
-        qvecs = [r["embedding"] for r in qrows]
-        res = ann_query_ivf(idx, cents, qvecs, k=5, n_probe=4,
-                            query_ids=[0, 1, 2])
-        by_q: dict = {}
-        for r in res.collect():
-            by_q.setdefault(r["query_id"], []).append(r)
-        self_found = all(
-            max(by_q.get(i, []), key=lambda r: r["cos"], default=None) is not None
-            and max(by_q[i], key=lambda r: r["cos"])["id"] == i
-            for i in (0, 1, 2))
-        hits = 0
-        for i, vec in zip((0, 1, 2), qvecs):
-            exact = [r["vec_id"] for r in ann_query(emb, vec, k=2).collect()
-                     if r["vec_id"] != i][0]
-            hits += exact in {r["id"] for r in by_q.get(i, [])}
+        tmp = tempfile.mkdtemp(prefix="ddsketchy_ivf_")
+        try:
+            path = f"{tmp}/index"
+            write_ivf_index(idx, cents, path)
+            stored, cents_disk, _meta = read_ivf_index(spark, path)
+            qrows = (emb.filter("vec_id IN (0, 1, 2)").orderBy("vec_id")
+                     .select("vec_id", "embedding").collect())
+            qvecs = [r["embedding"] for r in qrows]
+            res = ann_query_ivf(stored, cents_disk, qvecs, k=5, n_probe=4,
+                                query_ids=[0, 1, 2])
+            by_q: dict = {}
+            for r in res.collect():
+                by_q.setdefault(r["query_id"], []).append(r)
+            self_found = all(
+                max(by_q.get(i, []), key=lambda r: r["cos"], default=None)
+                is not None
+                and max(by_q[i], key=lambda r: r["cos"])["id"] == i
+                for i in (0, 1, 2))
+            hits = 0
+            for i, vec in zip((0, 1, 2), qvecs):
+                exact = [r["vec_id"] for r in
+                         ann_query(emb, vec, k=2).collect()
+                         if r["vec_id"] != i][0]
+                hits += exact in {r["id"] for r in by_q.get(i, [])}
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
         return spark.createDataFrame(
             [(int(emb.count()), bool(self_found), bool(hits >= 2))],
             "n_vecs long, self_found boolean, recall1_ge_2_of_3 boolean")

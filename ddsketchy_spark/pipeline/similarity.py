@@ -397,6 +397,79 @@ def ivf_index(
     return v.mapInArrow(assign, schema), cents
 
 
+def write_ivf_index(
+    index_df: DataFrame,
+    centroids: np.ndarray,
+    path: str,
+    mode: str = "error",
+    extra_meta: dict | None = None,
+) -> None:
+    """Persist an ``ivf_index`` as a self-contained on-disk artifact.
+
+    The member table is written ``partitionBy("cluster")`` (the layout
+    ``ann_query_ivf``'s ``cluster IN (...)`` filter prunes to n_probe/
+    n_clusters of), and the trained centroid matrix rides in a
+    ``_ivf_meta.json`` sidecar INSIDE the index directory — written
+    through Hadoop's FileSystem API, so local, HDFS, and s3a:// paths all
+    work, and the underscore prefix keeps Spark's parquet reader from
+    treating it as data. Floats serialize via repr (exact round-trip), so
+    a reloaded index probes identically.
+
+    ``extra_meta`` merges caller keys (e.g. a default n_probe, the
+    training seed) into the sidecar."""
+    import json
+
+    spark = index_df.sparkSession
+    C = np.asarray(centroids, dtype=np.float64)
+    index_df.write.partitionBy("cluster").mode(mode).parquet(path)
+    meta = {
+        "format_version": 1,
+        "n_clusters": int(C.shape[0]),
+        "dim": int(C.shape[1]),
+        "centroids": [[float(x) for x in row] for row in C],
+    }
+    meta.update(extra_meta or {})
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path.rstrip("/") + "/_ivf_meta.json")
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    out = fs.create(hpath, True)
+    try:
+        out.write(bytearray(json.dumps(meta).encode("utf-8")))
+    finally:
+        out.close()
+
+
+def read_ivf_index(spark, path: str) -> tuple[DataFrame, np.ndarray, dict]:
+    """Load a ``write_ivf_index`` artifact: (index_df, centroids, meta).
+
+    The parquet scan keeps the ``cluster`` partition column, so
+    ``ann_query_ivf(index_df, centroids, ...)`` served from this frame
+    gets genuine partition pruning; ``meta`` is the sidecar dict (minus
+    the centroid payload)."""
+    import json
+
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path.rstrip("/") + "/_ivf_meta.json")
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(hpath):
+        raise FileNotFoundError(
+            f"no _ivf_meta.json under {path!r} — not a write_ivf_index "
+            "artifact (write the index with write_ivf_index, not bare "
+            ".write.parquet, so the centroids travel with it)")
+    stream = fs.open(hpath)
+    try:
+        raw = jvm.org.apache.commons.io.IOUtils.toString(stream, "UTF-8")
+    finally:
+        stream.close()
+    meta = json.loads(raw)
+    cents = np.asarray(meta.pop("centroids"), dtype=np.float64)
+    if cents.shape != (meta["n_clusters"], meta["dim"]):
+        raise ValueError(f"corrupt IVF sidecar: centroid shape "
+                         f"{cents.shape} != ({meta['n_clusters']}, "
+                         f"{meta['dim']})")
+    return spark.read.parquet(path), cents, meta
+
+
 def ann_query_ivf(
     index_df: DataFrame,
     centroids: np.ndarray,

@@ -629,17 +629,32 @@ def test_ngram_counts(spark):
 
 
 def test_ivf_index_and_query(spark, sf001_dir, tmp_path):
-    """Reusable IVF index: write partitionBy(cluster), read back, probe —
-    partition pruning appears in the scan, each query finds itself at
-    cos~1, and recall@1 vs exact holds with generous probing."""
+    """Reusable IVF index persisted END TO END: write_ivf_index saves the
+    member table partitionBy(cluster) plus the centroid sidecar via the
+    Hadoop FS API; read_ivf_index restores BOTH bit-identically and the
+    probe is served entirely from disk — partition pruning appears in the
+    scan, each query finds itself at cos~1, and recall@1 vs exact holds
+    with generous probing."""
+    import numpy as _np
+    import pytest as _pytest
+
     from ddsketchy_spark.pipeline.similarity import (
-        ann_query, ann_query_ivf, ivf_index)
+        ann_query, ann_query_ivf, ivf_index, read_ivf_index, write_ivf_index)
 
     emb = spark.read.parquet(f"{sf001_dir}/embeddings.parquet")
     idx, cents = ivf_index(emb, n_clusters=8, train_rows=100)
     path = str(tmp_path / "ivf")
-    idx.write.partitionBy("cluster").parquet(path)
-    stored = spark.read.parquet(path)
+    write_ivf_index(idx, cents, path, extra_meta={"seed": 11})
+    stored, cents_back, meta = read_ivf_index(spark, path)
+    assert _np.array_equal(cents_back, cents)  # exact float round-trip
+    assert meta["n_clusters"] == 8 and meta["dim"] == 64
+    assert meta["seed"] == 11
+    cents = cents_back  # serve the query purely from the on-disk artifact
+    # a bare parquet dir without the sidecar is rejected loudly
+    bare = str(tmp_path / "bare")
+    idx.write.partitionBy("cluster").parquet(bare)
+    with _pytest.raises(FileNotFoundError, match="_ivf_meta"):
+        read_ivf_index(spark, bare)
 
     qrows = (emb.filter("vec_id IN (3, 11, 42)").orderBy("vec_id")
              .select("vec_id", "embedding").collect())
