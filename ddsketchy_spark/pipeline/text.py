@@ -253,6 +253,82 @@ def exact_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.withColumn("fingerprint", F.md5(F.lower(F.trim(F.col(text_col)))))
 
 
+# Doc-boundary chunk size for the winnowing byte stream: keeps every
+# NumPy temp ~1 MB (see pipeline/dedup.py's chunk-size note — large fresh
+# per-batch temps fault pages pathologically under concurrent workers).
+_WINNOW_CHUNK_BYTES = 1 << 17
+
+
+def _string_buffers(arr: pa.Array) -> tuple[np.ndarray, np.ndarray]:
+    """(absolute int64 offsets, uint8 data buffer) of an Arrow string
+    array — the raw UTF-8 bytes, zero-copy. No nulls expected."""
+    if pa.types.is_large_string(arr.type):
+        odt: type = np.int64
+    else:
+        if not pa.types.is_string(arr.type):
+            arr = arr.cast(pa.string())
+        odt = np.int32
+    bufs = arr.buffers()
+    offs = (np.frombuffer(bufs[1], dtype=odt)
+            [arr.offset: arr.offset + len(arr) + 1].astype(np.int64))
+    return offs, np.frombuffer(bufs[2], dtype=np.uint8)
+
+
+def _winnow_chunk(data: np.ndarray, offs: np.ndarray, d0: int, d1: int,
+                  k: int, window: int, powers: np.ndarray, mask: np.int64):
+    """Winnow docs [d0, d1) of one Arrow batch (bytes in ``data`` at
+    absolute ``offs``): returns (batch row idx, pos, fp) arrays, or None.
+    Every doc is guaranteed >= k bytes (char-length guard upstream)."""
+    base, end = int(offs[d0]), int(offs[d1])
+    seg = data[base:end].astype(np.int64)
+    lens = np.diff(offs[d0:d1 + 1])
+    nd = d1 - d0
+    nw = int(end - base) - k + 1
+    # rolling k-gram hash over the whole chunk: shifted in-place
+    # accumulation (mod 2^64 wraparound, masked to 2^61 at the end — 2^61
+    # divides 2^64 so the masked result equals the true mod)
+    with np.errstate(over="ignore"):
+        h = seg[:nw] * powers[0]
+        tmp = np.empty(nw, dtype=np.int64)
+        for j in range(1, k):
+            np.multiply(seg[j:j + nw], powers[j], out=tmp)
+            h += tmp
+    h &= mask
+    # gram at byte p is intra-document iff bytes p and p+k-1 share a doc
+    doc_of = np.repeat(np.arange(nd, dtype=np.int64), lens)
+    valid = doc_of[:nw] == doc_of[k - 1:]
+    hg = h[valid]
+    gd = doc_of[:nw][valid]
+    ngrams = (lens - k + 1).astype(np.int64)
+    gstart = np.zeros(nd + 1, dtype=np.int64)
+    np.cumsum(ngrams, out=gstart[1:])
+    sel_parts = []
+    wn = len(hg) - window + 1
+    if wn > 0:
+        # leftmost-min of every window-wide hash window, all docs at once;
+        # windows crossing a doc boundary are masked out. Docs with
+        # exactly `window` grams have one window == the whole doc, which
+        # equals the v1 short-branch argmin.
+        wins = np.lib.stride_tricks.sliding_window_view(hg, window)
+        amin = wins.argmin(axis=1)
+        winvalid = gd[:wn] == gd[window - 1:]
+        sel_parts.append(np.unique(amin[winvalid] + np.flatnonzero(winvalid)))
+    shorts = np.flatnonzero(ngrams < window)
+    if len(shorts):
+        picks = np.empty(len(shorts), dtype=np.int64)
+        for i, d in enumerate(shorts):  # rare: docs under k+window-1 bytes
+            s0 = int(gstart[d])
+            picks[i] = s0 + int(np.argmin(hg[s0:s0 + int(ngrams[d])]))
+        sel_parts.append(picks)
+    if not sel_parts:
+        return None
+    sel = np.unique(np.concatenate(sel_parts))
+    if not len(sel):
+        return None
+    sd = gd[sel]
+    return sd + d0, sel - gstart[sd], hg[sel]
+
+
 def winnowing_fingerprints(
     df: DataFrame,
     text_col: str = "text",
@@ -261,48 +337,55 @@ def winnowing_fingerprints(
     window: int = 4,
 ) -> DataFrame:
     """Winnowing document fingerprints (Schleimer et al. 2003): rolling
-    polynomial hash over k-grams of characters, minimum per window.
-    Vectorized NumPy inside mapInPandas; output one row per selected
-    fingerprint (id, pos, fp)."""
+    polynomial hash over k-grams of UTF-8 bytes, leftmost minimum per
+    hash window; output one row per selected fingerprint (id, pos, fp).
+
+    Round-3 execution rewrite (law unchanged — the full-table DuckDB
+    HUGEINT re-derivation oracle stays green): ``lower()`` and the
+    CHARACTER-length >= k guard run JVM-side, and the worker reads the
+    Arrow string buffers directly — Arrow strings ARE the UTF-8 bytes, so
+    no per-document Python materializes at all. The whole batch's byte
+    stream is hashed and window-minimized in doc-boundary chunks (~1 MB
+    temps, see ``_WINNOW_CHUNK_BYTES``)."""
     id_field = df.schema[id_col]
     schema = StructType([id_field, StructField("pos", LongType()),
                          StructField("fp", LongType())])
-    pruned = df.select(id_col, text_col)
+    pruned = (df.where(F.col(text_col).isNotNull()
+                       & (F.length(F.col(text_col)) >= k))
+              .select(id_col, F.lower(F.col(text_col)).alias("_t")))
+    chunk = _WINNOW_CHUNK_BYTES  # captured by value for tests
 
     def run(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
-        B = np.int64(1000003)
-        MASK = np.int64((1 << 61) - 1)
+        mask = np.int64((1 << 61) - 1)
         # k-gram position weights, hoisted: identical for every document
-        powers = np.array([int(B) ** (k - 1 - j) % int(MASK + 1) for j in range(k)],
+        powers = np.array([pow(1000003, k - 1 - j, 1 << 61) for j in range(k)],
                           dtype=np.int64)
         for batch in batches:
-            ids = batch.column(0).to_pylist()
-            texts = batch.column(1).to_pylist()
-            out_ids, out_pos, out_fp = [], [], []
-            for i, t in enumerate(texts):
-                if t is None or len(t) < k:
-                    continue
-                a = np.frombuffer(t.lower().encode("utf-8", "ignore"), dtype=np.uint8)
-                n = len(a) - k + 1
-                if n <= 0:
-                    continue
-                # rolling hash of all k-grams, vectorized via powers
-                with np.errstate(over="ignore"):
-                    grams = np.lib.stride_tricks.sliding_window_view(a, k).astype(np.int64)
-                    h = (grams * powers).sum(axis=1) & MASK
-                if n <= window:
-                    sel = np.array([int(np.argmin(h))])
-                else:
-                    wins = np.lib.stride_tricks.sliding_window_view(h, window)
-                    sel = np.unique(np.argmin(wins, axis=1) + np.arange(len(wins)))
-                out_ids.extend([ids[i]] * len(sel))
-                out_pos.extend(sel.tolist())
-                out_fp.extend(h[sel].tolist())
-            if out_ids:
-                yield pa.RecordBatch.from_arrays(
-                    [pa.array(out_ids), pa.array(out_pos, type=pa.int64()),
-                     pa.array(out_fp, type=pa.int64())],
-                    names=[id_col, "pos", "fp"],
-                )
+            nrows = batch.num_rows
+            if not nrows:
+                continue
+            offs, data = _string_buffers(batch.column(1))
+            parts = []
+            d0 = 0
+            while d0 < nrows:
+                d1 = int(np.searchsorted(offs, offs[d0] + chunk,
+                                         side="right")) - 1
+                d1 = min(max(d1, d0 + 1), nrows)
+                res = _winnow_chunk(data, offs, d0, d1, k, window, powers,
+                                    mask)
+                if res is not None:
+                    parts.append(res)
+                d0 = d1
+            if not parts:
+                continue
+            rows = np.concatenate([p[0] for p in parts])
+            pos = np.concatenate([p[1] for p in parts])
+            fp = np.concatenate([p[2] for p in parts])
+            yield pa.RecordBatch.from_arrays(
+                [batch.column(0).take(pa.array(rows)),
+                 pa.array(pos, type=pa.int64()),
+                 pa.array(fp, type=pa.int64())],
+                names=[id_col, "pos", "fp"],
+            )
 
     return pruned.mapInArrow(run, schema)

@@ -432,6 +432,55 @@ def test_fingerprints(spark, docs_with_dups):
         assert sets[i] == sets[i + 100000], i
 
 
+def test_winnowing_vectorized_matches_v1(spark, monkeypatch):
+    """The round-3 batch-vectorized winnowing (Arrow string buffers, doc-
+    boundary chunking) must reproduce the v1 per-document law bit-for-bit:
+    same char-length guard, same UTF-8 byte grams, same leftmost-window-
+    min selection — on unicode, boundary-length, and empty docs, with the
+    chunk size shrunk to force mid-batch boundaries."""
+    import ddsketchy_spark.pipeline.text as tx
+
+    rng = np.random.default_rng(11)
+    letters = list("abcdefgh XYZ.,!")
+    rows = [(i, "".join(rng.choice(letters, size=int(rng.integers(5, 300)))))
+            for i in range(40)]
+    rows += [(100, None), (101, ""), (102, "abcd"),      # skipped (< k chars)
+             (103, "abcde"),                             # exactly k chars
+             (104, "abcdefgh"),                          # n == window
+             (105, "ÿüé"),                               # 3 chars < k: skip
+             (106, "ÿüéAB"),                             # 5 chars, 8 bytes
+             (107, "Ünïcødé TEXT with ümläuts and ß repeated " * 4)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    k, window = 5, 4
+    monkeypatch.setattr(tx, "_WINNOW_CHUNK_BYTES", 32)
+    got: dict[int, set] = {}
+    for r in tx.winnowing_fingerprints(df.coalesce(1), k=k,
+                                       window=window).collect():
+        got.setdefault(r["doc_id"], set()).add((r["pos"], r["fp"]))
+
+    MASK = np.int64((1 << 61) - 1)
+    powers = np.array([pow(1000003, k - 1 - j, 1 << 61) for j in range(k)],
+                      dtype=np.int64)
+    exp: dict[int, set] = {}
+    for doc_id, t in rows:
+        if t is None or len(t) < k:
+            continue
+        a = np.frombuffer(t.lower().encode("utf-8", "ignore"), dtype=np.uint8)
+        n = len(a) - k + 1
+        if n <= 0:
+            continue
+        with np.errstate(over="ignore"):
+            grams = np.lib.stride_tricks.sliding_window_view(a, k).astype(np.int64)
+            h = (grams * powers).sum(axis=1) & MASK
+        if n <= window:
+            sel = np.array([int(np.argmin(h))])
+        else:
+            wins = np.lib.stride_tricks.sliding_window_view(h, window)
+            sel = np.unique(np.argmin(wins, axis=1) + np.arange(len(wins)))
+        exp[doc_id] = {(int(p), int(h[p])) for p in sel}
+    assert got == exp
+
+
 def test_multimodal_plumbing(spark):
     from ddsketchy_spark.pipeline.multimodal import (
         decode_media,

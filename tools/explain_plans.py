@@ -203,6 +203,19 @@ def main() -> None:
                 r"FlatMapGroupsInPandas"],
     )
 
+    # winnowing: pruned scan feeding one mapInArrow pass — no shuffle, no
+    # per-row Python, the char-length guard is a pushable filter
+    from ddsketchy_spark.pipeline.text import winnowing_fingerprints
+
+    wf = winnowing_fingerprints(docs)
+    results["winnowing_fingerprints"] = audit(
+        "winnowing_fingerprints", wf,
+        want=[r"ReadSchema: struct<doc_id:bigint,text:string>",
+              r"(MapInArrow|PythonMapInArrow)"],
+        reject=[r"Exchange", r"BatchEvalPython", r"ArrowEvalPython",
+                r"FlatMapGroupsInPandas"],
+    )
+
     # time-bucketed as-of join (hot-key path): windows + equi joins on
     # (key, bucket) only — never a range/nested-loop join
     ajb = asof_join(clicks, purch, "ts", ["user_id"], ["px"], time_buckets=8)
