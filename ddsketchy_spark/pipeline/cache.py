@@ -13,6 +13,13 @@ driver can release them deterministically:
 
 Without an explicit release the caches remain until Spark's LRU eviction
 (or ``spark.catalog.clearCache()``).
+
+LIMITATION: the tag lives on the returned Python DataFrame OBJECT, not in
+the plan — any further transformation (``.where(...)``, ``.select(...)``)
+returns a fresh object WITHOUT the tag, so call ``release_cached_deps``
+on the handle the pipeline function returned (or capture
+``cached_deps(result)`` first and unpersist those later). A lost tag is
+indistinguishable from "nothing was cached" (both return 0).
 """
 
 from __future__ import annotations

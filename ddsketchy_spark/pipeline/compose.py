@@ -69,13 +69,21 @@ def clean_corpus(
     if not skip_near:
         from .cache import cached_deps
 
-        nulls = out.where(F.col(id_col).isNull())
-        nonnull = out.where(F.col(id_col).isNotNull())
-        labels = dedup_near_text(nonnull, text_col=text_col, id_col=id_col,
+        labels = dedup_near_text(out, text_col=text_col, id_col=id_col,
                                  **near_kw)
         cached = cached_deps(labels)
-        keep_ids = labels.where("keep").select(id_col).distinct()
-        out = nonnull.join(keep_ids, id_col, "inner").unionByName(nulls)
+        # marker LEFT join, not inner: NULL-id rows can never equi-match
+        # (dedup_near_text already passes them through with keep=TRUE), so
+        # they bypass via the IS NULL arm instead of being silently
+        # dropped; distinct() keeps duplicate ids as one unit. One left
+        # join also evaluates the redact+quality projection chain once
+        # here (a null/nonnull split would scan it twice).
+        keep_ids = (labels.where("keep").select(id_col).distinct()
+                    .withColumn("_keep_hit", F.lit(1)))
+        out = (out.join(keep_ids, id_col, "left")
+               .where(F.col("_keep_hit").isNotNull()
+                      | F.col(id_col).isNull())
+               .drop("_keep_hit"))
     if benchmark is not None:
         out = decontaminate(out, benchmark, n=decontam_n, text_col=text_col,
                             corpus_id=id_col,

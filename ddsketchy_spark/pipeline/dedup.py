@@ -37,6 +37,7 @@ from pyspark.sql.types import (
 )
 
 from ..core.hashing import splitmix64
+from .chunking import iter_doc_chunks
 
 
 def exact_dup_groups(df: DataFrame, text_col: str = "text",
@@ -311,11 +312,7 @@ def minhash_signatures(
             sig = np.empty((n, num_perm), dtype=np.int64)
             # chunk at document boundaries; the (num_perm, <=chunk) perm
             # matrix is computed IN-PLACE into one reused buffer
-            d0 = 0
-            while d0 < n:
-                d1 = int(np.searchsorted(
-                    starts, starts[d0] + chunk, side="right")) - 1
-                d1 = min(max(d1, d0 + 1), n)
+            for d0, d1 in iter_doc_chunks(starts, chunk):
                 seg = shingles[starts[d0]:starts[d1]]
                 m = len(seg)
                 if m > buf.shape[1]:  # single doc longer than the chunk
@@ -326,7 +323,6 @@ def minhash_signatures(
                 local_off = (starts[d0:d1] - starts[d0])
                 sig[d0:d1] = np.minimum.reduceat(
                     buf[:, :m], local_off, axis=1).T
-                d0 = d1
             offsets = pa.array(
                 np.arange(0, (n + 1) * num_perm, num_perm, dtype=np.int32))
             sig_arr = pa.ListArray.from_arrays(
@@ -626,11 +622,7 @@ def simhash_signatures(
             off = np.zeros(n + 1, dtype=np.int64)
             np.cumsum(lens, out=off[1:])
             votes = np.empty((n, 64), dtype=np.int64)
-            d0 = 0
-            while d0 < n:
-                d1 = int(np.searchsorted(
-                    off, off[d0] + chunk_words, side="right")) - 1
-                d1 = min(max(d1, d0 + 1), n)
+            for d0, d1 in iter_doc_chunks(off, chunk_words):
                 seg = flat[off[d0]:off[d1]]
                 m = len(seg)
                 if m > bits.shape[0]:  # single doc longer than the chunk
@@ -639,7 +631,6 @@ def simhash_signatures(
                 np.bitwise_and(bits[:m], np.uint64(1), out=bits[:m])
                 local_off = off[d0:d1] - off[d0]
                 votes[d0:d1] = np.add.reduceat(bits[:m], local_off, axis=0)
-                d0 = d1
             set_bits = (2 * votes > lens[:, None]).astype(np.uint64)
             sig = (set_bits << bit_idx[None, :]).sum(
                 axis=1, dtype=np.uint64).view(np.int64)

@@ -416,18 +416,24 @@ def write_ivf_index(
     a reloaded index probes identically.
 
     ``extra_meta`` merges caller keys (e.g. a default n_probe, the
-    training seed) into the sidecar."""
+    training seed) into the sidecar; the reserved keys (centroids,
+    n_clusters, dim, format_version) are rejected — silently clobbering
+    them would corrupt the index or desynchronize the probe."""
     import json
 
     spark = index_df.sparkSession
     C = np.asarray(centroids, dtype=np.float64)
-    index_df.write.partitionBy("cluster").mode(mode).parquet(path)
     meta = {
         "format_version": 1,
         "n_clusters": int(C.shape[0]),
         "dim": int(C.shape[1]),
         "centroids": [[float(x) for x in row] for row in C],
     }
+    bad = set(extra_meta or {}) & set(meta)
+    if bad:
+        raise ValueError(f"extra_meta may not override reserved sidecar "
+                         f"keys {sorted(bad)}")
+    index_df.write.partitionBy("cluster").mode(mode).parquet(path)
     meta.update(extra_meta or {})
     jvm = spark._jvm
     hpath = jvm.org.apache.hadoop.fs.Path(path.rstrip("/") + "/_ivf_meta.json")

@@ -16,6 +16,8 @@ import pyarrow as pa
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.types import LongType, StructField, StructType
 
+from .chunking import iter_doc_chunks
+
 # Small public stopword marker sets per language (language-ID heuristic).
 LANG_MARKERS: dict[str, tuple[str, ...]] = {
     "en": ("the", "and", "of", "to", "a", "in", "is", "that", "it", "for"),
@@ -346,7 +348,11 @@ def winnowing_fingerprints(
     Arrow string buffers directly — Arrow strings ARE the UTF-8 bytes, so
     no per-document Python materializes at all. The whole batch's byte
     stream is hashed and window-minimized in doc-boundary chunks (~1 MB
-    temps, see ``_WINNOW_CHUNK_BYTES``)."""
+    temps, see ``_WINNOW_CHUNK_BYTES``). One honest boundary: ``lower()``
+    is now the JVM's (v1 used Python ``str.lower()``) — identical for
+    ASCII and all common scripts, but a code point whose case mapping
+    differs between the JVM's and CPython's Unicode tables (rare,
+    version-skew characters) can fingerprint differently than v1 did."""
     id_field = df.schema[id_col]
     schema = StructType([id_field, StructField("pos", LongType()),
                          StructField("fp", LongType())])
@@ -366,16 +372,11 @@ def winnowing_fingerprints(
                 continue
             offs, data = _string_buffers(batch.column(1))
             parts = []
-            d0 = 0
-            while d0 < nrows:
-                d1 = int(np.searchsorted(offs, offs[d0] + chunk,
-                                         side="right")) - 1
-                d1 = min(max(d1, d0 + 1), nrows)
+            for d0, d1 in iter_doc_chunks(offs, chunk):
                 res = _winnow_chunk(data, offs, d0, d1, k, window, powers,
                                     mask)
                 if res is not None:
                     parts.append(res)
-                d0 = d1
             if not parts:
                 continue
             rows = np.concatenate([p[0] for p in parts])

@@ -55,6 +55,13 @@ def stream_dedup_near(
     scoring memory is O((bucket's batch rows + cap) * chunk * num_perm)
     bools. Rows with NULL text or NULL id are ignored.
 
+    CHECKPOINT COMPATIBILITY: the state rows hold raw signature matrices,
+    so they are only meaningful under the signature law that wrote them.
+    Round 3 changed the MinHash law (v2 — JVM word hashing; see
+    ``minhash_signatures``): a checkpoint written under v1 must be
+    discarded, or resumed batches would score v2 signatures against v1
+    state and emit noise instead of near-dup pairs.
+
     ``state_ttl_ms`` bounds TOTAL state: a (band, bucket) whose state has
     seen no new member for that many processing-time milliseconds is
     evicted, so the state-store row count tracks the recent-activity

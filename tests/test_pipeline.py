@@ -144,6 +144,39 @@ def test_signature_law_v2_rederivation(spark, monkeypatch):
         assert got_sim[doc_id] == signed(bits), doc_id
 
 
+def test_shingle_hashes_flat_fuzz():
+    """Pure-NumPy fuzz of the batch shingle combiner against a naive
+    per-document big-int reference: random doc counts/lengths, k in 1..4
+    (k=1 skips the poly loop; many docs shorter than k), exact equality."""
+    from ddsketchy_spark.core.hashing import splitmix64
+    from ddsketchy_spark.pipeline.dedup import _SHINGLE_POLY, _shingle_hashes_flat
+
+    rng = np.random.default_rng(3)
+    MASK = (1 << 64) - 1
+    P = int(_SHINGLE_POLY)
+    for trial in range(25):
+        n = int(rng.integers(1, 30))
+        k = int(rng.integers(1, 5))
+        seed = int(rng.integers(0, 100))
+        lens = rng.integers(1, 12, size=n).astype(np.int64)
+        flat = rng.integers(-2**62, 2**62, size=int(lens.sum()), dtype=np.int64)
+        got, counts = _shingle_hashes_flat(flat, lens, k, seed)
+        exp, off = [], 0
+        for L in lens:
+            ws = [int(x) & MASK for x in flat[off:off + L]]
+            off += L
+            wins = [ws] if L < k else [ws[j:j + k] for j in range(L - k + 1)]
+            for w in wins:
+                poly = 0
+                for h in w:
+                    poly = (poly * P + h) & MASK
+                exp.append(int(splitmix64(
+                    np.array([poly], dtype=np.uint64).view(np.int64),
+                    seed).view(np.int64)[0]))
+        assert got.tolist() == exp, (trial, k)
+        assert counts.tolist() == np.maximum(lens - k + 1, 1).tolist()
+
+
 def test_simhash_near_pairs(spark, docs_with_dups):
     pairs = simhash_near_pairs(docs_with_dups, max_hamming=3).collect()
     found = {(r["id_a"], r["id_b"]): r["hamming"] for r in pairs}
