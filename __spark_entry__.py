@@ -39,6 +39,10 @@ def _r6(c):
     return (F.when(c < 0, -mag).otherwise(mag)).cast("double")
 
 
+_PARA_BOILERPLATE = ("shared boilerplate navigation footer paragraph "
+                     "common to many pages of this synthetic corpus")
+
+
 def _winnowing_sql(k: int, window: int) -> str:
     """DuckDB re-derivation of ``winnowing_fingerprints`` (pipeline/text.py):
     rolling polynomial k-gram hash mod 2^61 (exact in HUGEINT — the NumPy
@@ -591,6 +595,40 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             rows, "l_returnflag string, cnt long, tdigest_ok boolean, kll_ok boolean")
 
     q["tdigest_kll_quantity_by_returnflag"] = tdigest_kll_quantity_by_returnflag
+
+    def repetition_scores_documents(spark, sf):
+        """Gopher-style intra-doc repetition fractions over ALL documents,
+        value-matched row-for-row against a DuckDB re-derivation."""
+        from ddsketchy_spark.pipeline.text import repetition_scores
+
+        return (repetition_scores(_load(spark, sf, "documents"))
+                .select("doc_id", "dup_ngram_frac_2", "dup_ngram_frac_3",
+                        "dup_line_frac")
+                .orderBy("doc_id"))
+
+    q["repetition_scores_documents"] = repetition_scores_documents
+
+    def dedup_paragraphs_documents(spark, sf):
+        """Corpus-wide paragraph dedup on a corpus with a planted shared
+        boilerplate paragraph (appended to every doc_id % 3 == 0): the
+        rewritten text of EVERY document is md5-matched against a full
+        DuckDB re-derivation of the first-occurrence law."""
+        from ddsketchy_spark.pipeline.dedup import dedup_paragraphs
+
+        docs = _load(spark, sf, "documents").select("doc_id", "text")
+        corpus = docs.withColumn(
+            "text",
+            F.when(F.col("doc_id") % 3 == 0,
+                   F.concat(F.col("text"), F.lit("\n" + _PARA_BOILERPLATE)))
+            .otherwise(F.col("text")))
+        out = dedup_paragraphs(corpus, min_chars=20)
+        return (out.select(
+            "doc_id",
+            F.md5(F.coalesce(F.col("text"), F.lit(""))).alias("text_md5"),
+            F.col("n_paras_removed").cast("long").alias("n_paras_removed"))
+            .orderBy("doc_id"))
+
+    q["dedup_paragraphs_documents"] = dedup_paragraphs_documents
 
     def winnowing_fingerprints_docs(spark, sf):
         """Winnowing over ALL documents, hash-matched row-for-row against a
@@ -1207,6 +1245,75 @@ SELECT doc_id,
        len(regexp_extract_all(text, '[a-z]+|[0-9]+')) AS n_re_tokens,
        length(text) AS n_chars_calc
 FROM documents ORDER BY doc_id
+"""
+    o["repetition_scores_documents"] = """
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS ws, text FROM documents
+),
+g2 AS (
+  SELECT doc_id, round(1.0 - count(DISTINCT g) * 1.0 / count(*), 6) AS f2
+  FROM (SELECT doc_id, array_to_string(ws[p:p+1], ' ') AS g
+        FROM w, LATERAL unnest(generate_series(1, len(ws) - 1)) AS t(p)
+        WHERE len(ws) >= 2)
+  GROUP BY doc_id
+),
+g3 AS (
+  SELECT doc_id, round(1.0 - count(DISTINCT g) * 1.0 / count(*), 6) AS f3
+  FROM (SELECT doc_id, array_to_string(ws[p:p+2], ' ') AS g
+        FROM w, LATERAL unnest(generate_series(1, len(ws) - 2)) AS t(p)
+        WHERE len(ws) >= 3)
+  GROUP BY doc_id
+),
+l AS (
+  SELECT doc_id, round(1.0 - count(DISTINCT ln) * 1.0 / count(*), 6) AS fl
+  FROM (SELECT doc_id, unnest(string_split(text, chr(10))) AS ln FROM w)
+  GROUP BY doc_id
+)
+SELECT w.doc_id,
+       coalesce(g2.f2, 0.0) AS dup_ngram_frac_2,
+       coalesce(g3.f3, 0.0) AS dup_ngram_frac_3,
+       coalesce(l.fl, 0.0) AS dup_line_frac
+FROM w LEFT JOIN g2 USING (doc_id) LEFT JOIN g3 USING (doc_id)
+       LEFT JOIN l USING (doc_id)
+ORDER BY doc_id
+"""
+    o["dedup_paragraphs_documents"] = f"""
+WITH corpus AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 3 = 0
+              THEN text || chr(10) || '{_PARA_BOILERPLATE}'
+              ELSE text END AS text
+  FROM documents
+),
+paras AS (
+  SELECT doc_id, p - 1 AS pos, parts[p] AS part
+  FROM (SELECT doc_id, string_split(text, chr(10)) AS parts FROM corpus),
+       LATERAL unnest(generate_series(1, len(parts))) AS t(p)
+),
+cand AS (
+  SELECT doc_id, pos, md5(lower(trim(part))) AS h
+  FROM paras WHERE length(trim(part)) >= 20
+),
+losers AS (
+  SELECT doc_id, pos FROM (
+    SELECT doc_id, pos,
+           row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rk
+    FROM cand)
+  WHERE rk > 1
+),
+removed AS (SELECT doc_id, count(*) AS n_removed FROM losers GROUP BY doc_id),
+kept AS (
+  SELECT pr.doc_id, string_agg(pr.part, chr(10) ORDER BY pr.pos) AS new_text
+  FROM paras pr LEFT JOIN losers lo
+    ON pr.doc_id = lo.doc_id AND pr.pos = lo.pos
+  WHERE lo.doc_id IS NULL
+  GROUP BY pr.doc_id
+)
+SELECT c.doc_id, md5(coalesce(k.new_text, '')) AS text_md5,
+       coalesce(r.n_removed, 0) AS n_paras_removed
+FROM corpus c LEFT JOIN kept k USING (doc_id)
+              LEFT JOIN removed r USING (doc_id)
+ORDER BY c.doc_id
 """
     stop_list = ", ".join(f"'{w}'" for w in STOPWORDS)
     o["quality_scores_documents"] = f"""

@@ -161,6 +161,68 @@ def _word_jaccard_allpairs(sets: DataFrame, threshold: float) -> DataFrame:
             .filter(F.col("jaccard") >= threshold))
 
 
+def dedup_paragraphs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sep: str = "\n",
+    min_chars: int = 20,
+) -> DataFrame:
+    """Corpus-wide PARAGRAPH dedup (Lee et al. 2022's motivation at
+    paragraph granularity): every ``sep``-separated paragraph that already
+    appeared earlier in the corpus (first occurrence = smallest
+    (doc_id, position), matching on md5(lower(trim(p)))) is REMOVED from
+    the document text; the first occurrence stays. Paragraphs shorter
+    than ``min_chars`` trimmed characters are never dedup candidates
+    (empty/short lines would otherwise all collide and mangle spacing).
+
+    Returns ``df`` with ``text_col`` rewritten (paragraphs re-joined with
+    ``sep``; a doc whose every paragraph was removed becomes ""), plus
+    ``n_paras_removed``. NULL-text and NULL-id rows pass through
+    untouched (NULL ids cannot be ordered into the first-occurrence law).
+    ``sep`` is a LITERAL separator (regex-escaped before the split, so
+    ". " means dot-space, not any-char-space).
+
+    Scale shape — the document TEXT never shuffles: the duplicate search
+    explodes only (hash, doc_id, pos) rows (~28 B each), the window ranks
+    them per hash, and only the LOSER positions come back — aggregated to
+    one (doc_id, loser_positions[]) row per affected doc and joined back
+    (duplicate-heavy docs are a small fraction, so AQE broadcasts this
+    side). The rewrite is a native per-doc array filter in the
+    projection. Caveat: that filter is a higher-order-function lambda
+    referencing the joined loser array — do not SELF-JOIN the returned
+    frame directly (the known DeduplicateRelations/HOF binding trap,
+    CLAUDE.md); materialize or localCheckpoint first."""
+    import re as _re
+
+    from pyspark.sql import Window
+
+    sep_re = _re.escape(sep)
+    eligible = (F.col(text_col).isNotNull()) & (F.col(id_col).isNotNull())
+    paras = (df.where(eligible)
+             .select(id_col, F.posexplode(F.split(F.col(text_col), sep_re))
+                     .alias("_pos", "_p"))
+             .where(F.length(F.trim(F.col("_p"))) >= min_chars)
+             .select(id_col, "_pos",
+                     F.md5(F.lower(F.trim(F.col("_p")))).alias("_h")))
+    w = Window.partitionBy("_h").orderBy(F.asc(id_col), F.asc("_pos"))
+    losers = (paras.withColumn("_rk", F.row_number().over(w))
+              .where(F.col("_rk") > 1)
+              .groupBy(id_col)
+              .agg(F.collect_set("_pos").alias("_loser_pos")))
+    joined = df.join(losers, id_col, "left")
+    parts = F.split(F.col(text_col), sep_re)
+    loser_arr = F.col("_loser_pos")
+    kept = F.filter(parts, lambda x, i: ~F.array_contains(loser_arr, i))
+    new_text = (F.when(F.col("_loser_pos").isNull() | ~eligible,
+                       F.col(text_col))
+                .otherwise(F.array_join(kept, sep)))
+    n_removed = F.coalesce(F.size("_loser_pos"), F.lit(0))
+    return (joined.withColumn("n_paras_removed", n_removed)
+            .withColumn(text_col, new_text)
+            .drop("_loser_pos"))
+
+
 # ---------------------------------------------------------------------------
 # MinHash + LSH
 # ---------------------------------------------------------------------------

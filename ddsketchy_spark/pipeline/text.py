@@ -249,6 +249,52 @@ def decontaminate(
     return corpus.join(bad, corpus_id, "left_anti")
 
 
+def repetition_scores(
+    df: DataFrame,
+    text_col: str = "text",
+    ns: tuple[int, ...] = (2, 3),
+    line_sep: str = "\n",
+) -> DataFrame:
+    """Gopher-style intra-document repetition metrics — the quality
+    signals that catch degenerate/boilerplate generations:
+
+    - ``dup_ngram_frac_{n}`` for each n in ``ns``: fraction of the
+      document's word n-grams that are repeats
+      (``1 - distinct/total``; 0.0 when the doc has no n-grams).
+    - ``dup_line_frac``: same over ``line_sep``-separated lines.
+
+    Pure codegen projections (per-doc ``transform``/``array_distinct`` on
+    the words array — no explode, no shuffle, no Python), rounded to 6 dp
+    so the decision is bit-reproducible across engines; NULL text yields
+    0.0 everywhere (never NULL doubles — oracle-comparator convention)."""
+    words = _words(text_col)
+
+    def frac(total_expr, distinct_expr):
+        return F.coalesce(
+            F.round(F.lit(1.0) - distinct_expr / total_expr, 6), F.lit(0.0))
+
+    def gram_lambda(n):
+        # a closure, NOT a default arg: pyspark counts the lambda's
+        # parameters to pick the (element) vs (element, index) transform
+        # form, so `lambda i, _n=n` would silently become the 2-arg form
+        return lambda i: F.array_join(F.slice(words, i + 1, n), " ")
+
+    cols = {}
+    for n in ns:
+        grams = F.transform(
+            F.sequence(F.lit(0), F.size(words) - n), gram_lambda(n))
+        grams = F.when(F.col(text_col).isNotNull()
+                       & (F.size(words) >= n), grams)
+        cols[f"dup_ngram_frac_{n}"] = frac(
+            F.size(grams).cast("double"),
+            F.size(F.array_distinct(grams)).cast("double"))
+    lines = F.split(F.col(text_col), line_sep)
+    cols["dup_line_frac"] = frac(
+        F.size(lines).cast("double"),
+        F.size(F.array_distinct(lines)).cast("double"))
+    return df.withColumns(cols)
+
+
 def exact_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Deterministic whole-document fingerprint (md5 of normalized text) —
     the exact-dedup key, portable across engines."""

@@ -514,6 +514,70 @@ def test_winnowing_vectorized_matches_v1(spark, monkeypatch):
     assert got == exp
 
 
+def test_repetition_scores(spark):
+    """Gopher-style repetition metrics: exact fractions on hand-computable
+    docs, 0.0 (never NULL) for NULL/short docs, line-dup fraction."""
+    from ddsketchy_spark.pipeline.text import repetition_scores
+
+    rows = [
+        (1, "a b a b a b"),     # bigrams [ab,ba,ab,ba,ab]: 1-2/5 = 0.6
+        (2, "x y z"),           # all bigrams/trigrams distinct -> 0.0
+        (3, None),
+        (4, "one"),             # no bigrams -> 0.0
+        (5, "l1\nl2\nl1"),      # 1 - 2/3 lines
+    ]
+    out = {r["doc_id"]: r for r in
+           repetition_scores(spark.createDataFrame(
+               rows, "doc_id long, text string")).collect()}
+    assert out[1]["dup_ngram_frac_2"] == pytest.approx(0.6)
+    assert out[1]["dup_ngram_frac_3"] == pytest.approx(0.5)  # [aba,bab,aba,bab]
+    assert out[2]["dup_ngram_frac_2"] == 0.0
+    assert out[2]["dup_ngram_frac_3"] == 0.0
+    assert out[3]["dup_ngram_frac_2"] == 0.0 and out[3]["dup_line_frac"] == 0.0
+    assert out[4]["dup_ngram_frac_2"] == 0.0
+    assert out[5]["dup_line_frac"] == pytest.approx(0.333333)
+
+
+def test_dedup_paragraphs(spark):
+    """Corpus-wide paragraph dedup: first occurrence (doc_id, pos) wins,
+    later occurrences are cut from the text (case/trim-insensitive
+    match), short paragraphs are never candidates, NULL text/id rows pass
+    through, and a fully-duplicated doc becomes ''."""
+    from ddsketchy_spark.pipeline.dedup import dedup_paragraphs
+
+    P = "this paragraph is long enough to participate in dedup"
+    Q = "another sufficiently long and distinct paragraph right here"
+    rows = [
+        (1, f"{P}\nshort\n{Q}"),
+        (2, f"{P}\na unique second-document paragraph that is long"),
+        (3, f"short\n{P}"),
+        (4, None),
+        (5, P),
+        (6, "  " + P.upper()),   # trim+case-insensitive duplicate
+        (None, P),               # NULL id: untouched
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in dedup_paragraphs(df).collect()}
+    assert out[1]["text"] == f"{P}\nshort\n{Q}"        # first occurrence
+    assert out[1]["n_paras_removed"] == 0
+    assert out[2]["text"] == "a unique second-document paragraph that is long"
+    assert out[2]["n_paras_removed"] == 1
+    assert out[3]["text"] == "short" and out[3]["n_paras_removed"] == 1
+    assert out[4]["text"] is None and out[4]["n_paras_removed"] == 0
+    assert out[5]["text"] == "" and out[5]["n_paras_removed"] == 1
+    assert out[6]["text"] == "" and out[6]["n_paras_removed"] == 1
+    null_rows = [r for r in dedup_paragraphs(df).collect()
+                 if r["doc_id"] is None]
+    assert len(null_rows) == 1 and null_rows[0]["text"] == P
+    # literal separator: '. ' must not behave as any-char-space regex
+    d2 = spark.createDataFrame(
+        [(1, f"{P}. {Q}"), (2, f"{P}. tail paragraph long enough to keep")],
+        "doc_id long, text string")
+    o2 = {r["doc_id"]: r for r in dedup_paragraphs(d2, sep=". ").collect()}
+    assert o2[1]["text"] == f"{P}. {Q}"
+    assert o2[2]["text"] == "tail paragraph long enough to keep"
+
+
 def test_multimodal_plumbing(spark):
     from ddsketchy_spark.pipeline.multimodal import (
         decode_media,
