@@ -184,18 +184,20 @@ def dedup_paragraphs(
     ". " means dot-space, not any-char-space).
 
     Scale shape — the document TEXT never shuffles: the duplicate search
-    explodes only (hash, doc_id, pos) rows (~28 B each), the window ranks
-    them per hash, and only the LOSER positions come back — aggregated to
-    one (doc_id, loser_positions[]) row per affected doc and joined back
-    (duplicate-heavy docs are a small fraction, so AQE broadcasts this
-    side). The rewrite is a native per-doc array filter in the
+    explodes only (hash, doc_id, pos) rows (~28 B each); the first
+    occurrence per hash comes from a map-side-combining
+    ``min(struct(doc_id, pos))`` aggregate (NOT a window — a
+    billion-occurrence boilerplate paragraph would pin a window's hash
+    partition to one task, while the min-aggregate combines partials and
+    the loser join is AQE-skew-splittable); only the LOSER positions come
+    back — one (doc_id, loser_positions[]) row per affected doc, joined
+    back (duplicate-heavy docs are a small fraction, so AQE broadcasts
+    this side). The rewrite is a native per-doc array filter in the
     projection. Caveat: that filter is a higher-order-function lambda
     referencing the joined loser array — do not SELF-JOIN the returned
     frame directly (the known DeduplicateRelations/HOF binding trap,
     CLAUDE.md); materialize or localCheckpoint first."""
     import re as _re
-
-    from pyspark.sql import Window
 
     sep_re = _re.escape(sep)
     eligible = (F.col(text_col).isNotNull()) & (F.col(id_col).isNotNull())
@@ -205,9 +207,12 @@ def dedup_paragraphs(
              .where(F.length(F.trim(F.col("_p"))) >= min_chars)
              .select(id_col, "_pos",
                      F.md5(F.lower(F.trim(F.col("_p")))).alias("_h")))
-    w = Window.partitionBy("_h").orderBy(F.asc(id_col), F.asc("_pos"))
-    losers = (paras.withColumn("_rk", F.row_number().over(w))
-              .where(F.col("_rk") > 1)
+    winners = paras.groupBy("_h").agg(
+        F.min(F.struct(F.col(id_col).alias("id"),
+                       F.col("_pos").alias("pos"))).alias("_w"))
+    losers = (paras.join(winners, "_h")
+              .where((F.col(id_col) != F.col("_w.id"))
+                     | (F.col("_pos") != F.col("_w.pos")))
               .groupBy(id_col)
               .agg(F.collect_set("_pos").alias("_loser_pos")))
     joined = df.join(losers, id_col, "left")
