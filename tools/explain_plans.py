@@ -203,6 +203,20 @@ def main() -> None:
                 r"FlatMapGroupsInPandas"],
     )
 
+    # paragraph dedup: first-occurrence law via map-side-combining
+    # min-struct aggregate (never a per-hash window — unsplittable hot
+    # key); text rewrite is a native projection, no Python anywhere
+    from ddsketchy_spark.pipeline.dedup import dedup_paragraphs
+
+    dp = dedup_paragraphs(docs)
+    results["dedup_paragraphs"] = audit(
+        "dedup_paragraphs", dp,
+        want=[r"HashAggregate[\s\S]*Exchange[\s\S]*HashAggregate"],
+        reject=[r"Window", r"CartesianProduct", r"BatchEvalPython",
+                r"ArrowEvalPython", r"FlatMapGroupsInPandas",
+                r"(MapInArrow|PythonMapInArrow)"],
+    )
+
     # winnowing: pruned scan feeding one mapInArrow pass — no shuffle, no
     # per-row Python, the char-length guard is a pushable filter
     from ddsketchy_spark.pipeline.text import winnowing_fingerprints
