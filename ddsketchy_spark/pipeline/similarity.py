@@ -114,6 +114,19 @@ def _lsh_enriched(v: DataFrame, id_field, planes: np.ndarray,
     return v.mapInArrow(enrich, schema)
 
 
+def _drop_big_buckets(banded: DataFrame, cap: int | None) -> DataFrame:
+    """Drop (blk, key) band buckets with more members than ``cap`` before
+    a candidate self-join (None = keep all). The same degenerate-bucket
+    guard as ``minhash_lsh_pairs``'s ``max_bucket_size`` — applied to the
+    banded rows, so every verify engine sees identical buckets."""
+    if cap is None:
+        return banded
+    small = (banded.groupBy("blk", "key")
+             .agg(F.count(F.lit(1)).alias("_bn"))
+             .where(F.col("_bn") <= cap).drop("_bn"))
+    return banded.join(small, ["blk", "key"], "inner")
+
+
 def _score_pairs_arrow(paired: DataFrame, id_field, dim: int) -> DataFrame:
     """(id, neighbor, cos) from (id, neighbor, _va, _vb) rows: one einsum
     per Arrow batch over the already-normalized vectors."""
@@ -150,9 +163,20 @@ def lsh_cosine_topk(
     verify: str = "auto",
     max_broadcast_rows: int = 2_000_000,
     auto_local_rows: int = 20_000,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Approximate top-k via random-hyperplane LSH: candidates share at
     least one signature band; exact cosine ranks candidates.
+
+    SIZE THE BAND KEYS FOR THE CORPUS: a band key has
+    ``width = n_planes/bands`` bits, so expected bucket occupancy is
+    ``n / 2^width`` and candidate volume ~ ``bands * n^2 / 2^width`` —
+    the q9 bench shape (16 planes / 8 bands = 2-bit keys) is fine at 2k
+    vectors and quadratic death at 50k (use e.g. 64/4 there). For
+    buckets that stay degenerate anyway (duplicate-heavy corpora),
+    ``max_bucket_size`` drops band buckets with more members than the
+    cap before the self-join — identically in every engine, so results
+    stay engine-independent.
 
     ``verify`` picks the scoring engine (identical results — same NumPy
     signature/cosine math in each):
@@ -205,6 +229,7 @@ def lsh_cosine_topk(
         cached.append(enriched)
         banded = enriched.select(
             "id", F.posexplode("keys").alias("blk", "key"))
+        banded = _drop_big_buckets(banded, max_bucket_size)
         sa, sb = banded.alias("a"), banded.alias("b")
         cand = (
             sa.join(sb, (F.col("a.blk") == F.col("b.blk"))
@@ -251,6 +276,7 @@ def lsh_cosine_topk(
             ).ravel(),
         }
         slim = spark.createDataFrame(pd.DataFrame(rows))
+        slim = _drop_big_buckets(slim, max_bucket_size)
         sa, sb = slim.alias("a"), slim.alias("b")
         cand = (
             sa.join(sb, (F.col("a.blk") == F.col("b.blk")) & (F.col("a.key") == F.col("b.key"))
@@ -288,6 +314,7 @@ def lsh_cosine_topk(
                 for bnd in range(bands)
             ])).alias("p"),
         ).select("id", "vec", "p.blk", "p.key")
+        banded = _drop_big_buckets(banded, max_bucket_size)
         a, b = banded.alias("a"), banded.alias("b")
         scored = (
             a.join(b, (F.col("a.blk") == F.col("b.blk")) & (F.col("a.key") == F.col("b.key"))

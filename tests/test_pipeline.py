@@ -333,6 +333,28 @@ def test_lsh_cosine_local_parity(spark, sf001_dir):
     assert ap == set(bp)
 
 
+def test_lsh_cosine_max_bucket_size(spark):
+    """The degenerate-bucket cap drops oversized band buckets identically
+    in both cosine-LSH engines: a 12-vector identical clique is gone, an
+    ordinary duplicate pair survives, uncapped keeps the clique."""
+    rows = [(i, [1.0, 2.0, 3.0, 0.5]) for i in range(12)]
+    rows += [(100, [-3.0, 1.0, 0.0, 2.0]), (101, [-3.0, 1.0, 0.0, 2.0]),
+             (102, [0.2, -5.0, 1.0, 0.1])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    kw = dict(k=5, n_planes=16, bands=4, dim=4, max_bucket_size=5)
+    bp = {(r["id"], r["neighbor"]) for r in
+          lsh_cosine_topk(df, verify="broadcast", **kw).collect()}
+    lp = {(r["id"], r["neighbor"]) for r in
+          lsh_cosine_topk(df, verify="local", **kw).collect()}
+    assert bp == lp
+    assert (100, 101) in bp and (101, 100) in bp
+    assert not any(a < 12 and b < 12 for a, b in bp)
+    full = {(r["id"], r["neighbor"]) for r in
+            lsh_cosine_topk(df, verify="local", k=5, n_planes=16, bands=4,
+                            dim=4).collect()}
+    assert any(a < 12 and b < 12 for a, b in full)
+
+
 def test_ann_query_batch_exact(spark, sf001_dir):
     """Batched ANN equals per-query exact ann_query for every query, k
     larger than any single Arrow batch's contribution, and ids/cosines
