@@ -714,12 +714,17 @@ def simhash_near_pairs(
     id_col: str = "doc_id",
     max_hamming: int = 3,
     seed: int = 2,
+    max_block_size: int | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs at Hamming distance <= max_hamming.
 
     Pigeonhole: split the 64-bit signature into max_hamming+1 blocks; any
     pair within distance d agrees on >= 1 block -> join per block key, then
-    verify exact Hamming distance natively (bit_count(xor))."""
+    verify exact Hamming distance natively (bit_count(xor)).
+    ``max_block_size`` drops (block, key) groups with more members than
+    the cap before the self-join — the same degenerate-bucket guard as
+    ``minhash_lsh_pairs``/``lsh_cosine_topk`` (a boilerplate flood shares
+    every block; its members are exact-dup fodder anyway)."""
     blocks = max_hamming + 1
     width = 64 // blocks
     sigs = simhash_signatures(df, text_col, id_col, seed).select(
@@ -735,6 +740,11 @@ def simhash_near_pairs(
             for blk in range(blocks)
         ])).alias("p"),
     ).select("id", "simhash", "p.blk", "p.key")
+    if max_block_size is not None:
+        small = (pieces.groupBy("blk", "key")
+                 .agg(F.count(F.lit(1)).alias("_bn"))
+                 .where(F.col("_bn") <= max_block_size).drop("_bn"))
+        pieces = pieces.join(small, ["blk", "key"], "inner")
     a = pieces.alias("a")
     b = pieces.alias("b")
     dist = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))

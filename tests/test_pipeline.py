@@ -184,6 +184,26 @@ def test_simhash_near_pairs(spark, docs_with_dups):
         assert found.get((i, i + 100000)) == 0, i  # identical docs -> distance 0
 
 
+def test_simhash_max_block_size(spark):
+    """max_block_size drops an identical-doc flood's pairs while ordinary
+    duplicate pairs survive (the degenerate-bucket guard, simhash form)."""
+    from ddsketchy_spark.pipeline.dedup import simhash_near_pairs
+
+    rows = [(i, "spam spam lorem ipsum dolor sit amet boilerplate")
+            for i in range(12)]
+    rows += [(100, "a genuinely unique document about owls and rivers"),
+             (101, "a genuinely unique document about owls and rivers")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    capped = {(r["id_a"], r["id_b"]) for r in
+              simhash_near_pairs(docs, max_hamming=3,
+                                 max_block_size=5).collect()}
+    assert (100, 101) in capped
+    assert not any(a < 12 and b < 12 for a, b in capped)
+    full = {(r["id_a"], r["id_b"]) for r in
+            simhash_near_pairs(docs, max_hamming=3).collect()}
+    assert sum(a < 12 and b < 12 for a, b in full) == 66
+
+
 def test_word_jaccard_exact(spark, docs_with_dups):
     pairs = word_jaccard_pairs(docs_with_dups.filter("doc_id < 200000"),
                                threshold=0.999).collect()
