@@ -28,6 +28,7 @@ def clean_corpus(
     benchmark: DataFrame | None = None,
     redact: bool = True,
     quality_kw: dict | None = None,
+    para_dedup_kw: dict | None = None,
     near_dedup_kw: dict | None = None,
     decontam_n: int = 13,
 ) -> DataFrame:
@@ -41,6 +42,11 @@ def clean_corpus(
     2. ``quality_filter`` — Gopher/C4-style keep/drop on the redacted
        text (``quality_kw`` forwards thresholds). Drops NULL-text rows
        (``null_text`` is a drop reason).
+    2b. OPTIONAL paragraph dedup — pass ``para_dedup_kw`` (e.g. ``{}`` or
+       ``{"min_chars": 30}``) to cut corpus-wide duplicate paragraphs
+       (``dedup_paragraphs``) from the surviving text BEFORE document
+       near-dedup: boilerplate paragraphs stop gluing unrelated docs
+       into near-dup clusters. Off by default (None).
     3. near dedup — ``dedup_near_text`` (MinHash-LSH -> connected
        components; exact duplicates are Jaccard-1.0 members of the same
        clusters, so a separate exact pass is redundant), keeping each
@@ -65,6 +71,12 @@ def clean_corpus(
                .select(*keep_cols, F.col("text_redacted").alias(text_col)))
     out = (quality_filter(out, text_col, **quality_kw)
            .where("keep").select(*df.columns))
+    if para_dedup_kw is not None:
+        from .dedup import dedup_paragraphs
+
+        out = (dedup_paragraphs(out, text_col=text_col, id_col=id_col,
+                                **para_dedup_kw)
+               .select(*df.columns))
     cached = []
     if not skip_near:
         from .cache import cached_deps

@@ -620,6 +620,47 @@ def test_dedup_paragraphs(spark):
     assert o2[2]["text"] == "tail paragraph long enough to keep"
 
 
+def test_dedup_paragraphs_within_doc(spark):
+    """The first-occurrence law also applies WITHIN one document: a
+    paragraph repeated in the same doc keeps only its first copy."""
+    from ddsketchy_spark.pipeline.dedup import dedup_paragraphs
+
+    P = "a paragraph long enough to be a dedup candidate indeed"
+    df = spark.createDataFrame(
+        [(1, f"{P}\nmiddle filler paragraph that is long enough too\n{P}")],
+        "doc_id long, text string")
+    r = dedup_paragraphs(df).collect()[0]
+    assert r["text"] == f"{P}\nmiddle filler paragraph that is long enough too"
+    assert r["n_paras_removed"] == 1
+
+
+def test_clean_corpus_with_paragraph_stage(spark):
+    """clean_corpus's optional paragraph-dedup stage composes with the
+    downstream near-dedup self-joins (regression guard for the
+    HOF-lambda/DeduplicateRelations trap at broadcast-sized plans):
+    boilerplate survives only in its first document."""
+    from ddsketchy_spark.pipeline.compose import clean_corpus
+
+    P = ("a long shared boilerplate paragraph that should be removed "
+         "from every later document")
+    rows = [(i, f"wholly distinct body number {i} with its own words "
+             f"token{i}a token{i}b the of and to\n{P}", "t")
+            for i in range(20)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = clean_corpus(df, quality_kw={"min_words": 3},
+                       para_dedup_kw={"min_chars": 20},
+                       near_dedup_kw={"verify": "local", "num_perm": 32,
+                                      "bands": 8, "threshold": 0.9})
+    got = {r["doc_id"]: r["text"] for r in out.collect()}
+    assert sum(P in t for t in got.values()) == 1
+    # skipping the stage (default) leaves the boilerplate everywhere
+    out2 = clean_corpus(df, quality_kw={"min_words": 3},
+                        near_dedup_kw={"verify": "local", "num_perm": 32,
+                                       "bands": 8, "threshold": 0.95})
+    got2 = {r["doc_id"]: r["text"] for r in out2.collect()}
+    assert all(P in t for t in got2.values())
+
+
 def test_multimodal_plumbing(spark):
     from ddsketchy_spark.pipeline.multimodal import (
         decode_media,
