@@ -372,14 +372,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["lang_id_distribution"] = lang_id_distribution
 
     def quality_filter_documents(spark, sf):
-        """Keep/drop decision + audited drop reason for every document,
-        hash-matched row-for-row against a DuckDB re-derivation of the
-        same fixed-precedence rules (ratios compared at 6 dp on both
-        sides)."""
+        """Keep/drop decision + audited drop reason for every document —
+        including the opt-in Gopher repetition rules (dup-bigram fraction
+        > 0.06, dup-line fraction > 0.3) — hash-matched row-for-row
+        against a DuckDB re-derivation of the same fixed-precedence rules
+        (ratios compared at 6 dp on both sides)."""
         from ddsketchy_spark.pipeline.text import quality_filter
 
         return (quality_filter(_load(spark, sf, "documents"),
-                               min_words=20, min_stopword_ratio=0.03)
+                               min_words=20, min_stopword_ratio=0.03,
+                               max_dup_ngram_frac={2: 0.06},
+                               max_dup_line_frac=0.3)
                 .select("doc_id", "keep", "drop_reason")
                 .orderBy("doc_id"))
 
@@ -413,6 +416,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .orderBy("source"))
 
     q["sample_by_group_documents"] = sample_by_group_documents
+
+    def mixture_sample_documents(spark, sf):
+        """Training-data mixture sampling to per-source token budgets
+        (new r4): src0 downsampled (~0.5x), src1 upsampled (~2.3x with
+        duplicate copies), src2 ~1x, every other source dropped — the
+        md5-uniform Bernoulli-copy law re-derived end-to-end by DuckDB
+        (kept rows, copy counts, and mixed token mass all hash-matched)."""
+        from ddsketchy_spark.pipeline.mix import sample_to_token_budget
+
+        docs = _load(spark, sf, "documents")
+        out = sample_to_token_budget(
+            docs, {"src0": 4000.0, "src1": 20000.0, "src2": 7000.0},
+            token_col="n_chars", seed=7)
+        return (out.groupBy("source")
+                .agg(F.count(F.lit(1)).alias("docs_kept"),
+                     F.sum("n_copies").alias("copies"),
+                     F.sum(F.col("n_chars") * F.col("n_copies"))
+                     .alias("chars_mixed"))
+                .orderBy("source"))
+
+    q["mixture_sample_documents"] = mixture_sample_documents
 
     def decontaminate_documents(spark, sf):
         """GPT-3-style 13-gram benchmark decontamination: the first five
@@ -1326,37 +1350,47 @@ SELECT doc_id, len(words) AS n_words,
              / CAST(len(words) AS DOUBLE), 6) AS stopword_ratio
 FROM w ORDER BY doc_id
 """
+    _qf_case = """CASE WHEN text IS NULL THEN 'null_text'
+            WHEN n_words < 20 THEN 'too_few_words'
+            WHEN n_words > 50000 THEN 'too_many_words'
+            WHEN mwl < 2.0 THEN 'short_words'
+            WHEN mwl > 12.0 THEN 'long_words'
+            WHEN swr < 0.03 THEN 'low_stopword'
+            WHEN pr > 0.5 THEN 'high_punct'
+            WHEN f2 > 0.06 THEN 'dup_ngram_2'
+            WHEN fl > 0.3 THEN 'dup_line'
+            ELSE 'kept' END"""
     o["quality_filter_documents"] = f"""
 WITH w AS (
   SELECT doc_id, text, string_split(text, ' ') AS words, length(text) AS lc
   FROM documents
 ),
+g2 AS (
+  SELECT doc_id, round(1.0 - count(DISTINCT g) * 1.0 / count(*), 6) AS f2
+  FROM (SELECT doc_id, array_to_string(words[p:p+1], ' ') AS g
+        FROM w, LATERAL unnest(generate_series(1, len(words) - 1)) AS t(p)
+        WHERE len(words) >= 2)
+  GROUP BY doc_id
+),
+l AS (
+  SELECT doc_id, round(1.0 - count(DISTINCT ln) * 1.0 / count(*), 6) AS fl
+  FROM (SELECT doc_id, unnest(string_split(text, chr(10))) AS ln FROM w)
+  GROUP BY doc_id
+),
 feat AS (
-  SELECT doc_id, text, len(words) AS n_words,
+  SELECT w.doc_id, text, len(words) AS n_words,
          round((lc - (len(words) - 1)) / CAST(len(words) AS DOUBLE), 6) AS mwl,
          round(len(list_filter(words, x -> x IN ({stop_list})))
                / CAST(len(words) AS DOUBLE), 6) AS swr,
          round(length(regexp_replace(text, '[^.,;:!?]', '', 'g'))
-               / CAST(lc AS DOUBLE), 6) AS pr
-  FROM w
+               / CAST(lc AS DOUBLE), 6) AS pr,
+         coalesce(g2.f2, 0.0) AS f2,
+         coalesce(l.fl, 0.0) AS fl
+  FROM w LEFT JOIN g2 USING (doc_id) LEFT JOIN l USING (doc_id)
 )
 SELECT doc_id,
-       CASE WHEN text IS NULL THEN 'null_text'
-            WHEN n_words < 20 THEN 'too_few_words'
-            WHEN n_words > 50000 THEN 'too_many_words'
-            WHEN mwl < 2.0 THEN 'short_words'
-            WHEN mwl > 12.0 THEN 'long_words'
-            WHEN swr < 0.03 THEN 'low_stopword'
-            WHEN pr > 0.5 THEN 'high_punct'
-            ELSE 'kept' END AS drop_reason,
-       (CASE WHEN text IS NULL THEN 'null_text'
-            WHEN n_words < 20 THEN 'too_few_words'
-            WHEN n_words > 50000 THEN 'too_many_words'
-            WHEN mwl < 2.0 THEN 'short_words'
-            WHEN mwl > 12.0 THEN 'long_words'
-            WHEN swr < 0.03 THEN 'low_stopword'
-            WHEN pr > 0.5 THEN 'high_punct'
-            ELSE 'kept' END) = 'kept' AS keep
+       {_qf_case} AS drop_reason,
+       ({_qf_case}) = 'kept' AS keep
 FROM feat ORDER BY doc_id
 """
     langs = list(LANG_MARKERS)
@@ -1438,6 +1472,32 @@ SELECT source,
        TRUE AS subset_ok
 FROM documents WHERE doc_id IS NOT NULL AND source IS NOT NULL
 GROUP BY source ORDER BY source
+"""
+    o["mixture_sample_documents"] = """
+WITH tot AS (
+  SELECT source, CAST(sum(n_chars) AS DOUBLE) AS tot FROM documents
+  WHERE doc_id IS NOT NULL AND source IS NOT NULL AND n_chars IS NOT NULL
+  GROUP BY source
+),
+rate AS (
+  SELECT source,
+         (CASE source WHEN 'src0' THEN 4000.0 WHEN 'src1' THEN 20000.0
+                      WHEN 'src2' THEN 7000.0 END) / tot AS rate
+  FROM tot WHERE source IN ('src0', 'src1', 'src2') AND tot > 0
+),
+k AS (
+  SELECT d.source, d.n_chars,
+         CAST(floor(r.rate) AS BIGINT)
+           + CASE WHEN CAST(('0x' || substring(md5(d.doc_id || ':7'), 1, 13))
+                         AS BIGINT) / (16.0 ^ 13) < r.rate - floor(r.rate)
+                  THEN 1 ELSE 0 END AS n_copies
+  FROM documents d JOIN rate r USING (source)
+  WHERE d.doc_id IS NOT NULL AND d.n_chars IS NOT NULL
+)
+SELECT source, CAST(count(*) AS BIGINT) AS docs_kept,
+       CAST(sum(n_copies) AS BIGINT) AS copies,
+       CAST(sum(n_chars * n_copies) AS BIGINT) AS chars_mixed
+FROM k WHERE n_copies >= 1 GROUP BY source ORDER BY source
 """
     o["dedup_exact_documents"] = """
 WITH all_docs AS (

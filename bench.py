@@ -341,6 +341,19 @@ def main() -> None:
     queries["q17_dedup_near_text_local_10x"] = round(time.perf_counter() - t0, 3)
     queries["q17_docs_kept"] = n_kept17
     release_cached_deps(dn)
+
+    # q18: SimHash near-pairs at the same 50k corpus — the last scale
+    # engine to get a measured number (r3 verdict #4). One 64-bit
+    # signature per doc, pigeonhole block joins, native bit_count verify.
+    from ddsketchy_spark.pipeline.dedup import simhash_near_pairs
+
+    q18_trials = []
+    for _ in range(2):  # best-of-2 (CLAUDE.md bench methodology)
+        t0 = time.perf_counter()
+        n_sim = simhash_near_pairs(corpus, max_hamming=3).count()
+        q18_trials.append(time.perf_counter() - t0)
+    queries["q18_simhash_near_pairs"] = round(min(q18_trials), 3)
+    queries["q18_pairs"] = n_sim
     corpus.unpersist()
 
     # accuracy: max relative error of the n_tok estimates vs exact quantiles

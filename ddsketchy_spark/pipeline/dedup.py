@@ -76,7 +76,8 @@ def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 
 
 def word_jaccard_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
-                       threshold: float = 0.8, method: str = "allpairs") -> DataFrame:
+                       threshold: float = 0.8, method: str = "allpairs",
+                       positional: bool = True) -> DataFrame:
     """EXACT word-set Jaccard pairs at ``jaccard >= threshold``.
 
     ``method="allpairs"`` (default, the scale path): prefix-filtered
@@ -105,10 +106,11 @@ def word_jaccard_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc
         )
     if method != "allpairs":
         raise ValueError(f"unknown method {method!r}")
-    return _word_jaccard_allpairs(sets, threshold)
+    return _word_jaccard_allpairs(sets, threshold, positional=positional)
 
 
-def _word_jaccard_allpairs(sets: DataFrame, threshold: float) -> DataFrame:
+def _word_jaccard_allpairs(sets: DataFrame, threshold: float,
+                           positional: bool = True) -> DataFrame:
     """Prefix-filtered exact similarity join — distributed, no cartesian.
 
     Completeness argument (Jaccard >= t => the pair survives filtering):
@@ -118,17 +120,40 @@ def _word_jaccard_allpairs(sets: DataFrame, threshold: float) -> DataFrame:
     token within their prefixes of length |X| - ceil(t*|X|) + 1, the
     smallest common token would sit in one side's suffix, forcing
     |A^B| <= ceil(t*|X|) - 1 < t*|X| — contradiction. The same |A^B| bound
-    gives the size filter t*|B| <= |A| <= |B|/t. Verification then joins
-    the full word arrays back onto the deduplicated candidate pairs and
-    computes exact Jaccard with native array_intersect/array_union — so
-    the filters only need completeness, never precision.
+    gives the size filter t*|B| <= |A| <= |B|/t. Verification then counts
+    the exact overlap of each deduplicated candidate pair with the
+    token-join kernel (see the inline note) — so the filters only need
+    completeness, never precision.
+
+    Positional filter (PPJoin, Xiao et al. 2008, join-form as in Vernica
+    et al. 2010): each prefix row also carries the token's 1-based
+    position ``pos`` in the document's sorted token list, and the join
+    keeps a candidate-generating token only when
+
+        min(i, j) + min(|A| - i, |B| - j) >= ceil(t/(1+t) * (|A| + |B|))
+
+    Soundness of the bound: common tokens strictly BEFORE the matching
+    token w in the global order occupy positions < i in A and < j in B,
+    so there are at most min(i-1, j-1) of them; common tokens at or after
+    w are w itself plus at most min(|A|-i, |B|-j) more — so the total
+    overlap O <= min(i,j) + min(|A|-i, |B|-j). J(A,B) >= t is equivalent
+    to O >= t/(1+t)*(|A|+|B|) (since J = O/(|A|+|B|-O)), so any token row
+    violating the inequality cannot come from a qualifying pair.
+    Completeness: a qualifying pair satisfies the bound at EVERY common
+    token, so all of its generating prefix rows survive — the
+    dropDuplicates afterwards still sees the pair. (ceil is applied after
+    round(.,9) so fp dust can only LOWER the required overlap — filters
+    may only get looser, never lossy.)
 
     Scale shape: shuffles are O(total tokens) for the df-count and the
     per-doc sort, then O(prefix tokens) for the candidate self-join —
     stop words land in suffixes (rarest-first order) and are never
-    indexed, which is what confines the join blowup. The per-doc window
-    sort partitions by doc id: bounded by document length, no hot keys.
-    Everything stays in codegen; no Python, no driver collect."""
+    indexed, which is what confines the join blowup. Verification flows
+    O(candidates x doc tokens) NARROW (id, id, tok) rows through two hash
+    joins and a map-side-combining count — the document arrays themselves
+    never replicate per pair. The per-doc window sort partitions by doc
+    id: bounded by document length, no hot keys. Everything stays in
+    codegen; no Python, no driver collect, no interpreted set ops."""
     from pyspark.sql import Window
 
     sets = sets.where(F.col("ws").isNotNull()).withColumn("sz", F.size("ws"))
@@ -141,23 +166,51 @@ def _word_jaccard_allpairs(sets: DataFrame, threshold: float) -> DataFrame:
     pref = (toks.join(dfreq, "tok")
             .withColumn("pos", F.row_number().over(w))
             .where(F.col("pos") <= F.col("sz") - need + 1)
-            .select("tok", "id", "sz"))
+            .select("tok", "id", "sz", "pos"))
     a, b = pref.alias("a"), pref.alias("b")
     eps = 1e-9
+    # PPJoin positional filter: overlap upper bound at this matching token
+    # vs the overlap a qualifying pair needs (see docstring; same
+    # round-before-ceil fp guard as `need` — dust only loosens the filter)
+    overlap_ub = (
+        F.least(F.col("a.pos"), F.col("b.pos"))
+        + F.least(F.col("a.sz") - F.col("a.pos"),
+                  F.col("b.sz") - F.col("b.pos")))
+    overlap_need = F.ceil(F.round(
+        (F.col("a.sz") + F.col("b.sz"))
+        * F.lit(threshold / (1.0 + threshold)), 9))
+    cond = ((F.col("a.tok") == F.col("b.tok"))
+            & (F.col("a.id") < F.col("b.id"))
+            & (F.col("a.sz") >= F.col("b.sz") * threshold - eps)
+            & (F.col("b.sz") >= F.col("a.sz") * threshold - eps))
+    if positional:
+        cond = cond & (overlap_ub >= overlap_need)
     cand = (
-        a.join(b, (F.col("a.tok") == F.col("b.tok"))
-               & (F.col("a.id") < F.col("b.id"))
-               & (F.col("a.sz") >= F.col("b.sz") * threshold - eps)
-               & (F.col("b.sz") >= F.col("a.sz") * threshold - eps))
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        a.join(b, cond)
+        .select(F.col("a.id").alias("id_a"), F.col("a.sz").alias("_sza"),
+                F.col("b.id").alias("id_b"), F.col("b.sz").alias("_szb"))
         .dropDuplicates(["id_a", "id_b"])
     )
-    wa = sets.select(F.col("id").alias("id_a"), F.col("ws").alias("_wa"))
-    wb = sets.select(F.col("id").alias("id_b"), F.col("ws").alias("_wb"))
-    inter = F.size(F.array_intersect(F.col("_wa"), F.col("_wb")))
-    union = F.size(F.array_union(F.col("_wa"), F.col("_wb")))
-    return (cand.join(wa, "id_a").join(wb, "id_b")
-            .select("id_a", "id_b", (inter / union).alias("jaccard"))
+    # Exact-overlap verification WITHOUT per-pair set operations (the
+    # overlap-count kernel of the MapReduce PPJoin, Vernica et al. 2010):
+    # expand each candidate pair by A's tokens, keep the ones B also has
+    # (hash join on (id_b, tok)), and count — one row per COMMON token,
+    # all inside whole-stage codegen. Replaces array_intersect over the
+    # joined-back word arrays, which (a) ships each doc's array once per
+    # pair and (b) builds a boxed hash set per pair OUTSIDE codegen —
+    # measured 2.5x slower than this on 1.9M candidates. Every candidate
+    # shares >= 1 (prefix) token, so the inner join never drops a pair.
+    # |A∪B| = |A| + |B| - |A∩B| (ws is distinct) avoids union entirely.
+    ta = toks.select(F.col("id").alias("id_a"), "tok")
+    tb = toks.select(F.col("id").alias("id_b"), "tok")
+    return (cand.join(ta, "id_a")
+            .join(tb, ["id_b", "tok"])
+            .groupBy("id_a", "id_b", "_sza", "_szb")
+            .agg(F.count(F.lit(1)).alias("_inter"))
+            .select("id_a", "id_b",
+                    (F.col("_inter")
+                     / (F.col("_sza") + F.col("_szb") - F.col("_inter")))
+                    .alias("jaccard"))
             .filter(F.col("jaccard") >= threshold))
 
 
@@ -768,6 +821,7 @@ def connected_components(
     src: str = "src",
     dst: str = "dst",
     max_iter: int = 25,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Connected components of an undirected edge list -> (node, component),
     component = min node id reachable.
@@ -782,10 +836,29 @@ def connected_components(
     that builds the new labels: the node's own row is tagged, so the
     round's groupBy emits (new comp, old comp) together and the changed
     count is a trivial scan of the checkpointed rows — no second join per
-    round (round-2 verdict #7)."""
+    round (round-2 verdict #7).
+
+    Fault tolerance: by default the per-round truncation is
+    ``localCheckpoint`` — blocks live on EXECUTORS, so on a real cluster
+    an executor loss mid-iteration kills the job (lineage is gone; Spark
+    cannot recompute). Pass ``checkpoint_dir`` (any Hadoop-FS path:
+    HDFS/S3A/local) to switch to reliable dir-based ``checkpoint()`` —
+    each round's (node, label) rows are written to the FS, so lost
+    executors recompute from the last round instead of failing. Trade-off:
+    one FS write + read per round (labels are two ints/row, so the volume
+    is tiny next to the round's own shuffles) vs surviving a 100-TB dedup
+    run's worth of executor churn. Sets the session's checkpoint dir as a
+    side effect (Spark has one global checkpoint location per context)."""
+    if checkpoint_dir is not None:
+        edges.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
+
+    def _save(df: DataFrame) -> DataFrame:
+        return (df.checkpoint() if checkpoint_dir is not None
+                else df.localCheckpoint())
+
     sym = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
     sym = sym.union(sym.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct()
-    sym = sym.localCheckpoint()
+    sym = _save(sym)
     labels = (sym.select(F.col("a").alias("node")).distinct()
               .withColumn("comp", F.col("node")))
     changed = -1
@@ -793,11 +866,11 @@ def connected_components(
         msgs = sym.join(labels, sym["a"] == labels["node"]).select(
             F.col("b").alias("node"), F.col("comp"), F.lit(False).alias("_own"))
         own = labels.select("node", "comp", F.lit(True).alias("_own"))
-        new = (own.unionByName(msgs)
-               .groupBy("node")
-               .agg(F.min("comp").alias("comp"),
-                    F.max(F.when(F.col("_own"), F.col("comp"))).alias("_old"))
-               .localCheckpoint())
+        new = _save(own.unionByName(msgs)
+                    .groupBy("node")
+                    .agg(F.min("comp").alias("comp"),
+                         F.max(F.when(F.col("_own"), F.col("comp")))
+                         .alias("_old")))
         changed = new.filter(F.col("comp") != F.col("_old")).count()
         labels = new.drop("_old")
         if changed == 0:
@@ -883,6 +956,7 @@ def dedup_near_text(
     seed: int = 1,
     verify: str = "auto",
     max_bucket_size: int | None = None,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """End-to-end text near-duplicate dedup — the 100-TB training-data
     pipeline composition: MinHash-LSH candidate pairs (``verify="local"``
@@ -908,7 +982,8 @@ def dedup_near_text(
         max_bucket_size=max_bucket_size,
     )
     pairs = raw.filter(F.col("est_jaccard") >= threshold)
-    comp = connected_components(pairs, "id_a", "id_b")
+    comp = connected_components(pairs, "id_a", "id_b",
+                                checkpoint_dir=checkpoint_dir)
     return tag_cached_deps(_keep_canonical(df, id_col, comp),
                            cached_deps(raw))
 
@@ -919,6 +994,7 @@ def dedup_semantic(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     method: str = "exact",
+    checkpoint_dir: str | None = None,
     **kw,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate dedup: rows whose vectors are
@@ -931,6 +1007,7 @@ def dedup_semantic(
     from .cache import cached_deps, tag_cached_deps
 
     pairs = cosine_near_pairs(df, threshold, vec_col, id_col, method, **kw)
-    comp = connected_components(pairs, "src", "dst")
+    comp = connected_components(pairs, "src", "dst",
+                                checkpoint_dir=checkpoint_dir)
     return tag_cached_deps(_keep_canonical(df, id_col, comp),
                            cached_deps(pairs))

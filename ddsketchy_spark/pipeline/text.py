@@ -34,6 +34,23 @@ def _words(text_col: str):
     return F.split(F.col(text_col), " ")
 
 
+def _token_count_regex(tokens) -> str:
+    """Java regex counting occurrences of any of ``tokens`` under the
+    split-on-single-space law: a match is a token bounded by start-of-input
+    or one space on the left and one space or end-of-input on the right.
+    ``\\z`` (not ``$``) so a trailing newline is NOT a boundary — exactly
+    like ``split(text, ' ')`` equality; the right bound is a zero-width
+    lookahead so consecutive stopwords ("of the") both count; empty tokens
+    from doubled spaces never match. One regexp_count stays inside
+    whole-stage codegen, where the equivalent filter() HOF lambda is a
+    CodegenFallback evaluated interpreted per element (measured: 316k vs
+    226k docs/s on the 50k bench corpus for the stopword count)."""
+    import re as _re
+
+    alt = "|".join(_re.escape(t) for t in tokens)
+    return f"(?:^| )(?:{alt})(?= |\\z)"
+
+
 def token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Per-row token counts: whitespace tokens and a BPE-ish regex count
     (alpha runs + digit runs), plus character length."""
@@ -48,12 +65,17 @@ def token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 def quality_scores(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Heuristic quality features: mean word length, stopword ratio,
-    punctuation ratio, all-caps ratio. Pure projections, JVM-side."""
+    punctuation ratio. Pure whole-stage-codegen projections — the total
+    stopword count is a single regexp_count under the split-on-space
+    token law (``_token_count_regex``; r4: replaced the filter() HOF
+    lambda, which was interpreted per element as a CodegenFallback —
+    row-for-row identical on the 50k bench corpus, ~1.4x faster)."""
     words = _words(text_col)
     n = F.size(words)
     stop_arr = F.array(*[F.lit(w) for w in STOPWORDS])
     n_stop = F.size(F.array_intersect(words, stop_arr))  # distinct-hit count
-    n_stop_total = F.size(F.filter(words, lambda w: F.array_contains(stop_arr, w)))
+    n_stop_total = F.regexp_count(F.col(text_col),
+                                  F.lit(_token_count_regex(STOPWORDS)))
     punct = F.length(F.regexp_replace(F.col(text_col), "[^.,;:!?]", ""))
     return df.withColumns(
         {
@@ -75,30 +97,55 @@ def quality_filter(
     max_mean_word_len: float = 12.0,
     min_stopword_ratio: float = 0.0,
     max_punct_ratio: float = 0.5,
+    max_dup_ngram_frac: dict[int, float] | None = None,
+    max_dup_line_frac: float | None = None,
 ) -> DataFrame:
     """Gopher/C4-style heuristic corpus filter: the keep/drop stage of a
     training-data pipeline, with an auditable drop reason.
 
     Appends ``drop_reason`` (first tripped rule in fixed precedence:
     null_text > too_few_words > too_many_words > short_words > long_words >
-    low_stopword > high_punct > kept) and ``keep``. A pure projection over
-    ``quality_scores`` — no shuffle, whole-stage codegen, fully
-    SQL-expressible for oracle parity. Ratios are compared at 6 dp so the
-    decision is reproducible bit-for-bit across engines."""
+    low_stopword > high_punct > dup_ngram_{n} (ascending n) > dup_line >
+    kept) and ``keep``. A pure projection over ``quality_scores`` — no
+    shuffle, whole-stage codegen, fully SQL-expressible for oracle parity.
+    Ratios are compared at 6 dp so the decision is reproducible
+    bit-for-bit across engines.
+
+    The Gopher REPETITION rules are opt-in (they add per-doc n-gram
+    construction to the projection — still row-local codegen, but not
+    free): ``max_dup_ngram_frac={n: frac, ...}`` drops docs whose
+    ``dup_ngram_frac_{n}`` (``repetition_scores``) exceeds ``frac`` with
+    reason ``dup_ngram_{n}``; ``max_dup_line_frac`` does the same for
+    ``dup_line_frac`` with reason ``dup_line``. ``clean_corpus`` forwards
+    both via its ``quality_kw``."""
     scored = quality_scores(df, text_col)
+    rep_ns = tuple(sorted(max_dup_ngram_frac)) if max_dup_ngram_frac else ()
+    if rep_ns or max_dup_line_frac is not None:
+        scored = repetition_scores(scored, text_col, ns=rep_ns)
 
     def r6(c):
         return F.round(c, 6)
 
-    reason = (
-        F.when(F.col(text_col).isNull(), "null_text")
-        .when(F.col("n_words") < min_words, "too_few_words")
-        .when(F.col("n_words") > max_words, "too_many_words")
-        .when(r6(F.col("mean_word_len")) < min_mean_word_len, "short_words")
-        .when(r6(F.col("mean_word_len")) > max_mean_word_len, "long_words")
-        .when(r6(F.col("stopword_ratio")) < min_stopword_ratio, "low_stopword")
-        .when(r6(F.col("punct_ratio")) > max_punct_ratio, "high_punct")
-        .otherwise("kept"))
+    rules = [
+        (F.col(text_col).isNull(), "null_text"),
+        (F.col("n_words") < min_words, "too_few_words"),
+        (F.col("n_words") > max_words, "too_many_words"),
+        (r6(F.col("mean_word_len")) < min_mean_word_len, "short_words"),
+        (r6(F.col("mean_word_len")) > max_mean_word_len, "long_words"),
+        (r6(F.col("stopword_ratio")) < min_stopword_ratio, "low_stopword"),
+        (r6(F.col("punct_ratio")) > max_punct_ratio, "high_punct"),
+    ]
+    for n in rep_ns:
+        # repetition_scores already rounds to 6 dp — compare as-is
+        rules.append((F.col(f"dup_ngram_frac_{n}") > max_dup_ngram_frac[n],
+                      f"dup_ngram_{n}"))
+    if max_dup_line_frac is not None:
+        rules.append((F.col("dup_line_frac") > max_dup_line_frac,
+                      "dup_line"))
+    reason = F.when(rules[0][0], rules[0][1])
+    for cond, label in rules[1:]:
+        reason = reason.when(cond, label)
+    reason = reason.otherwise("kept")
     return (scored.withColumn("drop_reason", reason)
             .withColumn("keep", F.col("drop_reason") == "kept"))
 
@@ -106,16 +153,14 @@ def quality_filter(
 def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Marker-word language ID: count hits per language, fixed-precedence
     argmax (en > de > es > fr > zh on ties). Deterministic and expressible
-    identically in ANSI SQL for oracle parity."""
-    words = _words(text_col)
-
-    def _contains(arr):
-        return lambda w: F.array_contains(arr, w)
-
+    identically in ANSI SQL for oracle parity. Hit counts are one
+    regexp_count per language under the split-on-space token law
+    (``_token_count_regex``; r4: replaced the interpreted filter() HOF
+    lambdas — row-for-row identical on the 50k bench corpus)."""
     hit_cols = {}
     for lang, markers in LANG_MARKERS.items():
-        arr = F.array(*[F.lit(w) for w in markers])
-        hit_cols[f"hits_{lang}"] = F.size(F.filter(words, _contains(arr)))
+        hit_cols[f"hits_{lang}"] = F.regexp_count(
+            F.col(text_col), F.lit(_token_count_regex(markers)))
     out = df.withColumns(hit_cols)
     langs = list(LANG_MARKERS)
     # fixed precedence CASE: first listed language wins ties
@@ -288,7 +333,12 @@ def repetition_scores(
         cols[f"dup_ngram_frac_{n}"] = frac(
             F.size(grams).cast("double"),
             F.size(F.array_distinct(grams)).cast("double"))
-    lines = F.split(F.col(text_col), line_sep)
+    import re as _re
+
+    # LITERAL separator, exactly like dedup_paragraphs' sep: F.split takes
+    # a Java regex, so an unescaped ". " or "|" would silently split per
+    # character and produce garbage fractions
+    lines = F.split(F.col(text_col), _re.escape(line_sep))
     cols["dup_line_frac"] = frac(
         F.size(lines).cast("double"),
         F.size(F.array_distinct(lines)).cast("double"))

@@ -661,6 +661,35 @@ def test_clean_corpus_with_paragraph_stage(spark):
     assert all(P in t for t in got2.values())
 
 
+def test_clean_corpus_paragraph_stage_plus_benchmark(spark):
+    """para_dedup_kw AND benchmark together at broadcast size (ADVICE r3):
+    decontaminate builds n-grams from the paragraph stage's rewritten text
+    — whose projection contains the HOF lambda capturing the joined
+    _loser_pos column — and left-anti self-joins it back onto out. That is
+    exactly the DeduplicateRelations/HOF outer-capture shape that crashes
+    ONLY on broadcast-sized plans; this must compose without it."""
+    from ddsketchy_spark.pipeline.compose import clean_corpus
+
+    P = ("a long shared boilerplate paragraph that should be removed "
+         "from every later document")
+    rows = [(i, f"wholly distinct body number {i} with its own words "
+             f"token{i}a token{i}b the of and to\n{P}", "t")
+            for i in range(20)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    # benchmark shares a 5-gram with doc 7's body -> doc 7 must drop
+    bench = spark.createDataFrame(
+        [(900, "wholly distinct body number 7 with its own words")],
+        "doc_id long, text string")
+    out = clean_corpus(df, quality_kw={"min_words": 3},
+                       para_dedup_kw={"min_chars": 20},
+                       near_dedup_kw={"verify": "local", "num_perm": 32,
+                                      "bands": 8, "threshold": 0.9},
+                       benchmark=bench, decontam_n=5)
+    got = {r["doc_id"]: r["text"] for r in out.collect()}
+    assert 7 not in got
+    assert sum(P in t for t in got.values()) == 1
+
+
 def test_multimodal_plumbing(spark):
     from ddsketchy_spark.pipeline.multimodal import (
         decode_media,
@@ -706,6 +735,27 @@ def test_connected_components_long_chain(spark):
         [(i, i + 1) for i in range(12)], "src long, dst long")
     out = {r["node"]: r["comp"] for r in connected_components(edges).collect()}
     assert set(out.values()) == {0} and len(out) == 13
+
+
+def test_connected_components_reliable_checkpoint(spark, tmp_path):
+    """checkpoint_dir switches the per-round lineage truncation from
+    localCheckpoint (executor-resident; lost on executor failure) to
+    reliable dir-based checkpoint(): identical labels, and the rounds'
+    RDDs actually land in the checkpoint directory."""
+    import os
+
+    from ddsketchy_spark.pipeline.dedup import connected_components
+
+    ckpt = str(tmp_path / "cc_ckpt")
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(12)] + [(100, 101)], "src long, dst long")
+    base = {r["node"]: r["comp"] for r in connected_components(edges).collect()}
+    rel = {r["node"]: r["comp"] for r in
+           connected_components(edges, checkpoint_dir=ckpt).collect()}
+    assert rel == base
+    # the reliable path must have written round states to the FS
+    written = [os.path.join(dp, f) for dp, _, fs in os.walk(ckpt) for f in fs]
+    assert written, "reliable checkpoint wrote nothing to checkpoint_dir"
 
 
 def test_dedup_semantic(spark, sf001_dir):
@@ -838,6 +888,122 @@ def test_quality_filter_reasons(spark):
     assert out[4]["drop_reason"] in ("short_words", "high_punct", "low_stopword")
     assert out[5]["drop_reason"] == "kept" and out[5]["keep"]
     assert not any(out[i]["keep"] for i in (1, 2, 3, 4))
+
+
+def test_sample_to_token_budget(spark):
+    """Mixture sampling law re-derived in pure Python (hashlib.md5):
+    exact kept-set + copy counts, downsample AND upsample, absent-source
+    and NULL-row drops, explode_copies multiplicity, and invariance under
+    repartitioning (the law is a pure function of the data)."""
+    import hashlib
+
+    from ddsketchy_spark.pipeline.mix import sample_to_token_budget
+
+    rows = ([(i, "A", 100) for i in range(100)]          # tot 10_000
+            + [(1000 + i, "B", 50) for i in range(40)]   # tot 2_000
+            + [(2000 + i, "C", 10) for i in range(5)]    # absent from budgets
+            + [(None, "A", 100), (3000, None, 100), (3001, "A", None)])
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_tok long")
+    budgets = {"A": 5_000.0, "B": 4_600.0}  # rate A=0.5, B=2.3
+    out = sample_to_token_budget(df, budgets, seed=3)
+    got = {r["doc_id"]: r["n_copies"] for r in out.collect()}
+
+    def u(i, seed=3):
+        return int(hashlib.md5(f"{i}:{seed}".encode()).hexdigest()[:13],
+                   16) / 16**13
+
+    exp = {}
+    for i, src, tok in rows:
+        if i is None or src is None or tok is None or src == "C":
+            continue
+        rate = {"A": 0.5, "B": 2.3}[src]
+        n = int(rate) + (1 if u(i) < rate - int(rate) else 0)
+        if n >= 1:
+            exp[i] = n
+    assert got == exp
+    assert 0.3 <= len([i for i in exp if i < 1000]) / 100 <= 0.7
+    assert all(v >= 2 for i, v in exp.items() if 1000 <= i < 2000)
+    # partitioning must not change the result
+    got2 = {r["doc_id"]: r["n_copies"]
+            for r in sample_to_token_budget(df.repartition(7), budgets,
+                                            seed=3).collect()}
+    assert got2 == got
+    # exploded copies: one row per copy with a 0-based index
+    ex = sample_to_token_budget(df, budgets, seed=3, explode_copies=True)
+    per = {}
+    for r in ex.collect():
+        per.setdefault(r["doc_id"], []).append(r["copy"])
+    assert {k: sorted(v) for k, v in per.items()} == \
+        {k: list(range(v)) for k, v in exp.items()}
+
+
+def test_token_count_regex_law(spark):
+    """The regexp_count stopword/marker law must equal the split-on-space
+    token-equality law on every boundary case: trailing newline is NOT a
+    boundary (\\z, not $), doubled spaces produce empty never-matching
+    tokens, prefixes ("its") don't count, consecutive stopwords both
+    count, NULL stays NULL."""
+    from pyspark.sql import functions as F
+
+    from ddsketchy_spark.pipeline.text import STOPWORDS, _token_count_regex
+
+    rows = [(1, "the"), (2, "the\n"), (3, "a  a"), (4, "its"),
+            (5, "of the"), (6, ""), (7, None), (8, " a"), (9, "a "),
+            (10, "x the"), (11, "the x"), (12, "to\nthe"),
+            (13, "a a a"), (14, "the the"), (15, "isit is it")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    stop_arr = F.array(*[F.lit(w) for w in STOPWORDS])
+    hof = F.size(F.filter(F.split(F.col("text"), " "),
+                          lambda w: F.array_contains(stop_arr, w)))
+    rx = F.regexp_count(F.col("text"), F.lit(_token_count_regex(STOPWORDS)))
+    bad = df.select("doc_id", hof.alias("a"), rx.alias("b")) \
+            .where("a <> b OR (a IS NULL) <> (b IS NULL)").collect()
+    assert bad == []
+
+
+def test_quality_filter_repetition_rules(spark):
+    """Opt-in Gopher repetition drop rules: dup_ngram_{n} / dup_line trip
+    at their thresholds, sit AFTER the base rules in precedence, and a
+    non-repetitive doc stays kept."""
+    from ddsketchy_spark.pipeline.text import quality_filter
+
+    rows = [
+        # bigrams [the cat]x3 [cat the]x2 -> dup frac 0.6 > 0.3
+        (1, "the cat the cat the cat"),
+        # distinct bigrams, duplicate LINE (1 - 2/3 = 0.333 > 0.3)
+        (2, "first line one\nsecond line two\nfirst line one"),
+        (3, "the quick brown fox jumps over the lazy dog"),   # kept
+        # short_words must win over dup_ngram_2 (precedence)
+        (4, "a b a b a b"),
+    ]
+    out = {r["doc_id"]: r for r in
+           quality_filter(spark.createDataFrame(rows, "doc_id long, text string"),
+                          max_dup_ngram_frac={2: 0.3},
+                          max_dup_line_frac=0.3).collect()}
+    assert out[1]["drop_reason"] == "dup_ngram_2"
+    assert out[2]["drop_reason"] == "dup_line"
+    assert out[3]["drop_reason"] == "kept" and out[3]["keep"]
+    assert out[4]["drop_reason"] == "short_words"
+    # without the opt-in kwargs both repetitive docs are kept (unchanged
+    # default behavior — no repetition columns computed at all)
+    base = quality_filter(spark.createDataFrame(rows[:2],
+                          "doc_id long, text string"))
+    assert "dup_line_frac" not in base.columns
+    assert all(r["keep"] for r in base.collect())
+
+
+def test_repetition_scores_metachar_sep(spark):
+    """line_sep is a LITERAL separator: a regex-metachar separator like
+    '. ' must split on dot-space, not on any-char-space (the F.split
+    regex trap dedup_paragraphs already guards against)."""
+    from ddsketchy_spark.pipeline.text import repetition_scores
+
+    rows = [(1, "alpha beta. gamma delta. alpha beta")]
+    out = repetition_scores(
+        spark.createDataFrame(rows, "doc_id long, text string"),
+        ns=(), line_sep=". ").collect()[0]
+    # lines: [alpha beta, gamma delta, alpha beta] -> 1 - 2/3
+    assert out["dup_line_frac"] == pytest.approx(0.333333)
 
 
 def test_ngram_counts(spark):
@@ -1008,6 +1174,29 @@ def test_release_cached_deps(spark, docs_with_dups, sf001_dir):
                          verify="local")
     lp.count()
     assert release_cached_deps(lp) == 1
+
+
+def test_release_cached_deps_on_derived_frame(spark, docs_with_dups):
+    """Round-3 ADVICE hardening: a result that was FILTERED/PROJECTED after
+    the engine returned it (the tag lives on the original Python object)
+    still releases — the plan-walk fallback finds the registered cached
+    intermediate inside the derived frame's plan. Untagged, unrelated
+    frames warn and release nothing."""
+    import pytest as _pytest
+
+    from ddsketchy_spark.pipeline.cache import cached_deps, release_cached_deps
+
+    pairs = minhash_lsh_pairs(docs_with_dups, verify="local",
+                              num_perm=32, bands=8)
+    derived = pairs.where("est_jaccard >= 0.99").select("id_a")
+    derived.count()
+    dep = cached_deps(pairs)[0]
+    assert cached_deps(derived) == []           # tag didn't survive — by design
+    assert release_cached_deps(derived) == 1    # plan-walk fallback did
+    assert not dep.storageLevel.useMemory
+    # an unrelated, never-cached frame warns and returns 0
+    with _pytest.warns(UserWarning, match="no cached intermediates"):
+        assert release_cached_deps(docs_with_dups.limit(3)) == 0
 
 
 def test_pipeline_ops_on_empty_input(spark):
