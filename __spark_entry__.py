@@ -438,6 +438,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["mixture_sample_documents"] = mixture_sample_documents
 
+    def pack_sequences_documents(spark, sf):
+        """GPT-style sequence packing with document splitting (new r4):
+        the full per-document manifest (start_seq, start_pos, n_seqs) at
+        seq_len=2048 chars, hash-matched row-for-row against DuckDB's
+        single-window re-derivation of the distributed prefix-sum law."""
+        from ddsketchy_spark.pipeline.mix import pack_sequences
+
+        return (pack_sequences(_load(spark, sf, "documents"), 2048,
+                               token_col="n_chars", seed=5)
+                .select("doc_id", "start_seq", "start_pos", "n_seqs")
+                .orderBy("doc_id"))
+
+    q["pack_sequences_documents"] = pack_sequences_documents
+
     def decontaminate_documents(spark, sf):
         """GPT-3-style 13-gram benchmark decontamination: the first five
         documents act as the eval set; every corpus doc sharing a 13-gram
@@ -1498,6 +1512,24 @@ SELECT source, CAST(count(*) AS BIGINT) AS docs_kept,
        CAST(sum(n_copies) AS BIGINT) AS copies,
        CAST(sum(n_chars * n_copies) AS BIGINT) AS chars_mixed
 FROM k WHERE n_copies >= 1 GROUP BY source ORDER BY source
+"""
+    o["pack_sequences_documents"] = """
+WITH base AS (
+  SELECT doc_id, n_chars,
+         CAST(('0x' || substring(md5(doc_id || ':5'), 1, 13)) AS BIGINT) AS h
+  FROM documents WHERE doc_id IS NOT NULL AND n_chars > 0
+),
+ord AS (
+  SELECT doc_id, n_chars,
+         CAST(coalesce(sum(n_chars) OVER (
+              ORDER BY h, doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS o
+  FROM base
+)
+SELECT doc_id, o // 2048 AS start_seq, o % 2048 AS start_pos,
+       ((o + n_chars - 1) // 2048) - (o // 2048) + 1 AS n_seqs
+FROM ord ORDER BY doc_id
 """
     o["dedup_exact_documents"] = """
 WITH all_docs AS (

@@ -31,6 +31,8 @@ def clean_corpus(
     para_dedup_kw: dict | None = None,
     near_dedup_kw: dict | None = None,
     decontam_n: int = 13,
+    mix_budgets: dict | None = None,
+    mix_kw: dict | None = None,
 ) -> DataFrame:
     """Run the standard corpus-cleaning pipeline; returns the SURVIVING
     rows of ``df`` (original columns, with ``text_col`` replaced by its
@@ -59,6 +61,12 @@ def clean_corpus(
        ``near_dedup_kw={"skip": True}`` to skip.
     4. ``decontaminate`` — drop docs sharing a ``decontam_n``-gram with
        ``benchmark`` (skipped when ``benchmark`` is None).
+    5. OPTIONAL mixture sampling — pass ``mix_budgets`` (per-source token
+       budgets; see ``sample_to_token_budget``) to mix the cleaned
+       survivors to the target composition as the final stage.
+       ``mix_kw`` forwards token_col/source_col/seed/explode_copies; the
+       result gains the mixer's ``n_copies`` column (and ``copy`` when
+       exploded).
     """
     quality_kw = dict(quality_kw or {})
     near_kw = dict(near_dedup_kw or {})
@@ -101,6 +109,11 @@ def clean_corpus(
                             corpus_id=id_col,
                             bench_id=id_col if id_col in benchmark.columns
                             else benchmark.columns[0])
+    if mix_budgets is not None:
+        from .mix import sample_to_token_budget
+
+        out = sample_to_token_budget(out, mix_budgets,
+                                     id_col=id_col, **(mix_kw or {}))
     from .cache import tag_cached_deps
 
     return tag_cached_deps(out, cached)

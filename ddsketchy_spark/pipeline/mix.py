@@ -90,3 +90,71 @@ def sample_to_token_budget(
             "*", F.explode(F.sequence(F.lit(0),
                                       F.col("n_copies") - 1)).alias("copy"))
     return out
+
+
+def pack_sequences(
+    df: DataFrame,
+    seq_len: int,
+    token_col: str = "n_tok",
+    id_col: str = "doc_id",
+    seed: int = 0,
+    n_buckets: int = 4096,
+) -> DataFrame:
+    """GPT-style sequence packing WITH document splitting: shuffle the
+    corpus deterministically, concatenate all documents into one token
+    stream, and cut it into fixed ``seq_len`` training sequences —
+    documents crossing a boundary continue in the next sequence (the
+    EOD-token packing of GPT-2/3; zero padding except the final tail).
+
+    Returns ``df``'s rows (NULL/empty-token rows dropped) plus
+    ``start_seq`` (sequence index of the doc's first token), ``start_pos``
+    (offset within that sequence) and ``n_seqs`` (sequences the doc
+    spans) — the manifest a loader needs to materialize packed batches.
+
+    Law (fully SQL-re-derivable): docs are ordered by (h, id) where h is
+    the md5 52-bit integer of ``id:seed`` (``unit_uniform``'s hash — a
+    deterministic corpus shuffle, identical in every engine);
+    ``global_offset(doc) = sum of token counts of all docs before it``;
+    ``start_seq = global_offset div seq_len`` etc. A pure function of the
+    data — invariant to partitioning, cluster size, AND ``n_buckets``.
+
+    Scale shape — a distributed prefix sum, not a global window: bucket =
+    the top bits of h (bucketing by a PREFIX of the sort key keeps the
+    global order), one map-side-combining aggregate for per-bucket token
+    totals, an exclusive cumsum over the <= ``n_buckets`` totals (one tiny
+    task on metadata, never data), broadcast back, and a within-bucket
+    exclusive-cumsum window whose partitions hold ~n_docs/n_buckets rows.
+    Size ``n_buckets`` so a bucket fits a task (~1M docs/bucket: 4096
+    covers 4B docs; raise it at 10^12 scale)."""
+    if seq_len <= 0:
+        raise ValueError(f"seq_len must be positive, got {seq_len}")
+    from pyspark.sql import Window
+
+    key = F.concat_ws(":", F.col(id_col).cast("string"), F.lit(str(seed)))
+    h = F.conv(F.substring(F.md5(key), 1, _U_HEX_CHARS), 16, 10).cast("long")
+    shift = max(4 * _U_HEX_CHARS - max(n_buckets - 1, 1).bit_length(), 0)
+    base = (df.where(F.col(id_col).isNotNull()
+                     & (F.col(token_col) > 0))  # NULL fails > too
+            .withColumn("_h", h)
+            .withColumn("_bkt", F.shiftright("_h", shift)))
+    btot = base.groupBy("_bkt").agg(
+        F.sum(F.col(token_col).cast("long")).alias("_btok"))
+    wb = (Window.orderBy("_bkt")
+          .rowsBetween(Window.unboundedPreceding, -1))
+    bpre = btot.select("_bkt", F.coalesce(F.sum("_btok").over(wb),
+                                          F.lit(0)).alias("_boff"))
+    ww = (Window.partitionBy("_bkt").orderBy("_h", id_col)
+          .rowsBetween(Window.unboundedPreceding, -1))
+    off = (F.col("_boff")
+           + F.coalesce(F.sum(F.col(token_col).cast("long")).over(ww),
+                        F.lit(0)))
+    L = F.lit(int(seq_len))
+    return (base.join(F.broadcast(bpre), "_bkt")
+            .withColumn("_off", off)
+            .withColumn("start_seq", F.floor(F.col("_off") / L))
+            .withColumn("start_pos", F.col("_off") % L)
+            .withColumn(
+                "n_seqs",
+                F.floor((F.col("_off") + F.col(token_col) - 1) / L)
+                - F.floor(F.col("_off") / L) + 1)
+            .drop("_h", "_bkt", "_boff", "_off"))

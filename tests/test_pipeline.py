@@ -690,6 +690,25 @@ def test_clean_corpus_paragraph_stage_plus_benchmark(spark):
     assert sum(P in t for t in got.values()) == 1
 
 
+def test_clean_corpus_with_mixture_stage(spark):
+    """clean_corpus's optional final mixture stage: survivors are mixed to
+    per-source token budgets (n_copies appears; absent sources drop)."""
+    from ddsketchy_spark.pipeline.compose import clean_corpus
+
+    rows = [(i, f"document body {i} with the usual words and a few more "
+             f"filler{i} tokens here", "A" if i < 30 else "B", 10)
+            for i in range(60)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, source string, n_tok long")
+    out = clean_corpus(df, quality_kw={"min_words": 3},
+                       near_dedup_kw={"skip": True}, redact=False,
+                       mix_budgets={"A": 150.0})  # rate 0.5; B dropped
+    got = out.collect()
+    assert got and all(r["source"] == "A" for r in got)
+    assert all(r["n_copies"] == 1 for r in got)
+    assert 5 <= len(got) <= 25  # ~15 expected of 30
+
+
 def test_multimodal_plumbing(spark):
     from ddsketchy_spark.pipeline.multimodal import (
         decode_media,
@@ -935,6 +954,40 @@ def test_sample_to_token_budget(spark):
         per.setdefault(r["doc_id"], []).append(r["copy"])
     assert {k: sorted(v) for k, v in per.items()} == \
         {k: list(range(v)) for k, v in exp.items()}
+
+
+def test_pack_sequences(spark):
+    """Sequence-packing law re-derived in pure Python: deterministic
+    (h, id) global order, exclusive cumsum, start_seq/start_pos/n_seqs;
+    invariant to repartitioning AND to n_buckets; NULL/empty rows drop."""
+    import hashlib
+
+    from ddsketchy_spark.pipeline.mix import pack_sequences
+
+    rows = [(i, (i * 37) % 90 + 1) for i in range(80)]
+    rows += [(200, 0), (201, None), (None, 5)]     # dropped
+    df = spark.createDataFrame(rows, "doc_id long, n_tok long")
+    L, seed = 64, 5
+
+    def h(i):
+        return int(hashlib.md5(f"{i}:{seed}".encode()).hexdigest()[:13], 16)
+
+    order = sorted([r for r in rows[:80]], key=lambda r: (h(r[0]), r[0]))
+    exp, off = {}, 0
+    for i, n in order:
+        exp[i] = (off // L, off % L, (off + n - 1) // L - off // L + 1)
+        off += n
+    got = {r["doc_id"]: (r["start_seq"], r["start_pos"], r["n_seqs"])
+           for r in pack_sequences(df, L, seed=seed).collect()}
+    assert got == exp
+    for variant in (pack_sequences(df.repartition(7), L, seed=seed),
+                    pack_sequences(df, L, seed=seed, n_buckets=4),
+                    pack_sequences(df, L, seed=seed, n_buckets=1)):
+        got2 = {r["doc_id"]: (r["start_seq"], r["start_pos"], r["n_seqs"])
+                for r in variant.collect()}
+        assert got2 == exp
+    with pytest.raises(ValueError):
+        pack_sequences(df, 0)
 
 
 def test_token_count_regex_law(spark):

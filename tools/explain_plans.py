@@ -239,6 +239,33 @@ def main() -> None:
         reject=[r"CartesianProduct", r"BroadcastNestedLoopJoin"],
     )
 
+    # mixture sampling: one hash aggregate for totals, the per-source rate
+    # side BROADCAST, then a pure projection/filter — no window, no Python,
+    # no extra shuffle of the corpus
+    from ddsketchy_spark.pipeline.mix import pack_sequences, sample_to_token_budget
+
+    mx = sample_to_token_budget(docs, {"src0": 4000.0, "src1": 20000.0},
+                                token_col="n_chars", seed=7)
+    results["mixture_sample"] = audit(
+        "mixture_sample", mx,
+        want=[r"BroadcastHashJoin", r"HashAggregate"],
+        reject=[r"Window", r"CartesianProduct", r"SortMergeJoin",
+                r"BatchEvalPython", r"ArrowEvalPython",
+                r"FlatMapGroupsInPandas", r"(MapInArrow|PythonMapInArrow)"],
+    )
+
+    # sequence packing: distributed prefix sum — per-bucket totals
+    # aggregate, broadcast of the tiny bucket-offset side, within-bucket
+    # windows only; no Python, no cartesian
+    pk = pack_sequences(docs, 2048, token_col="n_chars", seed=5)
+    results["pack_sequences"] = audit(
+        "pack_sequences", pk,
+        want=[r"Window", r"HashAggregate", r"BroadcastHashJoin"],
+        reject=[r"CartesianProduct", r"BroadcastNestedLoopJoin",
+                r"BatchEvalPython", r"ArrowEvalPython",
+                r"FlatMapGroupsInPandas", r"(MapInArrow|PythonMapInArrow)"],
+    )
+
     print("\nsummary:", {k: ("OK" if v else "FAIL") for k, v in results.items()})
     spark.stop()
     sys.exit(0 if all(results.values()) else 1)
