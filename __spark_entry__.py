@@ -646,6 +646,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["repetition_scores_documents"] = repetition_scores_documents
 
+    def unigram_logprob_documents(spark, sf):
+        """CCNet-style unigram-LM quality scores (new r4): the model is
+        trained on the corpus itself (top-500 vocabulary so the OOV floor
+        path is exercised), per-doc mean NLL + oov_frac value-matched
+        row-for-row against a full DuckDB re-derivation."""
+        from ddsketchy_spark.pipeline.text import unigram_logprob_scores
+
+        return (unigram_logprob_scores(_load(spark, sf, "documents"),
+                                       vocab_size=500)
+                .select("doc_id", "n_scored_tokens", "unigram_nll",
+                        "oov_frac")
+                .orderBy("doc_id"))
+
+    q["unigram_logprob_documents"] = unigram_logprob_documents
+
     def dedup_paragraphs_documents(spark, sf):
         """Corpus-wide paragraph dedup on a corpus with a planted shared
         boilerplate paragraph (appended to every doc_id % 3 == 0): the
@@ -1314,6 +1329,35 @@ SELECT w.doc_id,
 FROM w LEFT JOIN g2 USING (doc_id) LEFT JOIN g3 USING (doc_id)
        LEFT JOIN l USING (doc_id)
 ORDER BY doc_id
+"""
+    o["unigram_logprob_documents"] = """
+WITH toks AS (
+  SELECT doc_id, w
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+        FROM documents WHERE doc_id IS NOT NULL)
+  WHERE w <> ''
+),
+counts AS (SELECT w, count(*) AS c FROM toks GROUP BY w),
+tot AS (SELECT CAST(sum(c) AS DOUBLE) AS t FROM counts),
+vocab AS (SELECT w, c FROM counts ORDER BY c DESC, w LIMIT 500),
+lp AS (
+  SELECT t.doc_id,
+         ln(CAST(coalesce(v.c, 1) AS DOUBLE)) - ln((SELECT t FROM tot)) AS lp,
+         CASE WHEN v.c IS NULL THEN 1.0 ELSE 0.0 END AS oov
+  FROM toks t LEFT JOIN vocab v USING (w)
+),
+per_doc AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_scored_tokens,
+         round(-avg(lp), 6) AS unigram_nll,
+         round(avg(oov), 6) AS oov_frac
+  FROM lp GROUP BY doc_id
+)
+SELECT d.doc_id,
+       coalesce(p.n_scored_tokens, 0) AS n_scored_tokens,
+       coalesce(p.unigram_nll, -1.0) AS unigram_nll,
+       coalesce(p.oov_frac, -1.0) AS oov_frac
+FROM documents d LEFT JOIN per_doc p ON d.doc_id = p.doc_id
+ORDER BY d.doc_id
 """
     o["dedup_paragraphs_documents"] = f"""
 WITH corpus AS (

@@ -345,6 +345,64 @@ def repetition_scores(
     return df.withColumns(cols)
 
 
+def unigram_logprob_scores(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    vocab_size: int = 65536,
+) -> DataFrame:
+    """Unigram language-model quality score, self-trained on the corpus —
+    the perplexity-proxy filter of CCNet/CC-cleaning pipelines (published:
+    Wenzek et al. 2020 train a LM and keep low-perplexity docs), reduced
+    to its deterministic, fully SQL-re-derivable core: a unigram model
+    estimated from the corpus itself.
+
+    Law: tokens are the non-empty ``split(text, ' ')`` words (the module's
+    shared token law). The model is the top ``vocab_size`` words by
+    ``(count DESC, word ASC)`` — a total order, so the vocabulary cut is
+    bit-reproducible; ``p(w) = count(w) / total_tokens`` for vocabulary
+    words (``total_tokens`` counts ALL tokens, in- and out-of-vocabulary)
+    and the out-of-vocabulary floor is ``1 / total_tokens``. Per document:
+    ``unigram_nll = round(-mean(ln p(w)), 6)`` (nats — higher = more
+    surprising = lower quality), ``oov_frac = round(mean(w not in V), 6)``,
+    ``n_scored_tokens``. Unscoreable rows (NULL id/text, no tokens) keep
+    sentinels ``(-1.0, -1.0, 0)`` — never NULL doubles (oracle-comparator
+    convention).
+
+    Scale shape — two corpus passes (inherent: train, then score), all
+    narrow shuffles: pass 1 explodes tokens into a map-side-combining
+    word-count aggregate (shuffle is O(distinct words), Zipf-friendly) and
+    a deterministic TakeOrdered vocabulary cut; pass 2 broadcast-joins the
+    O(vocab_size) model onto the exploded tokens — the per-doc aggregate
+    collapses map-side because a document's exploded rows are contiguous,
+    so the shuffle is one row per document — then left-joins scores back
+    on the id. No window, no Python, no cartesian (the 1-row total is a
+    broadcast scalar attach)."""
+    toks = (df.where(F.col(id_col).isNotNull())
+            .select(id_col, F.explode(_words(text_col)).alias("_w"))
+            .where(F.col("_w") != ""))
+    counts = toks.groupBy("_w").agg(F.count(F.lit(1)).alias("_cnt"))
+    tot = counts.agg(F.sum("_cnt").cast("double").alias("_tot"))
+    vocab = counts.orderBy(F.desc("_cnt"), F.asc("_w")).limit(int(vocab_size))
+    lp = (toks.join(F.broadcast(vocab), "_w", "left")
+          .crossJoin(F.broadcast(tot))
+          .select(id_col,
+                  (F.log(F.coalesce(F.col("_cnt"), F.lit(1)).cast("double"))
+                   - F.log(F.col("_tot"))).alias("_lp"),
+                  F.col("_cnt").isNull().cast("double").alias("_oov")))
+    per_doc = lp.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_scored_tokens"),
+        F.round(-F.avg("_lp"), 6).alias("unigram_nll"),
+        F.round(F.avg("_oov"), 6).alias("oov_frac"))
+    return (df.join(per_doc, id_col, "left")
+            .withColumns({
+                "n_scored_tokens": F.coalesce(F.col("n_scored_tokens"),
+                                              F.lit(0).cast("long")),
+                "unigram_nll": F.coalesce(F.col("unigram_nll"), F.lit(-1.0)),
+                "oov_frac": F.coalesce(F.col("oov_frac"), F.lit(-1.0)),
+            }))
+
+
 def exact_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Deterministic whole-document fingerprint (md5 of normalized text) —
     the exact-dedup key, portable across engines."""

@@ -990,6 +990,103 @@ def test_pack_sequences(spark):
         pack_sequences(df, 0)
 
 
+def test_write_training_shards(spark, tmp_path):
+    """Shard sink: deterministic membership (hash law re-derived via
+    Spark's own xxhash64), exactly one data file per shard, lossless
+    round-trip, range mode gives disjoint ordered ranges, subset read
+    prunes, NULL keys fail loudly."""
+    from ddsketchy_spark.pipeline.shards import (
+        read_training_shards,
+        write_training_shards,
+    )
+
+    rows = [(i, f"doc {i}", i * 3 % 97) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, start_seq long")
+
+    path = str(tmp_path / "hash_shards")
+    man = write_training_shards(df, path, 5, seed=3)
+    assert man["n_shards"] == 5 and len(man["shards"]) == 5
+    assert all(s["n_files"] == 1 for s in man["shards"])
+    back, man2 = read_training_shards(spark, path)
+    assert man2 == man
+    assert sorted(r["doc_id"] for r in back.collect()) == list(range(200))
+    # membership law: pmod(xxhash64(cast(id as string), seed), n)
+    expected = {r["doc_id"]: r["s"] for r in df.select(
+        "doc_id", F.pmod(F.xxhash64(F.col("doc_id").cast("string"),
+                                    F.lit(3)), F.lit(5))
+        .cast("int").alias("s")).collect()}
+    got = {r["doc_id"]: r["shard"] for r in back.collect()}
+    assert got == expected
+    sub, _ = read_training_shards(spark, path, shards=[2])
+    assert {r["shard"] for r in sub.collect()} == {2}
+
+    rpath = str(tmp_path / "range_shards")
+    rman = write_training_shards(df, rpath, 4, mode="range",
+                                 range_col="start_seq")
+    rback, _ = read_training_shards(spark, rpath)
+    span = {r["shard"]: r for r in rback.groupBy("shard").agg(
+        F.min("start_seq").alias("lo"), F.max("start_seq").alias("hi"),
+        F.count("*").alias("n")).collect()}
+    assert sorted(span) == [0, 1, 2, 3]
+    assert sum(r["n"] for r in span.values()) == 200
+    for i in range(3):  # contiguous, disjoint, ordered ranges
+        assert span[i]["hi"] < span[i + 1]["lo"]
+
+    bad = spark.createDataFrame([(None, "x", 1)],
+                                "doc_id long, text string, start_seq long")
+    with pytest.raises(Exception, match="NULL doc_id"):
+        write_training_shards(bad, str(tmp_path / "bad"), 2)
+    with pytest.raises(ValueError, match="range_col"):
+        write_training_shards(df, str(tmp_path / "bad2"), 2, mode="range")
+    with pytest.raises(ValueError, match="n_shards"):
+        write_training_shards(df, str(tmp_path / "bad3"), 0)
+
+
+def test_unigram_logprob_scores(spark):
+    """Unigram-LM quality-score law re-derived in pure Python: top-V
+    (count DESC, word ASC) vocabulary cut, p(w)=cnt/total with the 1/total
+    OOV floor, per-doc mean NLL + oov_frac; NULL id/text and token-less
+    docs keep sentinels; invariant to repartitioning."""
+    import math
+    from collections import Counter
+
+    from ddsketchy_spark.pipeline.text import unigram_logprob_scores
+
+    rows = [
+        (1, "the cat sat on the mat"),
+        (2, "the the the rare rarer rarest"),
+        (3, ""),                       # no tokens -> sentinels
+        (4, None),                     # NULL text -> sentinels
+        (None, "the cat"),             # NULL id: not scored, not trained on
+        (5, "cat  mat"),               # doubled space: empty token dropped
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    V = 4                              # forces the OOV path + tie-break cut
+
+    toks = {i: [w for w in (t or "").split(" ") if w]
+            for i, t in rows if i is not None}
+    cnt = Counter(w for ws in toks.values() for w in ws)
+    total = float(sum(cnt.values()))
+    vocab = dict(sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:V])
+    assert any(w not in vocab for ws in toks.values() for w in ws)
+    exp = {}
+    for i, ws in toks.items():
+        if not ws:
+            exp[i] = (0, -1.0, -1.0)
+            continue
+        lps = [math.log(vocab.get(w, 1)) - math.log(total) for w in ws]
+        oov = [0.0 if w in vocab else 1.0 for w in ws]
+        exp[i] = (len(ws), round(-sum(lps) / len(ws), 6),
+                  round(sum(oov) / len(ws), 6))
+    exp[None] = (0, -1.0, -1.0)
+
+    for frame in (df, df.repartition(5)):
+        got = {r["doc_id"]: (r["n_scored_tokens"], r["unigram_nll"],
+                             r["oov_frac"])
+               for r in unigram_logprob_scores(frame, vocab_size=V).collect()}
+        assert got == exp
+
+
 def test_token_count_regex_law(spark):
     """The regexp_count stopword/marker law must equal the split-on-space
     token-equality law on every boundary case: trailing newline is NOT a

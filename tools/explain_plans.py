@@ -254,6 +254,23 @@ def main() -> None:
                 r"FlatMapGroupsInPandas", r"(MapInArrow|PythonMapInArrow)"],
     )
 
+    # unigram LM quality score: word-count aggregate + deterministic
+    # TakeOrdered vocab cut, vocab BROADCAST onto the exploded tokens,
+    # map-side-collapsing per-doc aggregate — no window, no Python, no
+    # cartesian (the 1-row total attach is a broadcast nested loop by
+    # design, so only CartesianProduct is rejected)
+    from ddsketchy_spark.pipeline.text import unigram_logprob_scores
+
+    ug = unigram_logprob_scores(docs, vocab_size=500)
+    results["unigram_logprob"] = audit(
+        "unigram_logprob", ug,
+        want=[r"TakeOrderedAndProject", r"BroadcastHashJoin",
+              r"HashAggregate"],
+        reject=[r"CartesianProduct", r"Window", r"BatchEvalPython",
+                r"ArrowEvalPython", r"FlatMapGroupsInPandas",
+                r"(MapInArrow|PythonMapInArrow)"],
+    )
+
     # sequence packing: distributed prefix sum — per-bucket totals
     # aggregate, broadcast of the tiny bucket-offset side, within-bucket
     # windows only; no Python, no cartesian
