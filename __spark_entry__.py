@@ -438,6 +438,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["mixture_sample_documents"] = mixture_sample_documents
 
+    def mixture_pack_documents(spark, sf):
+        """Composed pipeline stages (new r4): mixture sampling with
+        EXPLODED upsample copies feeding sequence packing — the physical
+        training stream's per-(doc, copy) packing manifest, re-derived
+        end-to-end by DuckDB across BOTH operator laws (Bernoulli copy
+        counts, then the (md5, id)-ordered prefix sum)."""
+        from ddsketchy_spark.pipeline.mix import (
+            pack_sequences,
+            sample_to_token_budget,
+        )
+
+        docs = _load(spark, sf, "documents")
+        mixed = sample_to_token_budget(
+            docs, {"src0": 4000.0, "src1": 20000.0, "src2": 7000.0},
+            token_col="n_chars", seed=7, explode_copies=True)
+        packed = pack_sequences(
+            mixed.withColumn("_pid", F.concat_ws("#", F.col("doc_id"),
+                                                 F.col("copy"))),
+            2048, token_col="n_chars", id_col="_pid", seed=11)
+        return (packed.select("doc_id", F.col("copy").alias("copy_idx"),
+                              "start_seq", "start_pos", "n_seqs")
+                .orderBy("doc_id", "copy_idx"))
+
+    q["mixture_pack_documents"] = mixture_pack_documents
+
     def pack_sequences_documents(spark, sf):
         """GPT-style sequence packing with document splitting (new r4):
         the full per-document manifest (start_seq, start_pos, n_seqs) at
@@ -1556,6 +1581,52 @@ SELECT source, CAST(count(*) AS BIGINT) AS docs_kept,
        CAST(sum(n_copies) AS BIGINT) AS copies,
        CAST(sum(n_chars * n_copies) AS BIGINT) AS chars_mixed
 FROM k WHERE n_copies >= 1 GROUP BY source ORDER BY source
+"""
+    o["mixture_pack_documents"] = """
+WITH tot AS (
+  SELECT source, CAST(sum(n_chars) AS DOUBLE) AS tot FROM documents
+  WHERE doc_id IS NOT NULL AND source IS NOT NULL AND n_chars IS NOT NULL
+  GROUP BY source
+),
+rate AS (
+  SELECT source,
+         (CASE source WHEN 'src0' THEN 4000.0 WHEN 'src1' THEN 20000.0
+                      WHEN 'src2' THEN 7000.0 END) / tot AS rate
+  FROM tot WHERE source IN ('src0', 'src1', 'src2') AND tot > 0
+),
+k AS (
+  SELECT d.doc_id, d.n_chars,
+         CAST(floor(r.rate) AS BIGINT)
+           + CASE WHEN CAST(('0x' || substring(md5(d.doc_id || ':7'), 1, 13))
+                         AS BIGINT) / (16.0 ^ 13) < r.rate - floor(r.rate)
+                  THEN 1 ELSE 0 END AS n_copies
+  FROM documents d JOIN rate r USING (source)
+  WHERE d.doc_id IS NOT NULL AND d.n_chars IS NOT NULL
+),
+e AS (
+  SELECT doc_id, n_chars,
+         unnest(generate_series(0, n_copies - 1)) AS cp
+  FROM k WHERE n_copies >= 1
+),
+base AS (
+  SELECT doc_id, cp, n_chars,
+         CAST(doc_id AS VARCHAR) || '#' || CAST(cp AS VARCHAR) AS pid,
+         CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR) || '#'
+                                     || CAST(cp AS VARCHAR) || ':11'),
+                                 1, 13)) AS BIGINT) AS h
+  FROM e WHERE n_chars > 0
+),
+ord AS (
+  SELECT doc_id, cp, n_chars,
+         CAST(coalesce(sum(n_chars) OVER (
+              ORDER BY h, pid
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS o
+  FROM base
+)
+SELECT doc_id, cp AS copy_idx, o // 2048 AS start_seq, o % 2048 AS start_pos,
+       ((o + n_chars - 1) // 2048) - (o // 2048) + 1 AS n_seqs
+FROM ord ORDER BY doc_id, copy_idx
 """
     o["pack_sequences_documents"] = """
 WITH base AS (

@@ -354,6 +354,46 @@ def main() -> None:
         q18_trials.append(time.perf_counter() - t0)
     queries["q18_simhash_near_pairs"] = round(min(q18_trials), 3)
     queries["q18_pairs"] = n_sim
+
+    # q19: unigram-LM quality scoring at the 50k corpus (new r4) — the
+    # perplexity proxy's two passes (train word counts + broadcast-score)
+    # measured end to end; the action sums every doc's scored tokens.
+    from ddsketchy_spark.pipeline.text import unigram_logprob_scores
+
+    q19_trials = []
+    for _ in range(2):  # best-of-2 (CLAUDE.md bench methodology)
+        t0 = time.perf_counter()
+        n_tok19 = unigram_logprob_scores(corpus, vocab_size=65536).agg(
+            F.sum("n_scored_tokens")).collect()[0][0]
+        q19_trials.append(time.perf_counter() - t0)
+    queries["q19_unigram_logprob"] = round(min(q19_trials), 3)
+    queries["q19_tokens_scored"] = int(n_tok19)
+    queries["q19_tokens_per_sec"] = int(n_tok19 / min(q19_trials))
+
+    # q20: mixture sampling -> sequence packing over the 50k corpus (new
+    # r4): budget ~half of each of 8 synthetic sources' tokens, then pack
+    # the survivors into 2048-token sequences (the distributed prefix sum);
+    # the action folds the whole packed manifest to its sequence count.
+    from ddsketchy_spark.pipeline.mix import (
+        pack_sequences,
+        sample_to_token_budget,
+    )
+
+    mixin = corpus.select(
+        "doc_id", F.pmod(F.col("doc_id"), F.lit(8)).cast("string")
+        .alias("source"), F.length("text").alias("n_tok"))
+    tot20 = mixin.agg(F.sum("n_tok")).collect()[0][0]
+    budgets = {str(s): tot20 / 16.0 for s in range(8)}
+    q20_trials = []
+    for _ in range(2):
+        t0 = time.perf_counter()
+        packed = pack_sequences(sample_to_token_budget(mixin, budgets),
+                                2048, token_col="n_tok")
+        n_seq20 = packed.agg(
+            F.max(F.col("start_seq") + F.col("n_seqs"))).collect()[0][0]
+        q20_trials.append(time.perf_counter() - t0)
+    queries["q20_mixture_pack"] = round(min(q20_trials), 3)
+    queries["q20_sequences"] = int(n_seq20)
     corpus.unpersist()
 
     # accuracy: max relative error of the n_tok estimates vs exact quantiles
