@@ -659,3 +659,44 @@ def test_streaming_dedup_near_matches_batch(spark, sf001_dir, tmp_path):
     # planted exact dups all present at est 1.0
     for i in range(20):
         assert got.get((i, i + 100000)) == 1.0, i
+
+
+def test_streaming_quality_filter(spark, tmp_path):
+    """Corpus cleaning on a STREAM: redact_pii + quality_filter are pure
+    projections, so they run unchanged under Structured Streaming —
+    file-source micro-batches must reproduce the batch result row for
+    row (keep flags AND drop reasons)."""
+    from pyspark.sql import functions as F
+
+    from ddsketchy_spark.pipeline.text import quality_filter, redact_pii
+
+    rows = [(i, ("good words flow nicely here with several extra tokens"
+                 if i % 3 else "x y")) for i in range(60)]
+    rows.append((100, None))
+    rows.append((101, "mail me at a@b.co now or never says the dog"))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    src = str(tmp_path / "qf_src")
+    df.repartition(4).write.parquet(src)
+
+    def clean(frame):
+        return quality_filter(redact_pii(frame),
+                              text_col="text_redacted", min_words=5)
+
+    stream = (spark.readStream.schema(df.schema)
+              .option("maxFilesPerTrigger", "1").parquet(src))
+    q = (clean(stream)
+         .select("doc_id", "keep", "drop_reason", "n_email")
+         .writeStream.format("memory").queryName("sqf")
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "qf_ck"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {r["doc_id"]: (r["keep"], r["drop_reason"], r["n_email"])
+           for r in spark.sql("SELECT * FROM sqf").collect()}
+    batch = {r["doc_id"]: (r["keep"], r["drop_reason"], r["n_email"])
+             for r in clean(df)
+             .select("doc_id", "keep", "drop_reason", "n_email").collect()}
+    assert got == batch and len(got) == 62
+    assert not got[100][0] and got[100][1] == "null_text"
+    assert not got[0][0] and got[0][1] == "too_few_words"
+    assert got[101][2] == 1 and got[4][0]

@@ -990,6 +990,58 @@ def test_pack_sequences(spark):
         pack_sequences(df, 0)
 
 
+def test_pipeline_end_to_end_to_shards(spark, tmp_path):
+    """The whole training-data flow in one plan: clean_corpus (quality +
+    near-dedup + mixture) -> pack_sequences -> write_training_shards;
+    round-trips losslessly and a full re-run reproduces the shard
+    contents bit-for-bit (the determinism a resumable 100-TB pipeline
+    needs)."""
+    from ddsketchy_spark.pipeline.compose import clean_corpus
+    from ddsketchy_spark.pipeline.mix import pack_sequences
+    from ddsketchy_spark.pipeline.shards import (
+        read_training_shards,
+        write_training_shards,
+    )
+
+    rows = []
+    for i in range(120):
+        body = (f"document body {i} retains the usual words and several "
+                f"filler tokens number {i}")
+        rows.append((i, body, "A" if i % 2 == 0 else "B",
+                     len(body.split(" "))))
+    rows.append((200, rows[0][1], "A", rows[0][3]))   # exact near-dup of 0
+    rows.append((201, rows[1][1], "B", rows[1][3]))   # exact near-dup of 1
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, source string, n_tok long")
+
+    def run():
+        cleaned = clean_corpus(df, quality_kw={"min_words": 3},
+                               near_dedup_kw={"threshold": 0.9},
+                               redact=False,
+                               mix_budgets={"A": 700.0, "B": 700.0})
+        return pack_sequences(cleaned, 64, token_col="n_tok", seed=2)
+
+    packed = run()
+    path = str(tmp_path / "e2e_shards")
+    man = write_training_shards(packed, path, 4, mode="range",
+                                range_col="start_seq")
+    assert man["n_shards"] == 4
+    back, _ = read_training_shards(spark, path)
+
+    first = {r["doc_id"]: (r["start_seq"], r["start_pos"], r["n_seqs"])
+             for r in back.collect()}
+    direct = {r["doc_id"]: (r["start_seq"], r["start_pos"], r["n_seqs"])
+              for r in packed.collect()}
+    assert first == direct and len(first) > 50
+    # near-dedup kept exactly one of each planted duplicate pair
+    assert (0 in first) != (200 in first)
+    assert (1 in first) != (201 in first)
+    # a full pipeline re-run packs every surviving doc identically
+    again = {r["doc_id"]: (r["start_seq"], r["start_pos"], r["n_seqs"])
+             for r in run().collect()}
+    assert again == first
+
+
 def test_write_training_shards(spark, tmp_path):
     """Shard sink: deterministic membership (hash law re-derived via
     Spark's own xxhash64), exactly one data file per shard, lossless
