@@ -621,12 +621,20 @@ def minhash_lsh_pairs(
     - ``"auto"`` (default): broadcast under ``auto_local_rows`` (the
       measured performance crossover), local above it. The probe is a
       bounded ``limit(n+1).count()`` — it early-stops after n+1 rows
-      instead of paying a full count of a possibly-100-TB corpus."""
+      instead of paying a full count of a possibly-100-TB corpus.
+
+    NULL-id rows never enter the pair graph (a pair with a NULL id could
+    not be clustered or canonicalized downstream) — filtered here so BOTH
+    engines share the law explicitly; the broadcast engine additionally
+    relied on it (r4 fix: a NULL id made toPandas coerce the id column to
+    float64 — the CLAUDE.md pandas-NULL trap — and the float ids then
+    mismatched the declared long Arrow output schema)."""
     if num_perm % bands:
         raise ValueError("bands must divide num_perm")
     r = num_perm // bands
     if verify not in ("auto", "broadcast", "local"):
         raise ValueError(f"unknown verify mode {verify!r}")
+    df = df.where(F.col(id_col).isNotNull())
     if verify == "local":
         return _minhash_lsh_pairs_local(
             df, text_col, id_col, num_perm, bands, r, shingle_k, seed,
@@ -927,22 +935,44 @@ def cosine_near_pairs(
     raise ValueError(f"unknown method {method!r}")
 
 
-def _keep_canonical(df: DataFrame, id_col: str, comp: DataFrame) -> DataFrame:
+def _keep_canonical(df: DataFrame, id_col: str, comp: DataFrame,
+                    keep_by: str | None = None) -> DataFrame:
     """(id_col, component, keep) from a node->component labeling: cluster
-    members get the cluster's min id as component, the min-id member is the
-    canonical survivor, singletons keep themselves. Rows with NULL ids
+    members get the cluster's min id as component; the canonical survivor
+    is the min-id member, or — with ``keep_by`` (a column of ``df``, e.g.
+    a quality score) — the member with the HIGHEST ``keep_by`` value
+    (ties and all-NULL scores fall back to min id, so the choice is
+    always deterministic). Singletons keep themselves. Rows with NULL ids
     cannot be canonicalized (they can never appear in the pair graph) —
     they pass through with keep=TRUE and component = NULL, never a NULL
     boolean (NULL booleans sort non-deterministically in the oracle
-    comparator and silently vanish under ``.where("keep")``)."""
-    ids = df.select(F.col(id_col))
+    comparator and silently vanish under ``.where("keep")``).
+
+    Scale shape of the ``keep_by`` path: two extra map-side-combining
+    aggregates over (component, score[, id]) rows — max score per
+    component, then min id among the maximal members — never text, never
+    a window (a billion-member boilerplate cluster combines in partials
+    instead of pinning one task)."""
+    cols = [F.col(id_col)] + ([F.col(keep_by).alias("_kb")] if keep_by else [])
+    ids = df.select(*cols)
     joined = ids.join(comp, ids[id_col] == comp["node"], "left")
     component = F.coalesce(F.col("comp"), F.col(id_col))
-    return joined.select(
-        F.col(id_col),
-        component.alias("component"),
-        F.coalesce(component == F.col(id_col), F.lit(True)).alias("keep"),
-    )
+    if keep_by is None:
+        return joined.select(
+            F.col(id_col),
+            component.alias("component"),
+            F.coalesce(component == F.col(id_col), F.lit(True)).alias("keep"),
+        )
+    labeled = joined.select(F.col(id_col), component.alias("component"),
+                            F.col("_kb"))
+    best = labeled.groupBy("component").agg(F.max("_kb").alias("_maxkb"))
+    winners = (labeled.join(best, "component")
+               .where(F.col("_kb").eqNullSafe(F.col("_maxkb")))
+               .groupBy("component").agg(F.min(id_col).alias("_win")))
+    return (labeled.join(winners, "component", "left")
+            .select(F.col(id_col), "component",
+                    F.coalesce(F.col(id_col) == F.col("_win"),
+                               F.lit(True)).alias("keep")))
 
 
 def dedup_near_text(
@@ -957,6 +987,7 @@ def dedup_near_text(
     verify: str = "auto",
     max_bucket_size: int | None = None,
     checkpoint_dir: str | None = None,
+    keep_by: str | None = None,
 ) -> DataFrame:
     """End-to-end text near-duplicate dedup — the 100-TB training-data
     pipeline composition: MinHash-LSH candidate pairs (``verify="local"``
@@ -984,7 +1015,7 @@ def dedup_near_text(
     pairs = raw.filter(F.col("est_jaccard") >= threshold)
     comp = connected_components(pairs, "id_a", "id_b",
                                 checkpoint_dir=checkpoint_dir)
-    return tag_cached_deps(_keep_canonical(df, id_col, comp),
+    return tag_cached_deps(_keep_canonical(df, id_col, comp, keep_by),
                            cached_deps(raw))
 
 
@@ -995,11 +1026,14 @@ def dedup_semantic(
     id_col: str = "vec_id",
     method: str = "exact",
     checkpoint_dir: str | None = None,
+    keep_by: str | None = None,
     **kw,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate dedup: rows whose vectors are
     transitively connected by cosine >= threshold form one duplicate
-    cluster; the minimum id is the kept canonical representative.
+    cluster; the minimum id is the kept canonical representative
+    (``keep_by`` switches the survivor to the highest-scoring member,
+    ties -> min id).
 
     Returns (id_col, component, keep): component = cluster id (min member),
     keep = this row is the cluster's canonical survivor. Singletons keep
@@ -1009,5 +1043,5 @@ def dedup_semantic(
     pairs = cosine_near_pairs(df, threshold, vec_col, id_col, method, **kw)
     comp = connected_components(pairs, "src", "dst",
                                 checkpoint_dir=checkpoint_dir)
-    return tag_cached_deps(_keep_canonical(df, id_col, comp),
+    return tag_cached_deps(_keep_canonical(df, id_col, comp, keep_by),
                            cached_deps(pairs))

@@ -990,6 +990,54 @@ def test_pack_sequences(spark):
         pack_sequences(df, 0)
 
 
+def test_minhash_broadcast_null_id(spark):
+    """r4 regression: a NULL-id row crashed verify='broadcast' (toPandas
+    float64-coerced the id column — the CLAUDE.md pandas-NULL trap — and
+    the float ids then mismatched the declared long Arrow output schema).
+    Law, now explicit for BOTH engines: NULL ids never enter the pair
+    graph."""
+    from ddsketchy_spark.pipeline.dedup import minhash_lsh_pairs
+
+    t = "identical boilerplate text shared by the whole cluster exactly"
+    df = spark.createDataFrame([(1, t), (2, t), (None, t)],
+                               "doc_id long, text string")
+    for verify in ("broadcast", "local"):
+        got = sorted((r["id_a"], r["id_b"]) for r in
+                     minhash_lsh_pairs(df, num_perm=32, bands=8,
+                                       verify=verify).collect())
+        assert got == [(1, 2)], verify
+
+
+def test_dedup_keep_by(spark):
+    """keep_by canonical selection: the highest-scoring member of each
+    near-dup cluster survives (ties -> min id), singletons keep
+    themselves, an all-NULL-score cluster falls back to min id, NULL ids
+    pass through with keep=True."""
+    from ddsketchy_spark.pipeline.dedup import dedup_near_text
+
+    t = "identical boilerplate text shared by the whole cluster exactly"
+    u = "another cluster of shared text goes right here ok friends yes"
+    rows = [
+        (1, t, 0.2), (2, t, 0.9), (3, t, 0.9),   # winner: 2 (max, tie->min)
+        (10, "a completely different unique document body here", 0.1),
+        (20, u, None), (21, u, None),            # all-NULL -> min id 20
+        (None, "null id rows can never join the pair graph at all", 5.0),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, score double")
+    out = {r["doc_id"]: (r["component"], r["keep"]) for r in
+           dedup_near_text(df, threshold=0.9, num_perm=32, bands=8,
+                           keep_by="score").collect()}
+    assert out[1] == (1, False) and out[2] == (1, True) and out[3] == (1, False)
+    assert out[10] == (10, True)
+    assert out[20] == (20, True) and out[21] == (20, False)
+    assert out[None] == (None, True)
+    # default law unchanged: min id wins everywhere
+    base = {r["doc_id"]: (r["component"], r["keep"]) for r in
+            dedup_near_text(df, threshold=0.9, num_perm=32,
+                            bands=8).collect()}
+    assert base[1] == (1, True) and base[2] == (1, False)
+
+
 def test_pipeline_end_to_end_to_shards(spark, tmp_path):
     """The whole training-data flow in one plan: clean_corpus (quality +
     near-dedup + mixture) -> pack_sequences -> write_training_shards;
