@@ -57,8 +57,9 @@ def clean_corpus(
        ``_keep_canonical``'s NULL-id pass-through; an equi-join would
        silently drop them). Ids should be UNIQUE: duplicate ids are kept
        or dropped as one unit (the keep set is distinct on id).
-       ``near_dedup_kw`` forwards num_perm/bands/threshold/verify; use
-       ``near_dedup_kw={"skip": True}`` to skip.
+       ``near_dedup_kw`` forwards num_perm/bands/threshold/verify (and
+       ``keep_by=<column of df>`` for quality-aware survivor selection);
+       use ``near_dedup_kw={"skip": True}`` to skip.
     4. ``decontaminate`` — drop docs sharing a ``decontam_n``-gram with
        ``benchmark`` (skipped when ``benchmark`` is None).
     5. OPTIONAL mixture sampling — pass ``mix_budgets`` (per-source token
