@@ -887,6 +887,64 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["dedup_near_text_documents"] = dedup_near_text_documents
 
+    def dedup_incremental_documents(spark, sf):
+        """Incremental dedup via the persistent MinHash-LSH index
+        (pipeline/dedup_index.py): corpus indexed ONCE on disk, an
+        increment of 50 exact corpus copies + 30 synthetic uniques + 10
+        internal copies probed against it, corpus matches dropped,
+        survivors deduped among themselves. The DuckDB oracle re-derives
+        every count from text equality (exact dups are the only
+        cross-threshold matches in this construction — est_jaccard 1.0 —
+        which cross_exact_complete pins Spark-side)."""
+        import shutil
+        import tempfile
+
+        from ddsketchy_spark.pipeline.cache import release_cached_deps
+        from ddsketchy_spark.pipeline.dedup_index import (
+            dedup_against_index, write_minhash_index)
+
+        docs = (_load(spark, sf, "documents").select("doc_id", "text")
+                .where("text IS NOT NULL"))
+        uniq_text = F.concat(F.lit("unique document "),
+                             F.md5(F.col("doc_id").cast("string")))
+        b_exact = docs.where("doc_id < 50").select(
+            (F.col("doc_id") + 100000).alias("doc_id"), "text")
+        b_uniq = docs.where("doc_id >= 50 AND doc_id < 80").select(
+            (F.col("doc_id") + 200000).alias("doc_id"),
+            uniq_text.alias("text"))
+        b_intl = docs.where("doc_id >= 50 AND doc_id < 60").select(
+            (F.col("doc_id") + 400000).alias("doc_id"),
+            uniq_text.alias("text"))
+        inc = b_exact.unionByName(b_uniq).unionByName(b_intl)
+        tmp = tempfile.mkdtemp(prefix="ddsketchy_mhidx_")
+        try:
+            path = f"{tmp}/index"
+            write_minhash_index(docs, path, num_perm=128, bands=32)
+            out = dedup_against_index(inc, path, threshold=0.8)
+            agg = out.agg(
+                F.count(F.lit(1)).alias("inc_docs"),
+                F.sum(F.col("corpus_match").isNotNull().cast("long"))
+                .alias("cross_dropped"),
+                F.sum((~F.col("keep") & F.col("corpus_match").isNull())
+                      .cast("long")).alias("within_dropped"),
+                F.sum(F.col("keep").cast("long")).alias("kept"),
+            ).collect()[0]
+            n_exact = b_exact.count()
+            exact_dropped = (out.join(b_exact.select("doc_id"), "doc_id")
+                             .where("NOT keep AND corpus_match IS NOT NULL")
+                             .count())
+            release_cached_deps(out)
+            return spark.createDataFrame(
+                [(int(agg["inc_docs"]), int(agg["cross_dropped"]),
+                  int(agg["within_dropped"]), int(agg["kept"]),
+                  bool(exact_dropped == n_exact))],
+                "inc_docs long, cross_dropped long, within_dropped long, "
+                "kept long, cross_exact_complete boolean")
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
+
+    q["dedup_incremental_documents"] = dedup_incremental_documents
+
     # -- relational coverage: classic aggregations + broadcast joins --------
 
     def _r2(c):
@@ -1706,6 +1764,29 @@ SELECT CAST(count(*) AS BIGINT) AS n_docs,
        TRUE AS one_keep_per_component,
        TRUE AS kept_le_md5_groups
 FROM all_docs
+"""
+    o["dedup_incremental_documents"] = """
+WITH a AS (SELECT doc_id, text FROM documents WHERE text IS NOT NULL),
+inc AS (
+  SELECT doc_id + 100000 AS doc_id, text FROM a WHERE doc_id < 50
+  UNION ALL
+  SELECT doc_id + 200000, 'unique document ' || md5(CAST(doc_id AS VARCHAR))
+  FROM a WHERE doc_id >= 50 AND doc_id < 80
+  UNION ALL
+  SELECT doc_id + 400000, 'unique document ' || md5(CAST(doc_id AS VARCHAR))
+  FROM a WHERE doc_id >= 50 AND doc_id < 60
+),
+cm AS (SELECT doc_id FROM inc WHERE text IN (SELECT text FROM a)),
+surv AS (SELECT * FROM inc WHERE doc_id NOT IN (SELECT doc_id FROM cm)),
+w AS (SELECT text, count(*) AS c FROM surv GROUP BY 1)
+SELECT CAST((SELECT count(*) FROM inc) AS BIGINT) AS inc_docs,
+       CAST((SELECT count(*) FROM cm) AS BIGINT) AS cross_dropped,
+       CAST(COALESCE((SELECT sum(c - 1) FROM w WHERE c > 1), 0) AS BIGINT)
+         AS within_dropped,
+       CAST((SELECT count(*) FROM surv)
+            - COALESCE((SELECT sum(c - 1) FROM w WHERE c > 1), 0) AS BIGINT)
+         AS kept,
+       TRUE AS cross_exact_complete
 """
     o["winnowing_fingerprints_docs"] = _winnowing_sql(k=5, window=4)
     o["lsh_cosine_topk_embeddings"] = """

@@ -565,6 +565,25 @@ def _minhash_lsh_pairs_local(
     t = id_field.dataType.simpleString()
     out_schema = f"id_a {t}, id_b {t}, est_jaccard double"
 
+    from .cache import tag_cached_deps
+
+    return tag_cached_deps(
+        paired.mapInArrow(
+            make_slot_agreement_scorer(num_perm, ("id_a", "id_b")),
+            out_schema),
+        [sigs])
+
+
+def make_slot_agreement_scorer(num_perm: int, out_names: tuple[str, str]):
+    """mapInArrow kernel scoring candidate pairs whose batches carry
+    (id_x, id_y, sig_x, sig_y): est_jaccard = fraction of agreeing
+    signature slots, one vectorized (rows, num_perm) ``==`` + mean per
+    Arrow batch. Shared by the batch local engine and the incremental
+    index probe so their est values are bit-identical by construction —
+    NOT a zip_with/filter higher-order expression, which evaluates
+    interpreted per ELEMENT (num_perm * |pairs| evals — the documented
+    ~50x trap)."""
+
     def score_pairs(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         for batch in batches:
             n = batch.num_rows
@@ -577,11 +596,9 @@ def _minhash_lsh_pairs_local(
             est = (A == B).sum(axis=1) / float(num_perm)
             yield pa.RecordBatch.from_arrays(
                 [batch.column(0), batch.column(1), pa.array(est)],
-                names=["id_a", "id_b", "est_jaccard"])
+                names=[out_names[0], out_names[1], "est_jaccard"])
 
-    from .cache import tag_cached_deps
-
-    return tag_cached_deps(paired.mapInArrow(score_pairs, out_schema), [sigs])
+    return score_pairs
 
 
 def minhash_lsh_pairs(

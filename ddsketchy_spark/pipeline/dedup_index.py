@@ -1,0 +1,354 @@
+"""Incremental near-duplicate dedup: a persistent MinHash-LSH index.
+
+The web-scale dedup loop is incremental: a new crawl increment arrives
+and must be deduplicated against a corpus that was already cleaned —
+WITHOUT recomputing signatures for (or even rescanning the text of) the
+100-TB corpus. This module persists the corpus's MinHash signatures and
+LSH band buckets once, as a self-contained on-disk artifact, then probes
+new increments against it:
+
+- ``write_minhash_index``   — corpus -> (sigs, band buckets) parquet +
+  a ``_minhash_index.json`` parameter sidecar (Hadoop FS: local/HDFS/s3a).
+- ``minhash_pairs_against_index`` — (id_inc, id_corpus, est_jaccard)
+  cross pairs, bit-identical to what the batch engine would report for
+  the same pairs on the union corpus (same signature law, same banding
+  layout, same slot-agreement kernel — all literally shared code).
+- ``dedup_against_index``   — the composition: drop increment docs that
+  match the corpus, then near-dedup the survivors among themselves.
+- ``append_to_minhash_index`` — grow the index with the kept survivors,
+  closing the loop for the next increment.
+
+Scale shape of the probe (the part that matters at 100 TB): the corpus
+side is only ever SCANNED — signature construction happened at index
+time. The increment's distinct (band, bucket) set is broadcast, so the
+corpus bands table streams through a broadcast hash join (no corpus
+shuffle) down to just the rows sharing a bucket with the increment;
+per-bucket caps and the pair join then operate on that reduced set.
+Signature join-back touches the corpus sigs table with a candidate-id
+join (AQE converts it to broadcast when the candidate set is small).
+With ``broadcast_increment=False`` (a huge increment) the same plan runs
+as shuffle joins. Parameters ride in the sidecar, so a probe CANNOT run
+with mismatched num_perm/bands/seed — the classic silent-wrong-results
+failure of hand-rolled incremental dedup.
+
+The signature/banding law is the package's documented MinHash law v2
+(``dedup.minhash_signatures`` / ``dedup.make_band_explode``); est_jaccard
+estimates Broder's resemblance (Broder 1997; banding analysis as in
+Leskovec/Rajaraman/Ullman MMDS ch.3). The reference sketch library has no
+incremental-index analogue — this is pipeline scope, same family as
+``similarity.write_ivf_index``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.types import LongType, StructField, StructType
+
+from .dedup import (
+    dedup_near_text,
+    make_band_explode,
+    make_slot_agreement_scorer,
+    minhash_signatures,
+)
+from .fsio import read_json_sidecar, write_json_sidecar
+
+_SIDECAR = "_minhash_index.json"
+
+
+def _bucket_schema(id_field) -> StructType:
+    return StructType([
+        id_field,
+        StructField("band", LongType()),
+        StructField("bucket", LongType()),
+    ])
+
+
+def write_minhash_index(
+    df: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = 128,
+    bands: int = 32,
+    shingle_k: int = 3,
+    seed: int = 1,
+    mode: str = "error",
+) -> dict:
+    """Build and persist a MinHash-LSH index of ``df`` under ``path``.
+
+    Layout: ``path/sigs`` = (id, sig: array<bigint>) parquet;
+    ``path/bands`` = (id, band, bucket) parquet, sorted within partitions
+    by (band, bucket) so parquet row-group min/max stats can skip
+    non-matching groups under a pushed bucket predicate; ``path/
+    _minhash_index.json`` = the parameter sidecar every probe reads its
+    law from. NULL-id rows are excluded (the package-wide law: they can
+    never enter a pair graph). Returns the sidecar dict.
+
+    One corpus pass computes signatures (persisted for the two writes),
+    shuffling nothing but the (id, band, bucket) rows of the bands
+    write. ``mode`` is the parquet save mode ("error" refuses an
+    existing index; "overwrite" replaces it)."""
+    from pyspark import StorageLevel
+
+    if num_perm % bands:
+        raise ValueError("bands must divide num_perm")
+    base = df.where(F.col(id_col).isNotNull())
+    sigs = minhash_signatures(base, text_col, id_col, num_perm, shingle_k,
+                              seed).persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        sigs.write.mode(mode).parquet(path.rstrip("/") + "/sigs")
+        banded = sigs.mapInArrow(
+            make_band_explode(id_col, num_perm, bands, num_perm // bands),
+            _bucket_schema(df.schema[id_col]))
+        (banded.sortWithinPartitions("band", "bucket")
+         .write.mode(mode).parquet(path.rstrip("/") + "/bands"))
+        n_docs = sigs.count()
+    finally:
+        sigs.unpersist()
+    meta = {
+        "format_version": 1,
+        "num_perm": int(num_perm),
+        "bands": int(bands),
+        "r": int(num_perm // bands),
+        "shingle_k": int(shingle_k),
+        "seed": int(seed),
+        "id_col": id_col,
+        "id_type": df.schema[id_col].dataType.simpleString(),
+        "text_col": text_col,
+        "n_docs": int(n_docs),
+    }
+    write_json_sidecar(df.sparkSession, path, _SIDECAR, meta)
+    return meta
+
+
+def read_minhash_index(spark: SparkSession, path: str
+                       ) -> tuple[DataFrame, DataFrame, dict]:
+    """Load a ``write_minhash_index`` artifact: (bands_df, sigs_df, meta)."""
+    meta = read_json_sidecar(
+        spark, path, _SIDECAR,
+        "not a write_minhash_index artifact (build the index with "
+        "write_minhash_index so the signature parameters travel with it)")
+    bands_df = spark.read.parquet(path.rstrip("/") + "/bands")
+    sigs_df = spark.read.parquet(path.rstrip("/") + "/sigs")
+    return bands_df, sigs_df, meta
+
+
+def _resolve_index(spark, index):
+    if isinstance(index, str):
+        return read_minhash_index(spark, index)
+    bands_df, sigs_df, meta = index
+    return bands_df, sigs_df, meta
+
+
+def _check_increment_schema(inc_df: DataFrame, meta: dict) -> None:
+    id_col = meta["id_col"]
+    if id_col not in inc_df.columns:
+        raise ValueError(
+            f"increment has no {id_col!r} column (index id_col); rename "
+            "the increment's id column to match the index")
+    t = inc_df.schema[id_col].dataType.simpleString()
+    if t != meta["id_type"]:
+        raise ValueError(
+            f"increment {id_col} type {t!r} != index id type "
+            f"{meta['id_type']!r} — pair ids would not compare")
+
+
+def minhash_pairs_against_index(
+    inc_df: DataFrame,
+    index,
+    text_col: str = "text",
+    broadcast_increment="auto",
+    auto_broadcast_rows: int = 2_000_000,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Cross near-duplicate candidate pairs between an increment and an
+    indexed corpus: (id_inc, id_corpus, est_jaccard).
+
+    ``index`` is a ``write_minhash_index`` path or the
+    ``read_minhash_index`` triple. Signature parameters come from the
+    index sidecar — never from the caller — so the increment is hashed
+    under the exact law the corpus was indexed under, and est_jaccard is
+    bit-identical to the batch engine's value for the same pair (shared
+    signature/banding/scoring code, pinned by the parity test).
+
+    ``broadcast_increment``: True / False / "auto" (bounded
+    ``limit(n+1).count()`` probe against ``auto_broadcast_rows``). When
+    the increment is broadcast-sized, the corpus bands scan never
+    shuffles: distinct increment buckets broadcast onto it, candidate
+    corpus rows stream out of the scan. ``max_bucket_size`` caps
+    per-(band, bucket) membership counted over candidate corpus rows and
+    increment rows separately (an approximation of the batch engine's
+    union-wide cap — buckets the increment never touches cost nothing
+    here, so the count is over the touched subset).
+
+    A doc id present on BOTH sides never pairs with itself (re-probing
+    an already-indexed doc reports only its other matches)."""
+    spark = inc_df.sparkSession
+    bands_df, sigs_df, meta = _resolve_index(spark, index)
+    _check_increment_schema(inc_df, meta)
+    id_col, num_perm = meta["id_col"], meta["num_perm"]
+    inc = inc_df.where(F.col(id_col).isNotNull())
+
+    from pyspark import StorageLevel
+
+    from .cache import tag_cached_deps
+
+    inc_sigs = minhash_signatures(
+        inc, text_col, id_col, num_perm, meta["shingle_k"], meta["seed"]
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    inc_banded = inc_sigs.mapInArrow(
+        make_band_explode(id_col, num_perm, meta["bands"], meta["r"]),
+        _bucket_schema(inc_df.schema[id_col]))
+
+    if broadcast_increment == "auto":
+        small = (inc.limit(auto_broadcast_rows + 1).count()
+                 <= auto_broadcast_rows)
+    else:
+        small = bool(broadcast_increment)
+    maybe_bc = F.broadcast if small else (lambda d: d)
+
+    # corpus rows sharing a bucket with the increment — broadcast semi
+    # join: the (possibly 100-TB-corpus-sized) bands table only streams
+    touched = inc_banded.select("band", "bucket").dropDuplicates()
+    cand_corpus = bands_df.join(maybe_bc(touched), ["band", "bucket"])
+    if max_bucket_size is not None:
+        for side in ("corpus", "inc"):
+            frame = cand_corpus if side == "corpus" else inc_banded
+            ok = (frame.groupBy("band", "bucket")
+                  .agg(F.count(F.lit(1)).alias("_bn"))
+                  .where(F.col("_bn") <= max_bucket_size).drop("_bn"))
+            if side == "corpus":
+                cand_corpus = cand_corpus.join(ok, ["band", "bucket"])
+            else:
+                inc_banded = inc_banded.join(ok, ["band", "bucket"])
+
+    c, i = cand_corpus.alias("c"), inc_banded.alias("i")
+    cand = (c.join(maybe_bc(i),
+                   (F.col("c.band") == F.col("i.band"))
+                   & (F.col("c.bucket") == F.col("i.bucket"))
+                   & (F.col(f"c.{id_col}") != F.col(f"i.{id_col}")))
+            .select(F.col(f"i.{id_col}").alias("id_inc"),
+                    F.col(f"c.{id_col}").alias("id_corpus"))
+            .dropDuplicates(["id_inc", "id_corpus"]))
+    sc_ = sigs_df.select(F.col(id_col).alias("id_corpus"),
+                         F.col("sig").alias("_sig_c"))
+    si = inc_sigs.select(F.col(id_col).alias("id_inc"),
+                         F.col("sig").alias("_sig_i"))
+    paired = (cand.join(sc_, "id_corpus").join(maybe_bc(si), "id_inc")
+              .select("id_inc", "id_corpus", "_sig_i", "_sig_c"))
+    t = meta["id_type"]
+    out = paired.mapInArrow(
+        make_slot_agreement_scorer(num_perm, ("id_inc", "id_corpus")),
+        f"id_inc {t}, id_corpus {t}, est_jaccard double")
+    return tag_cached_deps(out, [inc_sigs])
+
+
+def dedup_against_index(
+    inc_df: DataFrame,
+    index,
+    threshold: float = 0.8,
+    text_col: str = "text",
+    within: bool = True,
+    keep_by: str | None = None,
+    broadcast_increment="auto",
+    max_bucket_size: int | None = None,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Incremental near-dedup of ``inc_df`` against an indexed corpus.
+
+    Returns one row per increment row: (id_col, corpus_match, component,
+    keep) —
+
+    - ``corpus_match``: the MIN corpus id with est_jaccard >= threshold
+      (NULL when the doc matches nothing in the corpus). Matched docs are
+      dropped: keep = FALSE, component = NULL.
+    - survivors are then near-deduplicated among THEMSELVES (``within=
+      True``) with the exact ``dedup_near_text`` semantics and the
+      index's own signature parameters: component = cluster id, keep =
+      canonical survivor (``keep_by`` = quality-aware selection).
+    - NULL-id rows pass through (keep = TRUE, both labels NULL), the
+      package-wide law.
+
+    The incremental law this implements: a doc survives iff it matches
+    nothing already kept in the corpus AND it wins among its own
+    increment's duplicates — the standard semantics of dedup loops that
+    process crawls in arrival order. Follow with ``append_to_minhash_
+    index`` on the kept rows to fold survivors into the index for the
+    next increment."""
+    spark = inc_df.sparkSession
+    bands_df, sigs_df, meta = _resolve_index(spark, index)
+    id_col = meta["id_col"]
+    pairs = minhash_pairs_against_index(
+        inc_df, (bands_df, sigs_df, meta), text_col=text_col,
+        broadcast_increment=broadcast_increment,
+        max_bucket_size=max_bucket_size)
+    hits = (pairs.where(F.col("est_jaccard") >= threshold)
+            .groupBy("id_inc").agg(F.min("id_corpus").alias("corpus_match")))
+    marked = inc_df.join(
+        hits, inc_df[id_col] == hits["id_inc"], "left").drop("id_inc")
+    dropped = (marked.where(F.col("corpus_match").isNotNull())
+               .select(F.col(id_col), "corpus_match",
+                       F.lit(None).cast(meta["id_type"]).alias("component"),
+                       F.lit(False).alias("keep")))
+    survivors = marked.where(F.col("corpus_match").isNull()) \
+                      .drop("corpus_match")
+    if within:
+        labels = dedup_near_text(
+            survivors, threshold=threshold, text_col=text_col,
+            id_col=id_col, num_perm=meta["num_perm"], bands=meta["bands"],
+            shingle_k=meta["shingle_k"], seed=meta["seed"],
+            max_bucket_size=max_bucket_size, checkpoint_dir=checkpoint_dir,
+            keep_by=keep_by)
+    else:
+        labels = survivors.select(
+            F.col(id_col),
+            F.lit(None).cast(meta["id_type"]).alias("component"),
+            F.lit(True).alias("keep"))
+    from .cache import cached_deps, tag_cached_deps
+
+    kept_side = labels.select(
+        F.col(id_col),
+        F.lit(None).cast(meta["id_type"]).alias("corpus_match"),
+        "component", "keep")
+    out = kept_side.unionByName(dropped)
+    return tag_cached_deps(out, cached_deps(pairs) + cached_deps(labels))
+
+
+def append_to_minhash_index(df: DataFrame, path: str,
+                            text_col: str | None = None) -> dict:
+    """Fold new documents (typically ``dedup_against_index`` survivors)
+    into an existing index: signatures and band buckets are computed
+    under the index's OWN sidecar parameters (callers cannot desync the
+    law) and appended; the sidecar's ``n_docs`` is updated. Returns the
+    updated sidecar dict.
+
+    The caller is responsible for appending each id at most once (the
+    natural usage — append exactly the kept survivors — guarantees it);
+    an id present twice would pair with itself on later probes."""
+    from pyspark import StorageLevel
+
+    spark = df.sparkSession
+    meta = read_json_sidecar(
+        spark, path, _SIDECAR,
+        "not a write_minhash_index artifact — nothing to append to")
+    _check_increment_schema(df, meta)
+    id_col = meta["id_col"]
+    tcol = text_col or meta["text_col"]
+    base = df.where(F.col(id_col).isNotNull())
+    sigs = minhash_signatures(
+        base, tcol, id_col, meta["num_perm"], meta["shingle_k"],
+        meta["seed"]).persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        sigs.write.mode("append").parquet(path.rstrip("/") + "/sigs")
+        banded = sigs.mapInArrow(
+            make_band_explode(id_col, meta["num_perm"], meta["bands"],
+                              meta["r"]),
+            _bucket_schema(df.schema[id_col]))
+        (banded.sortWithinPartitions("band", "bucket")
+         .write.mode("append").parquet(path.rstrip("/") + "/bands"))
+        n_new = sigs.count()
+    finally:
+        sigs.unpersist()
+    meta["n_docs"] = int(meta["n_docs"]) + int(n_new)
+    write_json_sidecar(spark, path, _SIDECAR, meta)
+    return meta

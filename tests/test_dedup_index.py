@@ -1,0 +1,184 @@
+"""Incremental MinHash-LSH dedup index (pipeline/dedup_index.py).
+
+The law under test: probing an increment against an index of corpus A
+reports exactly the cross pairs the batch engine would report on A u B,
+with bit-identical est_jaccard (shared signature/banding/scoring code);
+dedup_against_index composes corpus-match dropping with within-increment
+dedup; append_to_minhash_index folds survivors in for the next round.
+"""
+
+import pytest
+
+from pyspark.sql import functions as F
+
+KW = dict(num_perm=64, bands=16)
+
+A_TEXTS = [
+    "the quick brown fox jumps over the lazy dog near the river bank",
+    "completely unrelated text mentioning quasars and radio telescopes",
+    "a corpus document about owls and rivers flowing through the night",
+    "training data pipelines shuffle narrow rows never the text itself",
+    "yet another unique body of text to pad the corpus a little more",
+]
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rows = [(i + 1, t) for i, t in enumerate(A_TEXTS)]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+@pytest.fixture(scope="module")
+def index_path(spark, corpus, tmp_path_factory):
+    from ddsketchy_spark.pipeline.dedup_index import write_minhash_index
+
+    path = str(tmp_path_factory.mktemp("mhidx") / "index")
+    meta = write_minhash_index(corpus, path, **KW)
+    assert meta["n_docs"] == 5 and meta["r"] == 4
+    return path
+
+
+def _increment(spark):
+    rows = [
+        (101, A_TEXTS[0]),            # exact dup of corpus doc 1
+        (102, A_TEXTS[2]),            # exact dup of corpus doc 3
+        (103, "a brand new document the corpus has never seen before"),
+        (104, "duplicated within the increment but absent from the corpus"),
+        (105, "duplicated within the increment but absent from the corpus"),
+        (None, A_TEXTS[0]),           # NULL id: never probed, passes through
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_cross_pairs_match_batch_engine(spark, corpus, index_path):
+    """Index probe == batch engine on the union, restricted to cross
+    pairs — same pair set, bit-identical est values, in both the
+    broadcast-increment and shuffle plans."""
+    from ddsketchy_spark.pipeline.dedup import minhash_lsh_pairs
+    from ddsketchy_spark.pipeline.dedup_index import (
+        minhash_pairs_against_index)
+
+    inc = _increment(spark)
+    union = corpus.unionByName(inc)
+    batch_cross = {
+        tuple(sorted((r["id_a"], r["id_b"]))): r["est_jaccard"]
+        for r in minhash_lsh_pairs(union, verify="local", **KW).collect()
+        if (r["id_a"] > 100) != (r["id_b"] > 100)}
+    assert len(batch_cross) >= 2  # the two exact cross dups at least
+    for bc in (True, False):
+        got = {tuple(sorted((r["id_inc"], r["id_corpus"]))): r["est_jaccard"]
+               for r in minhash_pairs_against_index(
+                   inc, index_path, broadcast_increment=bc).collect()}
+        assert got == batch_cross, f"broadcast_increment={bc}"
+    # exact cross dups estimate at exactly 1.0 (every slot agrees)
+    assert batch_cross[(1, 101)] == 1.0 and batch_cross[(3, 102)] == 1.0
+
+
+def test_dedup_against_index_composition(spark, index_path):
+    """Corpus matches dropped (corpus_match = min matching corpus id),
+    survivors deduped among themselves, NULL ids pass through."""
+    from ddsketchy_spark.pipeline.dedup_index import dedup_against_index
+
+    inc = _increment(spark)
+    out = dedup_against_index(inc, index_path, threshold=0.9)
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert len(rows) == 6
+    assert rows[101]["keep"] is False and rows[101]["corpus_match"] == 1
+    assert rows[102]["keep"] is False and rows[102]["corpus_match"] == 3
+    assert rows[103]["keep"] is True and rows[103]["corpus_match"] is None
+    # within-increment pair: min id 104 survives, 105 joins its component
+    assert rows[104]["keep"] is True and rows[104]["component"] == 104
+    assert rows[105]["keep"] is False and rows[105]["component"] == 104
+    assert rows[None]["keep"] is True and rows[None]["corpus_match"] is None
+
+    # within=False: only corpus matches drop
+    out2 = dedup_against_index(inc, index_path, threshold=0.9, within=False)
+    rows2 = {r["doc_id"]: r for r in out2.collect()}
+    assert rows2[104]["keep"] is True and rows2[105]["keep"] is True
+    assert rows2[101]["keep"] is False
+
+
+def test_dedup_against_index_keep_by(spark, index_path):
+    """keep_by survivor selection flows into the within-increment stage:
+    the higher-scoring member of the 104/105 pair wins instead of min id."""
+    from ddsketchy_spark.pipeline.dedup_index import dedup_against_index
+
+    inc = _increment(spark).withColumn(
+        "quality", F.when(F.col("doc_id") == 105, F.lit(9.0)).otherwise(1.0))
+    out = dedup_against_index(inc, index_path, threshold=0.9,
+                              keep_by="quality")
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert rows[105]["keep"] is True and rows[104]["keep"] is False
+
+
+def test_append_and_reprobe(spark, corpus, tmp_path):
+    """The incremental loop: dedup an increment, append the kept rows,
+    and a doc duplicating a survivor is dropped by the NEXT probe."""
+    from ddsketchy_spark.pipeline.dedup_index import (
+        append_to_minhash_index, dedup_against_index, read_minhash_index,
+        write_minhash_index)
+
+    path = str(tmp_path / "index")
+    write_minhash_index(corpus, path, **KW)
+    inc = _increment(spark)
+    labels = dedup_against_index(inc, path, threshold=0.9)
+    kept_ids = [r["doc_id"] for r in
+                labels.where("keep AND doc_id IS NOT NULL").collect()]
+    kept = inc.join(F.broadcast(
+        spark.createDataFrame([(i,) for i in kept_ids], "doc_id long")),
+        "doc_id")
+    meta = append_to_minhash_index(kept, path)
+    assert meta["n_docs"] == 5 + len(kept_ids)
+    _, _, meta_disk = read_minhash_index(spark, path)
+    assert meta_disk["n_docs"] == meta["n_docs"]
+
+    probe2 = spark.createDataFrame(
+        [(201, "a brand new document the corpus has never seen before")],
+        "doc_id long, text string")
+    out2 = {r["doc_id"]: r for r in
+            dedup_against_index(probe2, path, threshold=0.9).collect()}
+    assert out2[201]["keep"] is False and out2[201]["corpus_match"] == 103
+
+
+def test_index_guards(spark, corpus, index_path, tmp_path):
+    """Loud failures: non-index path, id column missing or mistyped,
+    mode='error' on an existing index."""
+    from ddsketchy_spark.pipeline.dedup_index import (
+        minhash_pairs_against_index, read_minhash_index, write_minhash_index)
+
+    with pytest.raises(FileNotFoundError, match="_minhash_index.json"):
+        read_minhash_index(spark, str(tmp_path / "nope"))
+    bad_type = spark.createDataFrame([("x", "text")],
+                                     "doc_id string, text string")
+    with pytest.raises(ValueError, match="id type"):
+        minhash_pairs_against_index(bad_type, index_path)
+    bad_col = spark.createDataFrame([(1, "text")], "id long, text string")
+    with pytest.raises(ValueError, match="no 'doc_id'"):
+        minhash_pairs_against_index(bad_col, index_path)
+    with pytest.raises(Exception, match="already exists|LOCATION_ALREADY"):
+        write_minhash_index(corpus, index_path, **KW)
+
+
+def test_probe_max_bucket_size(spark, tmp_path):
+    """The degenerate-bucket cap applies to the probe: a boilerplate
+    clique shared by index and increment produces no pairs under the cap,
+    while an ordinary duplicate still matches."""
+    from ddsketchy_spark.pipeline.dedup_index import (
+        minhash_pairs_against_index, write_minhash_index)
+
+    boiler = "spam spam lorem ipsum dolor sit amet boilerplate forever"
+    rows_a = [(i, boiler) for i in range(10)]
+    rows_a += [(50, "a genuinely unique document about owls and rivers")]
+    corpus = spark.createDataFrame(rows_a, "doc_id long, text string")
+    path = str(tmp_path / "idx")
+    write_minhash_index(corpus, path, **KW)
+    inc = spark.createDataFrame(
+        [(100, boiler),
+         (101, "a genuinely unique document about owls and rivers")],
+        "doc_id long, text string")
+    capped = minhash_pairs_against_index(inc, path, max_bucket_size=5)
+    got = {(r["id_inc"], r["id_corpus"]) for r in capped.collect()}
+    assert got == {(101, 50)}
+    uncapped = minhash_pairs_against_index(inc, path)
+    assert {(r["id_inc"], r["id_corpus"]) for r in uncapped.collect()} == \
+        {(100, i) for i in range(10)} | {(101, 50)}

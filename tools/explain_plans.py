@@ -283,6 +283,34 @@ def main() -> None:
                 r"FlatMapGroupsInPandas", r"(MapInArrow|PythonMapInArrow)"],
     )
 
+    # incremental dedup index probe: the corpus bands/sigs tables must
+    # only be SCANNED and joined via broadcast (increment side broadcast,
+    # no corpus shuffle before the bucket filter, no cartesian). The
+    # mapInArrow scorer is the one intended Python node.
+    import shutil
+    import tempfile
+
+    from ddsketchy_spark.pipeline.dedup_index import (
+        minhash_pairs_against_index, write_minhash_index)
+
+    tmpd = tempfile.mkdtemp(prefix="ddsketchy_planidx_")
+    try:
+        write_minhash_index(docs.limit(200), f"{tmpd}/idx",
+                            num_perm=64, bands=16)
+        inc = docs.limit(20).select(
+            (F.col("doc_id") + 900000).alias("doc_id"), "text")
+        probe = minhash_pairs_against_index(inc, f"{tmpd}/idx",
+                                            broadcast_increment=True)
+        results["dedup_index_probe"] = audit(
+            "dedup_index_probe", probe,
+            want=[r"BroadcastHashJoin", r"(MapInArrow|PythonMapInArrow)"],
+            reject=[r"CartesianProduct", r"BroadcastNestedLoopJoin",
+                    r"BatchEvalPython", r"ArrowEvalPython",
+                    r"FlatMapGroupsInPandas"],
+        )
+    finally:
+        shutil.rmtree(tmpd, ignore_errors=True)
+
     print("\nsummary:", {k: ("OK" if v else "FAIL") for k, v in results.items()})
     spark.stop()
     sys.exit(0 if all(results.values()) else 1)
