@@ -463,6 +463,40 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["mixture_pack_documents"] = mixture_pack_documents
 
+    def quantile_shards_documents(spark, sf):
+        """Sketch-guided range partitioning (pipeline/partition.py): KLL
+        quantile boundaries over n_chars, codegen comparison-chain
+        assignment. Spark asserts the rank law (each boundary's true
+        rank within 0.03 of its i/m target — k=200 empirical error) and
+        quantile balance (every range within 6% of n/m); DuckDB anchors
+        the row count the law quantifies over."""
+        from ddsketchy_spark.pipeline.partition import (
+            assign_range_id, sketch_range_boundaries)
+
+        m = 8
+        docs = (_load(spark, sf, "documents")
+                .select("doc_id", "n_chars").where("n_chars IS NOT NULL"))
+        bounds = sketch_range_boundaries(docs, "n_chars", m)
+        n = docs.count()
+        rank_aggs = [F.sum((F.col("n_chars") < F.lit(b)).cast("long"))
+                     .alias(f"r{i}") for i, b in enumerate(bounds, 1)]
+        ranks = docs.agg(*rank_aggs).collect()[0]
+        rank_ok = all(abs(ranks[f"r{i}"] / n - i / m) <= 0.03
+                      for i in range(1, len(bounds) + 1))
+        counts = [r["count"] for r in
+                  assign_range_id(docs, "n_chars", bounds)
+                  .groupBy("range_id").count().collect()]
+        balance_ok = (len(counts) == m
+                      and all(abs(c - n / m) <= 0.06 * n for c in counts)
+                      and sum(counts) == n)
+        return spark.createDataFrame(
+            [(int(n), int(m), bool(len(bounds) == m - 1), bool(rank_ok),
+              bool(balance_ok))],
+            "total long, n_ranges long, full_boundary_set boolean, "
+            "rank_err_le_3pct boolean, balance_6pct boolean")
+
+    q["quantile_shards_documents"] = quantile_shards_documents
+
     def pack_sequences_documents(spark, sf):
         """GPT-style sequence packing with document splitting (new r4):
         the full per-document manifest (start_seq, start_pos, n_seqs) at
@@ -1606,6 +1640,14 @@ s3 AS (
 SELECT doc_id, n_email, n_ip, n_phone,
        n_email + n_ip + n_phone AS n_pii, text_redacted
 FROM s3 ORDER BY doc_id
+"""
+    o["quantile_shards_documents"] = """
+SELECT CAST(count(*) AS BIGINT) AS total,
+       CAST(8 AS BIGINT) AS n_ranges,
+       TRUE AS full_boundary_set,
+       TRUE AS rank_err_le_3pct,
+       TRUE AS balance_6pct
+FROM documents WHERE n_chars IS NOT NULL
 """
     o["sample_by_group_documents"] = """
 SELECT source,

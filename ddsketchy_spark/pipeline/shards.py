@@ -6,7 +6,7 @@ files it can assign to data-loader workers — deterministic membership
 one data file per shard (loaders seek by file, not by row group), and a
 machine-readable manifest.
 
-Two sharding modes:
+Three sharding modes:
 
 - ``mode="hash"`` (default): ``shard = pmod(xxhash64(id, seed), n)`` —
   deterministic, balanced for free, membership independent of every other
@@ -18,6 +18,11 @@ Two sharding modes:
   deterministic, unlike ``repartitionByRange``'s sampled boundaries —
   so balance assumes ``range_col`` is roughly uniform, which fixed-length
   packed sequences guarantee.
+- ``mode="quantile_range"``: contiguous ranges with QUANTILE boundaries
+  from a mergeable KLL sketch (``partition.sketch_range_boundaries``) —
+  balanced even on a skewed ``range_col``, still deterministic, and the
+  boundaries land in the manifest (pass them back via ``boundaries=`` so
+  a later increment shards consistently with the original run).
 
 Scale shape: one projection + one shuffle into exactly ``n_shards``
 partitions (every row moves once — the unavoidable cost of "one file per
@@ -38,7 +43,15 @@ _MANIFEST = "_shards_meta.json"
 
 
 def _assign_shard(df: DataFrame, n_shards: int, id_col: str, mode: str,
-                  range_col: str | None, seed: int) -> DataFrame:
+                  range_col: str | None, seed: int,
+                  boundaries: list[float] | None = None) -> DataFrame:
+    if mode == "quantile_range":
+        if not range_col:
+            raise ValueError("mode='quantile_range' requires range_col")
+        from .partition import assign_range_id
+
+        return assign_range_id(df, range_col, boundaries or [],
+                               out_col="shard")
     if mode == "hash":
         return df.withColumn(
             "shard", F.pmod(F.xxhash64(F.col(id_col).cast("string"),
@@ -75,20 +88,32 @@ def write_training_shards(
     sort_within: list[str] | None = None,
     seed: int = 0,
     write_mode: str = "overwrite",
+    boundaries: list[float] | None = None,
 ) -> dict:
     """Write ``df`` as ``n_shards`` deterministic shards under ``path``
     (``shard=<i>/part-*.parquet``, exactly one data file per shard) plus a
     ``_shards_meta.json`` manifest; returns the manifest dict.
 
-    Module docstring has the two sharding laws. ``sort_within`` orders
+    Module docstring has the three sharding laws. ``sort_within`` orders
     rows inside each shard file (reproducible bytes; defaults to
     ``[id_col]``). Rows with a NULL ``id_col`` (hash) / ``range_col``
-    (range) are rejected loudly rather than silently dropped — a sink
-    must not lose rows."""
+    (range modes) are rejected loudly rather than silently dropped — a
+    sink must not lose rows. ``boundaries`` (quantile_range only)
+    overrides the sketch pass with explicit boundaries — the consistency
+    handle for incremental appends; quantile ties can collapse
+    boundaries, so fewer than ``n_shards`` shard dirs may appear."""
     if n_shards <= 0:
         raise ValueError(f"n_shards must be positive, got {n_shards}")
-    key = range_col if mode == "range" else id_col
-    out = _assign_shard(df, n_shards, id_col, mode, range_col, seed)
+    key = range_col if mode in ("range", "quantile_range") else id_col
+    if mode == "quantile_range":
+        if not range_col:
+            raise ValueError("mode='quantile_range' requires range_col")
+        if boundaries is None:
+            from .partition import sketch_range_boundaries
+
+            boundaries = sketch_range_boundaries(df, range_col, n_shards)
+    out = _assign_shard(df, n_shards, id_col, mode, range_col, seed,
+                        boundaries)
     out = out.withColumn(
         "shard",
         F.when(F.col(key).isNull(),
@@ -127,6 +152,8 @@ def write_training_shards(
         "seed": int(seed),
         "sort_within": list(sort_within or [id_col]),
         "columns": [c for c in df.columns],
+        "boundaries": ([float(b) for b in boundaries]
+                       if boundaries is not None else None),
         "shards": shards,
     }
     mpath = jvm.org.apache.hadoop.fs.Path(path.rstrip("/") + "/" + _MANIFEST)

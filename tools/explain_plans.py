@@ -283,6 +283,22 @@ def main() -> None:
                 r"FlatMapGroupsInPandas", r"(MapInArrow|PythonMapInArrow)"],
     )
 
+    # sketch-guided range assignment: after the one-pass sketch build
+    # (driver-side boundaries), assignment is a PURE PROJECTION — no
+    # join, no window, no exchange, no Python; the scan stays pruned
+    from ddsketchy_spark.pipeline.partition import assign_range_id
+
+    ra = assign_range_id(docs.select("doc_id", "n_chars"), "n_chars",
+                         [100.0, 500.0, 2000.0])
+    results["range_assign"] = audit(
+        "range_assign", ra,
+        want=[r"ReadSchema: struct<doc_id:bigint,n_chars:bigint>",
+              r"Project \[codegen id : \d+\]"],
+        reject=[r"Exchange", r"Window", r"Join", r"BatchEvalPython",
+                r"ArrowEvalPython", r"FlatMapGroupsInPandas",
+                r"(MapInArrow|PythonMapInArrow)"],
+    )
+
     # incremental dedup index probe: the corpus bands/sigs tables must
     # only be SCANNED and joined via broadcast (increment side broadcast,
     # no corpus shuffle before the bucket filter, no cartesian). The
