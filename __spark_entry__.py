@@ -438,6 +438,44 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["mixture_sample_documents"] = mixture_sample_documents
 
+    def split_corpus_documents(spark, sf):
+        """Deterministic train/val/test corpus split (pipeline/split.py):
+        per-doc md5-uniform assignment under cumulative normalized
+        weights, a pure codegen projection — split membership, per-split
+        doc counts and char mass re-derived end-to-end by DuckDB."""
+        from ddsketchy_spark.pipeline.split import split_corpus
+
+        docs = _load(spark, sf, "documents").where("doc_id IS NOT NULL")
+        out = split_corpus(docs, {"train": 0.8, "val": 0.1, "test": 0.1})
+        return (out.groupBy("split")
+                .agg(F.count(F.lit(1)).alias("docs"),
+                     F.sum("n_chars").alias("chars"))
+                .orderBy("split"))
+
+    q["split_corpus_documents"] = split_corpus_documents
+
+    def split_corpus_grouped_documents(spark, sf):
+        """Leakage-safe grouped split: group_col='source' puts every
+        document of a source on one side (the near-dup-cluster / domain
+        pattern); DuckDB re-derives the group->split map and per-split
+        rollup, and Spark asserts zero straddling groups."""
+        from ddsketchy_spark.pipeline.split import split_corpus
+
+        docs = (_load(spark, sf, "documents")
+                .where("doc_id IS NOT NULL AND source IS NOT NULL"))
+        out = split_corpus(docs, {"train": 0.7, "test": 0.3},
+                           group_col="source", seed=3)
+        straddle = (out.groupBy("source")
+                    .agg(F.countDistinct("split").alias("k"))
+                    .where("k > 1").count())
+        return (out.groupBy("split")
+                .agg(F.countDistinct("source").alias("n_sources"),
+                     F.count(F.lit(1)).alias("docs"))
+                .withColumn("no_straddle", F.lit(straddle == 0))
+                .orderBy("split"))
+
+    q["split_corpus_grouped_documents"] = split_corpus_grouped_documents
+
     def mixture_pack_documents(spark, sf):
         """Composed pipeline stages (new r4): mixture sampling with
         EXPLODED upsample copies feeding sequence packing — the physical
@@ -1648,6 +1686,32 @@ SELECT CAST(count(*) AS BIGINT) AS total,
        TRUE AS rank_err_le_3pct,
        TRUE AS balance_6pct
 FROM documents WHERE n_chars IS NOT NULL
+"""
+    o["split_corpus_documents"] = """
+WITH u AS (
+  SELECT n_chars,
+         CAST(('0x' || substring(md5(doc_id || ':0'), 1, 13)) AS BIGINT)
+           / (16.0 ^ 13) AS u
+  FROM documents WHERE doc_id IS NOT NULL
+)
+SELECT CASE WHEN u < 0.8 THEN 'train'
+            WHEN u < 0.9 THEN 'val' ELSE 'test' END AS split,
+       CAST(count(*) AS BIGINT) AS docs,
+       CAST(sum(n_chars) AS BIGINT) AS chars
+FROM u GROUP BY split ORDER BY split
+"""
+    o["split_corpus_grouped_documents"] = """
+WITH u AS (
+  SELECT source,
+         CAST(('0x' || substring(md5(source || ':3'), 1, 13)) AS BIGINT)
+           / (16.0 ^ 13) AS u
+  FROM documents WHERE doc_id IS NOT NULL AND source IS NOT NULL
+)
+SELECT CASE WHEN u < 0.7 THEN 'train' ELSE 'test' END AS split,
+       CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+       CAST(count(*) AS BIGINT) AS docs,
+       TRUE AS no_straddle
+FROM u GROUP BY split ORDER BY split
 """
     o["sample_by_group_documents"] = """
 SELECT source,

@@ -1,0 +1,109 @@
+"""Leakage-safe corpus splits (pipeline/split.py)."""
+
+import hashlib
+
+import pytest
+
+from pyspark.sql import functions as F
+
+
+def _u(key: str, seed: int = 0) -> float:
+    return int(hashlib.md5(f"{key}:{seed}".encode()).hexdigest()[:13],
+               16) / 16.0 ** 13
+
+
+def _expect(key: str, splits: dict[str, float], seed: int = 0) -> str:
+    u, cum, total = _u(key, seed), 0.0, sum(splits.values())
+    for name, w in splits.items():
+        cum += w / total
+        if u < cum:
+            return name
+    return list(splits)[-1]
+
+
+def test_split_corpus_law_and_fractions(spark):
+    """Row-for-row equality with the pure-Python md5 law, sane fractions,
+    and invariance to partitioning."""
+    from ddsketchy_spark.pipeline.split import split_corpus
+
+    splits = {"train": 0.8, "val": 0.1, "test": 0.1}
+    df = spark.createDataFrame([(i,) for i in range(5000)], "doc_id long")
+    got = {r["doc_id"]: r["split"]
+           for r in split_corpus(df, splits).collect()}
+    assert got == {i: _expect(str(i), splits) for i in range(5000)}
+    n = len(got)
+    for name, w in splits.items():
+        frac = sum(v == name for v in got.values()) / n
+        assert abs(frac - w) < 0.03, (name, frac)
+    got2 = {r["doc_id"]: r["split"] for r in
+            split_corpus(df.repartition(13), splits).collect()}
+    assert got2 == got
+    # integer weights normalize to the same assignment
+    got3 = {r["doc_id"]: r["split"] for r in
+            split_corpus(df, {"train": 8, "val": 1, "test": 1}).collect()}
+    assert got3 == got
+
+
+def test_split_corpus_group_mode(spark):
+    """group_col: every non-NULL group lands wholly in one split; NULL
+    groups fall back to the row id; NULL-both rows get a NULL split."""
+    from ddsketchy_spark.pipeline.split import split_corpus
+
+    rows = [(i, f"g{i % 7}") for i in range(200)]
+    rows += [(1000 + i, None) for i in range(50)]
+    rows += [(None, None)]
+    df = spark.createDataFrame(rows, "doc_id long, grp string")
+    out = split_corpus(df, {"train": 0.5, "test": 0.5},
+                       group_col="grp").collect()
+    by_grp = {}
+    for r in out:
+        if r["grp"] is not None:
+            by_grp.setdefault(r["grp"], set()).add(r["split"])
+    assert by_grp and all(len(s) == 1 for s in by_grp.values())
+    for g, s in by_grp.items():
+        assert s == {_expect(g, {"train": 0.5, "test": 0.5})}
+    for r in out:
+        if r["grp"] is None and r["doc_id"] is not None:
+            assert r["split"] == _expect(str(r["doc_id"]),
+                                         {"train": 0.5, "test": 0.5})
+    assert [r["split"] for r in out if r["doc_id"] is None] == [None]
+
+
+def test_split_corpus_validation_and_degenerate(spark):
+    from ddsketchy_spark.pipeline.split import split_corpus
+
+    df = spark.createDataFrame([(1,), (2,)], "doc_id long")
+    with pytest.raises(ValueError, match="at least one"):
+        split_corpus(df, {})
+    with pytest.raises(ValueError, match="positive"):
+        split_corpus(df, {"train": 0.9, "val": -0.1})
+    one = split_corpus(df, {"all": 1.0})
+    assert {r["split"] for r in one.collect()} == {"all"}
+    # seed changes assignments (same law, different coin)
+    big = spark.createDataFrame([(i,) for i in range(500)], "doc_id long")
+    a = {r["doc_id"]: r["split"] for r in
+         split_corpus(big, {"x": 1, "y": 1}, seed=0).collect()}
+    b = {r["doc_id"]: r["split"] for r in
+         split_corpus(big, {"x": 1, "y": 1}, seed=1).collect()}
+    assert a != b and set(a) == set(b)
+
+
+def test_split_corpus_leakage_with_near_dup_groups(spark):
+    """The intended composition: split by dedup_near_text's cluster label
+    so near-duplicate documents never straddle the boundary."""
+    from ddsketchy_spark.pipeline.dedup import dedup_near_text
+    from ddsketchy_spark.pipeline.split import split_corpus
+
+    base = ("the quick brown fox jumps over the lazy dog again and again "
+            "with plenty of shared words in every single copy here")
+    rows = [(i, base + f" tweak{i % 10}") for i in range(40)]
+    rows += [(100 + i, f"wholly distinct document number {i} "
+              f"alpha{i} beta{i} gamma{i} delta{i}") for i in range(20)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    labels = dedup_near_text(df, verify="local", num_perm=32,
+                             bands=8, threshold=0.8)
+    out = split_corpus(labels, {"train": 0.7, "test": 0.3},
+                       group_col="component")
+    grp_splits = (out.groupBy("component")
+                  .agg(F.countDistinct("split").alias("k")).collect())
+    assert grp_splits and all(r["k"] == 1 for r in grp_splits)

@@ -299,6 +299,23 @@ def main() -> None:
                 r"(MapInArrow|PythonMapInArrow)"],
     )
 
+    # corpus split: a pure whole-stage-codegen projection — the md5
+    # uniform + cumulative-weight CASE chain adds no exchange, no join,
+    # no window, no Python, and the scan stays pruned to the used columns
+    from ddsketchy_spark.pipeline.split import split_corpus
+
+    sp = split_corpus(docs.select("doc_id", "source"),
+                      {"train": 0.8, "val": 0.1, "test": 0.1},
+                      group_col="source")
+    results["corpus_split"] = audit(
+        "corpus_split", sp,
+        want=[r"ReadSchema: struct<doc_id:bigint,source:string>",
+              r"Project \[codegen id : \d+\]"],
+        reject=[r"Exchange", r"Window", r"Join", r"BatchEvalPython",
+                r"ArrowEvalPython", r"FlatMapGroupsInPandas",
+                r"(MapInArrow|PythonMapInArrow)"],
+    )
+
     # incremental dedup index probe: the corpus bands/sigs tables must
     # only be SCANNED and joined via broadcast (increment side broadcast,
     # no corpus shuffle before the bucket filter, no cartesian). The
