@@ -1017,6 +1017,59 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["dedup_incremental_documents"] = dedup_incremental_documents
 
+    def dedup_exact_incremental_documents(spark, sf):
+        """Incremental EXACT dedup via the persistent digest index
+        (pipeline/dedup_index.py write_exact_index /
+        dedup_against_exact_index): the even-id half of documents is
+        indexed once; an increment of byte-exact copies, whitespace-
+        padded copies (the trim-normalization law), synthetic uniques and
+        internal duplicates is probed against it. DuckDB re-derives EVERY
+        per-row verdict — corpus_match (min matching corpus id under
+        md5(lower(trim(text)))) and the within-increment min-id keep —
+        from text equality alone."""
+        import shutil
+        import tempfile
+
+        from ddsketchy_spark.pipeline.dedup_index import (
+            dedup_against_exact_index, write_exact_index)
+
+        docs = (_load(spark, sf, "documents").select("doc_id", "text")
+                .where("doc_id IS NOT NULL AND text IS NOT NULL"))
+        corpus = docs.where("doc_id % 2 = 0")
+        uniq_text = F.concat(F.lit("unique exact doc "),
+                             F.md5(F.col("doc_id").cast("string")))
+        b_exact = docs.where("doc_id % 2 = 0 AND doc_id < 50").select(
+            (F.col("doc_id") + 100000).alias("doc_id"), "text")
+        b_norm = docs.where("doc_id % 2 = 0 AND doc_id >= 50 AND "
+                            "doc_id < 70").select(
+            (F.col("doc_id") + 200000).alias("doc_id"),
+            F.concat(F.lit("  "), F.col("text"), F.lit(" ")).alias("text"))
+        b_uniq = docs.where("doc_id % 2 = 1 AND doc_id < 40").select(
+            (F.col("doc_id") + 300000).alias("doc_id"),
+            uniq_text.alias("text"))
+        b_intl = docs.where("doc_id % 2 = 1 AND doc_id < 20").select(
+            (F.col("doc_id") + 400000).alias("doc_id"),
+            uniq_text.alias("text"))
+        inc = (b_exact.unionByName(b_norm).unionByName(b_uniq)
+               .unionByName(b_intl))
+        tmp = tempfile.mkdtemp(prefix="ddsketchy_exidx_")
+        try:
+            path = f"{tmp}/index"
+            write_exact_index(corpus, path)
+            out = dedup_against_exact_index(inc, path)
+            rows = (out.select(
+                "doc_id",
+                F.coalesce("corpus_match", F.lit(-1)).alias("corpus_match"),
+                "keep").orderBy("doc_id").collect())
+            # materialized before the index dir is deleted (lazy plans
+            # would re-read it at driver-collect time)
+            return spark.createDataFrame(
+                rows, "doc_id long, corpus_match long, keep boolean")
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
+
+    q["dedup_exact_incremental_documents"] = dedup_exact_incremental_documents
+
     # -- relational coverage: classic aggregations + broadcast joins --------
 
     def _r2(c):
@@ -1870,6 +1923,41 @@ SELECT CAST(count(*) AS BIGINT) AS n_docs,
        TRUE AS one_keep_per_component,
        TRUE AS kept_le_md5_groups
 FROM all_docs
+"""
+    o["dedup_exact_incremental_documents"] = """
+WITH base AS (
+  SELECT doc_id, text FROM documents
+  WHERE doc_id IS NOT NULL AND text IS NOT NULL
+),
+corpus AS (
+  SELECT doc_id, md5(lower(trim(text))) AS fp FROM base WHERE doc_id % 2 = 0
+),
+inc AS (
+  SELECT doc_id + 100000 AS doc_id, text FROM base
+  WHERE doc_id % 2 = 0 AND doc_id < 50
+  UNION ALL
+  SELECT doc_id + 200000, '  ' || text || ' ' FROM base
+  WHERE doc_id % 2 = 0 AND doc_id >= 50 AND doc_id < 70
+  UNION ALL
+  SELECT doc_id + 300000, 'unique exact doc ' || md5(CAST(doc_id AS VARCHAR))
+  FROM base WHERE doc_id % 2 = 1 AND doc_id < 40
+  UNION ALL
+  SELECT doc_id + 400000, 'unique exact doc ' || md5(CAST(doc_id AS VARCHAR))
+  FROM base WHERE doc_id % 2 = 1 AND doc_id < 20
+),
+m AS (
+  SELECT i.doc_id, md5(lower(trim(i.text))) AS fp,
+         (SELECT min(c.doc_id) FROM corpus c
+          WHERE c.fp = md5(lower(trim(i.text)))) AS corpus_match
+  FROM inc i
+),
+keepmin AS (
+  SELECT fp, min(doc_id) AS kid FROM m WHERE corpus_match IS NULL GROUP BY fp
+)
+SELECT m.doc_id, coalesce(m.corpus_match, -1) AS corpus_match,
+       (m.corpus_match IS NULL AND m.doc_id = k.kid) AS keep
+FROM m LEFT JOIN keepmin k USING (fp)
+ORDER BY m.doc_id
 """
     o["dedup_incremental_documents"] = """
 WITH a AS (SELECT doc_id, text FROM documents WHERE text IS NOT NULL),

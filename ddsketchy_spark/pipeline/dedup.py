@@ -40,6 +40,13 @@ from ..core.hashing import splitmix64
 from .chunking import iter_doc_chunks
 
 
+def exact_fingerprint(text_col: str):
+    """The package-wide exact-duplicate digest: md5 of the
+    whitespace-trimmed, lowercased text. ONE definition so the batch
+    engines and the persistent exact index can never disagree."""
+    return F.md5(F.lower(F.trim(F.col(text_col))))
+
+
 def exact_dup_groups(df: DataFrame, text_col: str = "text",
                      id_col: str = "doc_id", collect_ids: bool = True) -> DataFrame:
     """Groups of byte-identical (normalized) documents.
@@ -48,7 +55,7 @@ def exact_dup_groups(df: DataFrame, text_col: str = "text",
     ``collect_ids=False`` skips the per-group id list — use at full scale,
     where a pathological fingerprint with millions of members would blow up
     a single aggregation buffer."""
-    fp = F.md5(F.lower(F.trim(F.col(text_col))))
+    fp = exact_fingerprint(text_col)
     aggs = [F.count(F.lit(1)).alias("n_docs")]
     if collect_ids:
         aggs.append(F.sort_array(F.collect_list(id_col)).alias("ids"))
@@ -69,7 +76,7 @@ def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     otherwise silently drop them all)."""
     nulls = df.filter(F.col(text_col).isNull())
     nonnull = df.filter(F.col(text_col).isNotNull())
-    fp = F.md5(F.lower(F.trim(F.col(text_col))))
+    fp = exact_fingerprint(text_col)
     w = nonnull.withColumn("_fp", fp)
     keep = w.groupBy("_fp").agg(F.min(id_col).alias(id_col)).select("_fp", id_col)
     return w.join(keep, ["_fp", id_col], "inner").drop("_fp").unionByName(nulls)

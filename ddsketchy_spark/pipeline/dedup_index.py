@@ -1,4 +1,4 @@
-"""Incremental near-duplicate dedup: a persistent MinHash-LSH index.
+"""Incremental dedup: persistent MinHash-LSH and exact-digest indexes.
 
 The web-scale dedup loop is incremental: a new crawl increment arrives
 and must be deduplicated against a corpus that was already cleaned —
@@ -37,6 +37,17 @@ estimates Broder's resemblance (Broder 1997; banding analysis as in
 Leskovec/Rajaraman/Ullman MMDS ch.3). The reference sketch library has no
 incremental-index analogue — this is pipeline scope, same family as
 ``similarity.write_ivf_index``.
+
+The EXACT-digest twin (``write_exact_index`` / ``exact_matches_against_
+index`` / ``dedup_against_exact_index`` / ``append_to_exact_index``) is
+the cheap first line of the same loop: "has this exact page been crawled
+before" needs only the 32-hex md5 of the normalized text
+(``dedup.exact_fingerprint`` — literally the batch engine's digest).
+Digests are written range-partitioned and sorted, so a small increment's
+probe pushes an ``IN`` predicate into the corpus scan and parquet
+file/row-group min-max stats skip almost all of a 100-TB corpus's digest
+table; large increments fall back to a broadcast (or shuffle) hash join
+that still only ever SCANS the corpus side.
 """
 
 from __future__ import annotations
@@ -312,6 +323,216 @@ def dedup_against_index(
         "component", "keep")
     out = kept_side.unionByName(dropped)
     return tag_cached_deps(out, cached_deps(pairs) + cached_deps(labels))
+
+
+_EXACT_SIDECAR = "_exact_index.json"
+
+
+def write_exact_index(
+    df: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    mode: str = "error",
+    n_files: int | None = None,
+) -> dict:
+    """Persist the exact-duplicate digest table of ``df`` under ``path``:
+    ``path/digests`` = (id, fingerprint) parquet, RANGE-partitioned and
+    sorted by fingerprint (md5 is uniform, so ranges are balanced) —
+    every file and row group covers a narrow digest interval, which is
+    what lets a probe's pushed ``IN`` predicate skip the rest of the
+    corpus via parquet min-max stats. Plus the ``_exact_index.json``
+    parameter sidecar (Hadoop FS). NULL-id and NULL-text rows are
+    excluded (the package law: neither can ever be a duplicate of
+    anything). Returns the sidecar dict."""
+    from .dedup import exact_fingerprint
+
+    base = (df.where(F.col(id_col).isNotNull()
+                     & F.col(text_col).isNotNull())
+            .select(F.col(id_col),
+                    exact_fingerprint(text_col).alias("fingerprint")))
+    part = (base.repartitionByRange(n_files, "fingerprint") if n_files
+            else base.repartitionByRange("fingerprint"))
+    (part.sortWithinPartitions("fingerprint")
+     .write.mode(mode).parquet(path.rstrip("/") + "/digests"))
+    spark = df.sparkSession
+    n_docs = spark.read.parquet(path.rstrip("/") + "/digests").count()
+    meta = {
+        "format_version": 1,
+        "id_col": id_col,
+        "id_type": df.schema[id_col].dataType.simpleString(),
+        "text_col": text_col,
+        "law": "md5(lower(trim(text)))",
+        "n_docs": int(n_docs),
+    }
+    write_json_sidecar(spark, path, _EXACT_SIDECAR, meta)
+    return meta
+
+
+def read_exact_index(spark: SparkSession, path: str
+                     ) -> tuple[DataFrame, dict]:
+    """Load a ``write_exact_index`` artifact: (digests_df, meta)."""
+    meta = read_json_sidecar(
+        spark, path, _EXACT_SIDECAR,
+        "not a write_exact_index artifact (build it with "
+        "write_exact_index so the digest law travels with it)")
+    return spark.read.parquet(path.rstrip("/") + "/digests"), meta
+
+
+def _resolve_exact_index(spark, index):
+    if isinstance(index, str):
+        return read_exact_index(spark, index)
+    digests_df, meta = index
+    return digests_df, meta
+
+
+def exact_matches_against_index(
+    inc_df: DataFrame,
+    index,
+    text_col: str | None = None,
+    broadcast_increment="auto",
+    auto_broadcast_rows: int = 2_000_000,
+    pushdown_digests: int = 10_000,
+) -> DataFrame:
+    """(id_inc, corpus_match) for every increment doc whose normalized
+    text digest already exists in the indexed corpus; ``corpus_match`` =
+    the MIN matching corpus id. A doc id present on both sides never
+    matches itself (re-probing an indexed doc reports only its twins).
+
+    Probe plan, small to large: when the increment has at most
+    ``pushdown_digests`` distinct digests, they are collected (bounded:
+    32-hex strings) into an ``IN`` predicate on the corpus scan — with
+    the index's range-partitioned sorted layout, parquet min-max stats
+    skip nearly every file of a 100-TB digest table. Otherwise the
+    corpus table streams through a hash join against the increment's
+    digests (broadcast when the increment is small per
+    ``broadcast_increment`` — True / False / "auto" with a bounded
+    ``limit(n+1).count()`` probe; never a corpus-side shuffle when
+    broadcast)."""
+    from .dedup import exact_fingerprint
+
+    spark = inc_df.sparkSession
+    digests_df, meta = _resolve_exact_index(spark, index)
+    _check_increment_schema(inc_df, meta)
+    id_col = meta["id_col"]
+    tcol = text_col or meta["text_col"]
+    inc = (inc_df.where(F.col(id_col).isNotNull()
+                        & F.col(tcol).isNotNull())
+           .select(F.col(id_col).alias("id_inc"),
+                   exact_fingerprint(tcol).alias("fingerprint")))
+
+    probe = inc.select("fingerprint").dropDuplicates()
+    pushed = None
+    if pushdown_digests:
+        sample = [r["fingerprint"] for r in
+                  probe.limit(pushdown_digests + 1).collect()]
+        if len(sample) <= pushdown_digests:
+            pushed = sample
+    corpus = digests_df.select(F.col(id_col).alias("_id_corpus"),
+                               "fingerprint")
+    if pushed is not None:
+        # the IN predicate reaches the scan: with the range-sorted
+        # layout, min-max stats skip non-matching files/row groups; the
+        # surviving corpus rows are broadcast so the increment (which
+        # may be row-heavy even with few distinct digests) never moves
+        joined = inc.join(
+            F.broadcast(corpus.where(F.col("fingerprint").isin(pushed))),
+            "fingerprint")
+    else:
+        if broadcast_increment == "auto":
+            small = (inc.limit(auto_broadcast_rows + 1).count()
+                     <= auto_broadcast_rows)
+        else:
+            small = bool(broadcast_increment)
+        maybe_bc = F.broadcast if small else (lambda d: d)
+        joined = corpus.join(maybe_bc(inc), "fingerprint")
+    return (joined.where(F.col("_id_corpus") != F.col("id_inc"))
+            .groupBy("id_inc")
+            .agg(F.min("_id_corpus").alias("corpus_match")))
+
+
+def dedup_against_exact_index(
+    inc_df: DataFrame,
+    index,
+    text_col: str | None = None,
+    within: bool = True,
+    broadcast_increment="auto",
+    pushdown_digests: int = 10_000,
+) -> DataFrame:
+    """Incremental EXACT dedup of ``inc_df`` against an indexed corpus:
+    one row per increment row, (id_col, corpus_match, keep) —
+    corpus-matched docs are dropped (keep = FALSE); survivors are then
+    exact-deduplicated among themselves (``within=True``: min id per
+    digest wins, the batch ``dedup_exact`` law). NULL-text and NULL-id
+    rows pass through with keep = TRUE and a NULL corpus_match — the
+    package-wide law. Same row contract as ``dedup_against_index`` minus
+    ``component`` (exact groups need no cluster label), so the two
+    compose: run this first, feed the survivors to the near-dup probe.
+
+    Follow with ``append_to_exact_index`` on the kept rows to fold
+    survivors into the index for the next increment."""
+    spark = inc_df.sparkSession
+    digests_df, meta = _resolve_exact_index(spark, index)
+    id_col = meta["id_col"]
+    tcol = text_col or meta["text_col"]
+    hits = exact_matches_against_index(
+        inc_df, (digests_df, meta), text_col=tcol,
+        broadcast_increment=broadcast_increment,
+        pushdown_digests=pushdown_digests)
+    marked = inc_df.join(hits, inc_df[id_col] == hits["id_inc"], "left") \
+                   .drop("id_inc")
+    dropped = (marked.where(F.col("corpus_match").isNotNull())
+               .select(F.col(id_col), "corpus_match",
+                       F.lit(False).alias("keep")))
+    survivors = marked.where(F.col("corpus_match").isNull()) \
+                      .drop("corpus_match")
+    if within:
+        from .dedup import dedup_exact
+
+        kept = dedup_exact(survivors, text_col=tcol, id_col=id_col)
+        kept_ids = kept.select(F.col(id_col).alias("_kid")).dropDuplicates()
+        labeled = (survivors.join(
+            kept_ids, survivors[id_col] == F.col("_kid"), "left")
+            .select(F.col(id_col),
+                    F.lit(None).cast(meta["id_type"]).alias("corpus_match"),
+                    (F.col("_kid").isNotNull()
+                     | F.col(id_col).isNull()).alias("keep")))
+    else:
+        labeled = survivors.select(
+            F.col(id_col),
+            F.lit(None).cast(meta["id_type"]).alias("corpus_match"),
+            F.lit(True).alias("keep"))
+    return labeled.unionByName(dropped)
+
+
+def append_to_exact_index(df: DataFrame, path: str,
+                          text_col: str | None = None) -> dict:
+    """Fold new documents (typically ``dedup_against_exact_index``
+    survivors) into an existing exact index under its OWN sidecar law;
+    updates ``n_docs``. The caller appends each id at most once (append
+    exactly the kept survivors), as with the MinHash twin. Appended
+    files are range-partitioned among themselves — pushdown pruning
+    still skips whole files per append generation."""
+    from .dedup import exact_fingerprint
+
+    spark = df.sparkSession
+    meta = read_json_sidecar(
+        spark, path, _EXACT_SIDECAR,
+        "not a write_exact_index artifact — nothing to append to")
+    _check_increment_schema(df, meta)
+    id_col = meta["id_col"]
+    tcol = text_col or meta["text_col"]
+    base = (df.where(F.col(id_col).isNotNull()
+                     & F.col(tcol).isNotNull())
+            .select(F.col(id_col),
+                    exact_fingerprint(tcol).alias("fingerprint")))
+    n_new = base.count()
+    (base.repartitionByRange("fingerprint")
+     .sortWithinPartitions("fingerprint")
+     .write.mode("append").parquet(path.rstrip("/") + "/digests"))
+    meta["n_docs"] = int(meta["n_docs"]) + int(n_new)
+    write_json_sidecar(spark, path, _EXACT_SIDECAR, meta)
+    return meta
 
 
 def append_to_minhash_index(df: DataFrame, path: str,

@@ -182,3 +182,111 @@ def test_probe_max_bucket_size(spark, tmp_path):
     uncapped = minhash_pairs_against_index(inc, path)
     assert {(r["id_inc"], r["id_corpus"]) for r in uncapped.collect()} == \
         {(100, i) for i in range(10)} | {(101, 50)}
+
+
+# -- exact-digest index twin ----------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def exact_index_path(spark, corpus, tmp_path_factory):
+    from ddsketchy_spark.pipeline.dedup_index import write_exact_index
+
+    path = str(tmp_path_factory.mktemp("exidx") / "index")
+    meta = write_exact_index(corpus, path)
+    assert meta["n_docs"] == 5 and meta["law"] == "md5(lower(trim(text)))"
+    return path
+
+
+def _exact_increment(spark):
+    rows = [
+        (101, A_TEXTS[0]),                  # byte-exact dup of corpus doc 1
+        (102, "  " + A_TEXTS[2].upper()),   # normalized dup of corpus doc 3
+        (103, "a brand new document the corpus has never seen before"),
+        (104, "duplicated within the increment only"),
+        (105, "duplicated within the increment only"),
+        (106, None),                        # NULL text: never a duplicate
+        (None, A_TEXTS[0]),                 # NULL id: passes through
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_matches_three_probe_plans(spark, corpus, exact_index_path):
+    """Same matches from the pushed-IN, broadcast-join, and shuffle-join
+    plans; the pushed plan shows the IN predicate at the parquet scan;
+    normalization (trim/lower) matches the batch digest law; a re-probed
+    indexed id never matches itself."""
+    from ddsketchy_spark.pipeline.dedup_index import (
+        exact_matches_against_index, read_exact_index)
+
+    inc = _exact_increment(spark)
+    expect = {101: 1, 102: 3}
+    pushed = exact_matches_against_index(inc, exact_index_path)
+    assert {r["id_inc"]: r["corpus_match"]
+            for r in pushed.collect()} == expect
+    plan = pushed._jdf.queryExecution().executedPlan().toString()
+    assert "In(fingerprint" in plan or "in(fingerprint" in plan
+    for kw in (dict(pushdown_digests=0, broadcast_increment=True),
+               dict(pushdown_digests=0, broadcast_increment=False)):
+        got = exact_matches_against_index(inc, exact_index_path, **kw)
+        assert {r["id_inc"]: r["corpus_match"]
+                for r in got.collect()} == expect
+    # self-exclusion: corpus doc 1 re-probed does not match itself but
+    # still matches a distinct twin if one exists (none here -> no row)
+    self_probe = spark.createDataFrame([(1, A_TEXTS[0])],
+                                       "doc_id long, text string")
+    digests, meta = read_exact_index(spark, exact_index_path)
+    got = exact_matches_against_index(self_probe, (digests, meta))
+    assert got.collect() == []
+
+
+def test_dedup_against_exact_index_and_append(spark, exact_index_path):
+    """Composition law: corpus matches dropped, within-increment exact
+    dedup keeps min id, NULL text/id pass through; appending survivors
+    makes the next probe of the same docs match them."""
+    from ddsketchy_spark.pipeline.dedup_index import (
+        append_to_exact_index, dedup_against_exact_index,
+        exact_matches_against_index)
+
+    inc = _exact_increment(spark)
+    out = dedup_against_exact_index(inc, exact_index_path)
+    rows = {r["doc_id"]: (r["corpus_match"], r["keep"])
+            for r in out.collect() if r["doc_id"] is not None}
+    assert rows == {101: (1, False), 102: (3, False), 103: (None, True),
+                    104: (None, True), 105: (None, False),
+                    106: (None, True)}
+    nid = [r for r in out.collect() if r["doc_id"] is None]
+    assert len(nid) == 1 and nid[0]["keep"] and nid[0]["corpus_match"] is None
+    # within=False keeps both internal copies
+    out2 = dedup_against_exact_index(inc, exact_index_path, within=False)
+    k2 = {r["doc_id"]: r["keep"] for r in out2.collect()
+          if r["doc_id"] is not None}
+    assert k2[104] and k2[105] and not k2[101]
+    # append survivors (kept, non-null text) and re-probe
+    kept_ids = [i for i, (_, k) in rows.items() if k and i != 106]
+    surv = inc.where(F.col("doc_id").isin(kept_ids))
+    meta = append_to_exact_index(surv, exact_index_path)
+    assert meta["n_docs"] == 5 + len(kept_ids)
+    reprobe = spark.createDataFrame(
+        [(900, "a brand new document the corpus has never seen before"),
+         (901, "duplicated within the increment only")],
+        "doc_id long, text string")
+    got = {r["id_inc"]: r["corpus_match"] for r in
+           exact_matches_against_index(reprobe, exact_index_path).collect()}
+    assert got == {900: 103, 901: 104}
+
+
+def test_exact_index_guards(spark, corpus, index_path, exact_index_path,
+                            tmp_path):
+    from ddsketchy_spark.pipeline.dedup_index import (
+        exact_matches_against_index, write_exact_index)
+
+    # a minhash index is not an exact index
+    with pytest.raises(FileNotFoundError, match="write_exact_index"):
+        exact_matches_against_index(corpus, index_path)
+    # id type mismatch
+    bad = spark.createDataFrame([("x", "t")], "doc_id string, text string")
+    with pytest.raises(ValueError, match="id type"):
+        exact_matches_against_index(bad, exact_index_path)
+    # refuses to overwrite by default
+    with pytest.raises(Exception, match="[Aa]lready exists"):
+        write_exact_index(corpus, exact_index_path)

@@ -341,6 +341,23 @@ def main() -> None:
                     r"BatchEvalPython", r"ArrowEvalPython",
                     r"FlatMapGroupsInPandas"],
         )
+
+        # exact-digest index probe (small increment): the IN predicate
+        # must reach the corpus digest scan (PushedFilters -> file/row-
+        # group skipping on the range-sorted layout), the pruned corpus
+        # side joins via broadcast hash, and nothing runs in Python
+        from ddsketchy_spark.pipeline.dedup_index import (
+            exact_matches_against_index, write_exact_index)
+
+        write_exact_index(docs.limit(200), f"{tmpd}/exidx")
+        eprobe = exact_matches_against_index(inc, f"{tmpd}/exidx")
+        results["exact_index_probe"] = audit(
+            "exact_index_probe", eprobe,
+            want=[r"PushedFilters: \[In\(fingerprint", r"BroadcastHashJoin"],
+            reject=[r"CartesianProduct", r"BroadcastNestedLoopJoin",
+                    r"SortMergeJoin", r"BatchEvalPython", r"ArrowEvalPython",
+                    r"FlatMapGroupsInPandas", r"(MapInArrow|PythonMapInArrow)"],
+        )
     finally:
         shutil.rmtree(tmpd, ignore_errors=True)
 
