@@ -394,6 +394,44 @@ def main() -> None:
         q20_trials.append(time.perf_counter() - t0)
     queries["q20_mixture_pack"] = round(min(q20_trials), 3)
     queries["q20_sequences"] = int(n_seq20)
+
+    # q21: incremental exact-dedup index at the 50k corpus (new r4) —
+    # index write (range-partitioned sorted digest table) measured once,
+    # then the small-increment probe (pushed-IN corpus-scan pruning +
+    # broadcast join + within-increment dedup) warm best-of-2. The
+    # increment: every 100th corpus doc, half kept byte-exact (corpus
+    # matches -> dropped), half made unique; q21_inc_dropped records the
+    # achieved match count at the running scale.
+    import shutil
+    import tempfile
+
+    from ddsketchy_spark.pipeline.dedup_index import (
+        dedup_against_exact_index, write_exact_index)
+
+    inc = (corpus.where(F.col("doc_id") % 100 == 0).limit(1000)
+           .select((F.col("doc_id") + 900_000_000).alias("doc_id"),
+                   F.when(F.col("doc_id") % 200 == 0, F.col("text"))
+                   .otherwise(F.concat(F.lit("inc-unique "),
+                                       F.md5(F.col("doc_id").cast("string")),
+                                       F.lit(" "), F.col("text")))
+                   .alias("text")).cache())
+    inc.count()
+    tmpd = tempfile.mkdtemp(prefix="ddsketchy_bench_exidx_")
+    try:
+        t0 = time.perf_counter()
+        write_exact_index(corpus, f"{tmpd}/idx")
+        queries["q21_exact_index_write"] = round(time.perf_counter() - t0, 3)
+        q21_trials = []
+        for _ in range(2):  # best-of-2 (CLAUDE.md bench methodology)
+            t0 = time.perf_counter()
+            n_dropped = (dedup_against_exact_index(inc, f"{tmpd}/idx")
+                         .where("NOT keep").count())
+            q21_trials.append(time.perf_counter() - t0)
+        queries["q21_exact_index_probe"] = round(min(q21_trials), 3)
+        queries["q21_inc_dropped"] = int(n_dropped)
+    finally:
+        shutil.rmtree(tmpd, ignore_errors=True)
+        inc.unpersist()
     corpus.unpersist()
 
     # accuracy: max relative error of the n_tok estimates vs exact quantiles

@@ -700,3 +700,45 @@ def test_streaming_quality_filter(spark, tmp_path):
     assert not got[100][0] and got[100][1] == "null_text"
     assert not got[0][0] and got[0][1] == "too_few_words"
     assert got[101][2] == 1 and got[4][0]
+
+
+def test_streaming_split_and_range_assign(spark, tmp_path):
+    """split_corpus and assign_range_id are pure stateless projections,
+    so they run unchanged under Structured Streaming: file-source
+    micro-batches must reproduce the batch assignment row for row (the
+    deterministic-law guarantee is exactly what makes a streaming
+    increment's split/shard membership consistent with the batch run)."""
+    from ddsketchy_spark.pipeline.partition import assign_range_id
+    from ddsketchy_spark.pipeline.split import split_corpus
+
+    rows = [(i, "s%d" % (i % 5), float(i * 7 % 101)) for i in range(80)]
+    rows.append((None, None, None))
+    df = spark.createDataFrame(rows, "doc_id long, grp string, v double")
+    src = str(tmp_path / "sp_src")
+    df.repartition(4).write.parquet(src)
+
+    def xform(frame):
+        out = split_corpus(frame, {"train": 0.8, "val": 0.1, "test": 0.1},
+                           group_col="grp")
+        return assign_range_id(out, "v", [25.0, 50.0, 75.0])
+
+    stream = (spark.readStream.schema(df.schema)
+              .option("maxFilesPerTrigger", "1").parquet(src))
+    q = (xform(stream)
+         .select("doc_id", "split", "range_id")
+         .writeStream.format("memory").queryName("ssp")
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "sp_ck"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {r["doc_id"]: (r["split"], r["range_id"])
+           for r in spark.sql("SELECT * FROM ssp").collect()}
+    batch = {r["doc_id"]: (r["split"], r["range_id"])
+             for r in xform(df).select("doc_id", "split", "range_id")
+             .collect()}
+    assert got == batch and len(got) == 81
+    assert got[None] == (None, None)
+    splits_per_grp = {}
+    for i in range(80):
+        splits_per_grp.setdefault(i % 5, set()).add(got[i][0])
+    assert all(len(s) == 1 for s in splits_per_grp.values())
