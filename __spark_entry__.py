@@ -476,6 +476,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["split_corpus_grouped_documents"] = split_corpus_grouped_documents
 
+    def top_frac_by_group_documents(spark, sf):
+        """Per-domain quality cut (spark/skew.py take_top_frac_by_group,
+        method='sample'): keep each source's top 20% by n_chars. Every
+        source group fits the deterministic hash sample (sample_k=4096 >>
+        group sizes at gate scales), so the cut is EXACTLY the group's
+        lower 0.8-quantile threshold — DuckDB re-derives per-source
+        threshold and kept count from first principles."""
+        from ddsketchy_spark.spark.skew import take_top_frac_by_group
+
+        docs = (_load(spark, sf, "documents")
+                .select("doc_id", "source", "n_chars")
+                .where("doc_id IS NOT NULL"))
+        out = take_top_frac_by_group(docs, 0.2, "n_chars", "source",
+                                     key_col="doc_id", keep_threshold=True)
+        return (out.groupBy("source")
+                .agg(F.count(F.lit(1)).alias("kept"),
+                     F.min(F.col("_thr").cast("long")).alias("thr"),
+                     F.sum("n_chars").alias("chars_kept"))
+                .orderBy("source"))
+
+    q["top_frac_by_group_documents"] = top_frac_by_group_documents
+
     def mixture_pack_documents(spark, sf):
         """Composed pipeline stages (new r4): mixture sampling with
         EXPLODED upsample copies feeding sequence packing — the physical
@@ -1765,6 +1787,28 @@ SELECT CASE WHEN u < 0.7 THEN 'train' ELSE 'test' END AS split,
        CAST(count(*) AS BIGINT) AS docs,
        TRUE AS no_straddle
 FROM u GROUP BY split ORDER BY split
+"""
+    o["top_frac_by_group_documents"] = """
+WITH base AS (
+  SELECT doc_id, source, n_chars FROM documents
+  WHERE doc_id IS NOT NULL AND source IS NOT NULL AND n_chars IS NOT NULL
+),
+r AS (
+  SELECT source, n_chars,
+         row_number() OVER (PARTITION BY source ORDER BY n_chars) AS rn,
+         count(*) OVER (PARTITION BY source) AS n
+  FROM base
+),
+t AS (
+  SELECT source, n_chars AS thr FROM r
+  WHERE rn = LEAST(n, CAST(floor(0.8 * n) AS BIGINT) + 1)
+)
+SELECT b.source, CAST(count(*) AS BIGINT) AS kept,
+       CAST(min(t.thr) AS BIGINT) AS thr,
+       CAST(sum(b.n_chars) AS BIGINT) AS chars_kept
+FROM base b JOIN t USING (source)
+WHERE b.n_chars >= t.thr
+GROUP BY b.source ORDER BY b.source
 """
     o["sample_by_group_documents"] = """
 SELECT source,

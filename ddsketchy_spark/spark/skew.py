@@ -146,3 +146,132 @@ def sample_by_group(
                 .where(F.col("_rk") <= k))
         out = out.join(short, by, "left_anti").unionByName(redo)
     return out.drop("_rk", "_gn")
+
+
+def take_top_frac_by_group(
+    df: DataFrame,
+    frac: float,
+    rank_col: str,
+    by,
+    key_col: str | None = None,
+    method: str = "sample",
+    sample_k: int = 4096,
+    k: int = 200,
+    keep_threshold: bool = False,
+    broadcast_thresholds="auto",
+    auto_broadcast_groups: int = 1_000_000,
+) -> DataFrame:
+    """Keep approximately the top ``frac`` fraction of each group's rows
+    by ``rank_col`` — the per-domain quality cut of corpus curation
+    ("keep each source's best 10%"), the RANKED sibling of
+    ``sample_by_group``.
+
+    Law: every group keeps its rows with ``rank_col >= t_g``; ties at
+    the threshold are all kept. How ``t_g`` is estimated is ``method``:
+
+    - ``"sample"`` (default): ``t_g`` = the exact ``1 - frac`` lower
+      quantile (the ``floor((1-frac)*s) + 1``-th smallest of ``s``
+      values) of the group's deterministic ``sample_by_group`` hash
+      sample of up to ``sample_k`` rows (needs a unique ``key_col``).
+      A PURE FUNCTION OF THE DATA — same kept rows on any partitioning
+      or cluster size — with kept-fraction error ~sqrt(frac(1-frac)/
+      sample_k) (~0.5% at 4096), and EXACT for groups with at most
+      ``sample_k`` rows (the sample is the whole group).
+    - ``"kll"``: ``t_g`` = the group's derandomized-KLL ``1 - frac``
+      quantile estimate from one mergeable sketch pass (no key column
+      needed, no sampling window). Rank error ~1.5-2% of the group at
+      k=200; deterministic for a fixed input partitioning, but partial
+      compaction depends on row placement, so a REPARTITIONED input can
+      shift thresholds within the error bound — persist the thresholds
+      (``keep_threshold=True``) when increments must cut consistently.
+
+    Scale shape — a per-group ``percent_rank`` window would sort every
+    group in one task (dies on a web-scale source). Both methods reduce
+    each group to one threshold row: "sample" via the hash-prefiltered
+    sample (only ~sample_k rows per group ever reach a sort, inside a
+    bounded ``collect_list``), "kll" via map-side sketch partials + blob
+    merge (raw rows never shuffle). Then a join + filter:
+    ``broadcast_thresholds`` True / False / "auto" (bounded
+    ``limit(n+1).count()`` probe against ``auto_broadcast_groups``) —
+    broadcast keeps the corpus scan shuffle-free; at extreme group
+    cardinality the same plan runs as a hash join.
+
+    Rows with a NULL group key or NULL ``rank_col`` are excluded, as in
+    ``sample_by_group``."""
+    if not 0.0 < frac <= 1.0:
+        raise ValueError(f"frac must be in (0, 1], got {frac}")
+    if method not in ("sample", "kll"):
+        raise ValueError(f"unknown method {method!r} (sample|kll)")
+    by = [by] if isinstance(by, str) else list(by)
+    base = df.where(F.col(rank_col).isNotNull())
+    for g in by:
+        base = base.where(F.col(g).isNotNull())
+    if frac == 1.0:
+        # quantile(0) of a SAMPLE could exceed the group minimum and
+        # wrongly drop rows; top-100% is the identity cut
+        return (base.withColumn("_thr", F.lit(float("-inf")))
+                if keep_threshold else base)
+
+    if method == "sample":
+        if not key_col:
+            raise ValueError("method='sample' requires key_col (a unique "
+                             "row id); use method='kll' without one")
+        samp = sample_by_group(base.select(*by, key_col, rank_col),
+                               by, sample_k, key_col)
+        s = F.size(F.col("_vals"))
+        idx = F.least(s, (F.floor(F.lit(1.0 - frac) * s) + 1).cast("int"))
+        thresholds = (samp.groupBy(*by)
+                      .agg(F.sort_array(F.collect_list(rank_col))
+                           .alias("_vals"))
+                      .select(*by, F.element_at(F.col("_vals"), idx)
+                              .cast("double").alias("_thr")))
+    else:
+        thresholds = _kll_group_thresholds(base, rank_col, by, k,
+                                           1.0 - frac)
+
+    if broadcast_thresholds == "auto":
+        small = (thresholds.limit(auto_broadcast_groups + 1).count()
+                 <= auto_broadcast_groups)
+    else:
+        small = bool(broadcast_thresholds)
+    maybe_bc = F.broadcast if small else (lambda d: d)
+    out = (base.join(maybe_bc(thresholds), by)
+           .where(F.col(rank_col) >= F.col("_thr")))
+    return out if keep_threshold else out.drop("_thr")
+
+
+def _kll_group_thresholds(base: DataFrame, rank_col: str, by: list,
+                          k: int, q: float) -> DataFrame:
+    """(by..., _thr): each group's derandomized-KLL ``q``-quantile from
+    one mergeable grouped sketch pass; one O(k) decode per group row."""
+    from typing import Iterator
+
+    import pyarrow as pa
+
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    from ..core.kll import KLLSketch
+    from .agg import build_partials, merge_grouped, to_arrow_schema
+    from .companions import KLLAggregator
+
+    agg = KLLAggregator(rank_col, k=k, quantiles=())
+    partials = build_partials(base.select(*by, rank_col), agg, by)
+    states = merge_grouped(partials, agg, by, states_only=True)
+    thr_schema = StructType([base.schema[g] for g in by]
+                            + [StructField("_thr", DoubleType())])
+    thr_arrow = to_arrow_schema(thr_schema)
+
+    def extract(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for b in batches:
+            if b.num_rows == 0:
+                continue
+            thrs = [KLLSketch.from_bytes(s).quantile(q)
+                    for s in b.column(b.schema.get_field_index("state"))
+                    .to_pylist()]
+            cols = [b.column(b.schema.get_field_index(g)).cast(
+                        thr_arrow.field(i).type)
+                    for i, g in enumerate(by)]
+            yield pa.RecordBatch.from_arrays(
+                cols + [pa.array(thrs, pa.float64())], schema=thr_arrow)
+
+    return states.mapInArrow(extract, thr_schema)

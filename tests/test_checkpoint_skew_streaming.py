@@ -742,3 +742,79 @@ def test_streaming_split_and_range_assign(spark, tmp_path):
     for i in range(80):
         splits_per_grp.setdefault(i % 5, set()).add(got[i][0])
     assert all(len(s) == 1 for s in splits_per_grp.values())
+
+
+def test_take_top_frac_by_group_sample_law(spark):
+    """method='sample' row-for-row vs the pure-NumPy re-derivation of the
+    full law (Spark-exact xxhash64 sample membership -> exact lower
+    quantile of the sample -> >= threshold), partition-invariant, and
+    exact on groups that fit in the sample."""
+    import numpy as np
+
+    from ddsketchy_spark.core.hashing import spark_xxhash64
+    from ddsketchy_spark.spark.skew import take_top_frac_by_group
+
+    rng = np.random.default_rng(11)
+    rows = [(int(i), "s%d" % (i % 4), float(v))
+            for i, v in enumerate(rng.normal(0.0, 1.0, 3000))]
+    rows += [(9000 + j, "tiny", float(j)) for j in range(30)]
+    rows += [(9900, None, 1.0), (9901, "s0", None)]  # excluded
+    df = spark.createDataFrame(rows, "doc_id long, source string, v double")
+    frac, sk = 0.25, 64
+    out = take_top_frac_by_group(df, frac, "v", "source",
+                                 key_col="doc_id", sample_k=sk)
+    got = {r["doc_id"] for r in out.collect()}
+
+    byg = {}
+    for i, s, v in rows:
+        if s is not None and v is not None:
+            byg.setdefault(s, []).append((i, v))
+    expect = set()
+    for s, members in byg.items():
+        ids = np.array([i for i, _ in members], dtype=np.int64)
+        h = spark_xxhash64(ids, (0,)).astype(np.int64)  # salt 0, signed order
+        order = np.lexsort((ids, h))
+        samp = sorted(members[j][1] for j in order[:min(sk, len(members))])
+        idx = min(len(samp), int(np.floor((1 - frac) * len(samp))) + 1)
+        t = samp[idx - 1]
+        expect |= {i for i, v in members if v >= t}
+    assert got == expect
+    # tiny group (30 <= sample_k): exactly ceil(frac * n) survivors
+    assert sum(1 for i in got if i >= 9000) == 8  # ceil(0.25*30)
+    got2 = {r["doc_id"] for r in
+            take_top_frac_by_group(df.repartition(13), frac, "v", "source",
+                                   key_col="doc_id", sample_k=sk).collect()}
+    assert got2 == got
+    assert 9900 not in got and 9901 not in got
+
+
+def test_take_top_frac_by_group_kll_and_guards(spark):
+    """method='kll' (no key column): kept fraction within the k=200 rank
+    error; keep_threshold exposes the cut; validation errors."""
+    import numpy as np
+    import pytest as pt
+
+    from ddsketchy_spark.spark.skew import take_top_frac_by_group
+
+    rng = np.random.default_rng(5)
+    rows = [(int(i), "g%d" % (i % 2), float(v))
+            for i, v in enumerate(rng.lognormal(1.0, 0.8, 20000))]
+    df = spark.createDataFrame(rows, "doc_id long, source string, v double")
+    out = take_top_frac_by_group(df, 0.1, "v", "source", method="kll",
+                                 keep_threshold=True)
+    per = {r["source"]: r["count"]
+           for r in out.groupBy("source").count().collect()}
+    for s, c in per.items():
+        assert abs(c / 10000 - 0.1) < 0.03, (s, c)
+    assert "_thr" in out.columns
+    # thresholds really are per-group cuts: every kept row clears its own
+    mn = out.where(F.col("v") < F.col("_thr")).count()
+    assert mn == 0
+    with pt.raises(ValueError, match="frac"):
+        take_top_frac_by_group(df, 0.0, "v", "source", key_col="doc_id")
+    with pt.raises(ValueError, match="method"):
+        take_top_frac_by_group(df, 0.5, "v", "source", method="nope")
+    with pt.raises(ValueError, match="key_col"):
+        take_top_frac_by_group(df, 0.5, "v", "source")
+    assert take_top_frac_by_group(df, 1.0, "v", "source",
+                                  key_col="doc_id").count() == 20000
