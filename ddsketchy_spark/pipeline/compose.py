@@ -31,6 +31,7 @@ def clean_corpus(
     para_dedup_kw: dict | None = None,
     near_dedup_kw: dict | None = None,
     decontam_n: int = 13,
+    domain_cut_kw: dict | None = None,
     mix_budgets: dict | None = None,
     mix_kw: dict | None = None,
 ) -> DataFrame:
@@ -62,6 +63,12 @@ def clean_corpus(
        use ``near_dedup_kw={"skip": True}`` to skip.
     4. ``decontaminate`` — drop docs sharing a ``decontam_n``-gram with
        ``benchmark`` (skipped when ``benchmark`` is None).
+    4b. OPTIONAL per-domain quality cut — pass ``domain_cut_kw`` (at
+       least ``{"frac": ..., "rank_col": ...}``; ``by`` defaults to
+       ``"source"``, ``key_col`` to the pipeline's ``id_col``) to keep
+       only each domain's top-``frac`` rows by the rank column
+       (``take_top_frac_by_group``) before mixing — the RefinedWeb-style
+       cap that stops one spammy domain's tail from dominating.
     5. OPTIONAL mixture sampling — pass ``mix_budgets`` (per-source token
        budgets; see ``sample_to_token_budget``) to mix the cleaned
        survivors to the target composition as the final stage.
@@ -110,6 +117,14 @@ def clean_corpus(
                             corpus_id=id_col,
                             bench_id=id_col if id_col in benchmark.columns
                             else benchmark.columns[0])
+    if domain_cut_kw is not None:
+        from ..spark.skew import take_top_frac_by_group
+
+        cut = dict(domain_cut_kw)
+        out = take_top_frac_by_group(
+            out, cut.pop("frac"), cut.pop("rank_col"),
+            cut.pop("by", "source"), key_col=cut.pop("key_col", id_col),
+            **cut)
     if mix_budgets is not None:
         from .mix import sample_to_token_budget
 

@@ -1590,3 +1590,32 @@ def test_clean_corpus_composition(spark, sf001_dir):
     assert "[EMAIL]" in rows[800003]["text"] and "@" not in rows[800003]["text"]
     assert set(out.columns) == {"doc_id", "text", "source"}
     assert len(rows) > 400  # the bulk of the corpus survives
+
+
+def test_clean_corpus_with_domain_cut(spark):
+    """clean_corpus's optional per-domain quality-cut stage: after
+    cleaning, each source keeps only its top-frac rows by the rank
+    column; the stage composes with the mixture stage downstream."""
+    from ddsketchy_spark.pipeline.compose import clean_corpus
+
+    rows = [(i, "document body %d with the usual words and a few more "
+             "filler%d tokens here" % (i, i),
+             "A" if i < 40 else "B", float(i % 40))
+            for i in range(80)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, source string, qscore double")
+    out = clean_corpus(df, quality_kw={"min_words": 3},
+                       near_dedup_kw={"skip": True},
+                       domain_cut_kw={"frac": 0.25, "rank_col": "qscore"})
+    got = out.groupBy("source").count().collect()
+    per = {r["source"]: r["count"] for r in got}
+    # 40 rows/source, scores 0..39 distinct -> exactly ceil(0.25*40)=10
+    assert per == {"A": 10, "B": 10}
+    assert out.where("qscore < 30").count() == 0
+    # composes with the mixture stage (n_copies appears downstream)
+    out2 = clean_corpus(df, quality_kw={"min_words": 3},
+                        near_dedup_kw={"skip": True},
+                        domain_cut_kw={"frac": 0.25, "rank_col": "qscore"},
+                        mix_budgets={"A": 50.0, "B": 50.0},
+                        mix_kw={"token_col": "qscore"})
+    assert "n_copies" in out2.columns and out2.count() > 0
