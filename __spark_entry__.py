@@ -43,23 +43,19 @@ _PARA_BOILERPLATE = ("shared boilerplate navigation footer paragraph "
                      "common to many pages of this synthetic corpus")
 
 
-def _winnowing_sql(k: int, window: int) -> str:
-    """DuckDB re-derivation of ``winnowing_fingerprints`` (pipeline/text.py):
-    rolling polynomial k-gram hash mod 2^61 (exact in HUGEINT — the NumPy
-    int64 wraparound is arithmetic mod 2^64 and 2^61 | 2^64, so the masked
-    result equals the true mod), then the leftmost-min of every
-    ``window``-wide hash window, deduplicated. ASCII text only (``ascii()``
-    reads code points; the NumPy side reads UTF-8 bytes — equal for ASCII,
-    which the synthetic documents table is)."""
+def _winnowing_ctes(k: int, window: int, relation: str = "documents") -> str:
+    """The CTE chain of the ``winnowing_fingerprints`` DuckDB
+    re-derivation (see ``_winnowing_sql``) over ``relation`` (any table
+    or CTE with doc_id, text) — ends with ``winmins``; append a final
+    SELECT (and optionally more CTEs)."""
     B, MASK1 = 1000003, 1 << 61
     powers = [pow(B, k - 1 - j, MASK1) for j in range(k)]
     terms = " + ".join(
         f"CAST(ascii(substr(t, p+{j}, 1)) AS HUGEINT) * {powers[j]}::HUGEINT"
         for j in range(k))
-    return f"""
-WITH docs AS (
+    return f"""docs AS (
   SELECT doc_id, lower(text) AS t, length(text) - {k - 1} AS n
-  FROM documents WHERE text IS NOT NULL AND length(text) >= {k}
+  FROM {relation} WHERE text IS NOT NULL AND length(text) >= {k}
 ),
 hashes AS (
   SELECT doc_id, n, p - 1 AS pos0,
@@ -76,7 +72,19 @@ winmins AS (
   JOIN hashes hh ON hh.doc_id = w.doc_id
                 AND hh.pos0 BETWEEN w.s AND w.s + {window - 1}
   GROUP BY w.doc_id, w.s
-)
+)"""
+
+
+def _winnowing_sql(k: int, window: int) -> str:
+    """DuckDB re-derivation of ``winnowing_fingerprints`` (pipeline/text.py):
+    rolling polynomial k-gram hash mod 2^61 (exact in HUGEINT — the NumPy
+    int64 wraparound is arithmetic mod 2^64 and 2^61 | 2^64, so the masked
+    result equals the true mod), then the leftmost-min of every
+    ``window``-wide hash window, deduplicated. ASCII text only (``ascii()``
+    reads code points; the NumPy side reads UTF-8 bytes — equal for ASCII,
+    which the synthetic documents table is)."""
+    return f"""
+WITH {_winnowing_ctes(k, window)}
 SELECT DISTINCT doc_id, m.p AS pos, m.h AS fp FROM winmins
 ORDER BY doc_id, pos
 """
@@ -1092,6 +1100,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["dedup_exact_incremental_documents"] = dedup_exact_incremental_documents
 
+    def substring_pairs_documents(spark, sf):
+        """Span-level dedup signal (pipeline/dedup.py
+        substring_overlap_pairs): winnowing-backed candidate pairs
+        sharing a verbatim >= 64-char run, over documents plus planted
+        partners sharing each low-id doc's first 80 characters. DuckDB
+        re-derives EVERY pair and its shared-fingerprint count from the
+        same k=32/window=33 winnowing law (the guarantee: all planted
+        pairs appear; any organic pairs appear identically on both
+        sides)."""
+        from ddsketchy_spark.pipeline.dedup import substring_overlap_pairs
+
+        docs = (_load(spark, sf, "documents").select("doc_id", "text")
+                .where("doc_id IS NOT NULL AND text IS NOT NULL"))
+        planted = docs.where("doc_id < 30").select(
+            (F.col("doc_id") + 500000).alias("doc_id"),
+            F.concat(F.substring("text", 1, 80), F.lit(" planted tail "),
+                     F.md5(F.col("doc_id").cast("string"))).alias("text"))
+        corpus = docs.unionByName(planted)
+        return (substring_overlap_pairs(corpus, min_len=64)
+                .orderBy("id_a", "id_b"))
+
+    q["substring_pairs_documents"] = substring_pairs_documents
+
     # -- relational coverage: classic aggregations + broadcast joins --------
 
     def _r2(c):
@@ -2002,6 +2033,27 @@ SELECT m.doc_id, coalesce(m.corpus_match, -1) AS corpus_match,
        (m.corpus_match IS NULL AND m.doc_id = k.kid) AS keep
 FROM m LEFT JOIN keepmin k USING (fp)
 ORDER BY m.doc_id
+"""
+    o["substring_pairs_documents"] = f"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  WHERE doc_id IS NOT NULL AND text IS NOT NULL
+  UNION ALL
+  SELECT doc_id + 500000,
+         substr(text, 1, 80) || ' planted tail '
+           || md5(CAST(doc_id AS VARCHAR))
+  FROM documents
+  WHERE doc_id IS NOT NULL AND text IS NOT NULL AND doc_id < 30
+),
+{_winnowing_ctes(32, 33, "corpus")},
+fps AS (
+  SELECT DISTINCT doc_id, m.h AS fp FROM winmins
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(count(*) AS BIGINT) AS n_shared_fps
+FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+GROUP BY a.doc_id, b.doc_id
+ORDER BY id_a, id_b
 """
     o["dedup_incremental_documents"] = """
 WITH a AS (SELECT doc_id, text FROM documents WHERE text IS NOT NULL),

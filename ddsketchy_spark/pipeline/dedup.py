@@ -1069,3 +1069,80 @@ def dedup_semantic(
                                 checkpoint_dir=checkpoint_dir)
     return tag_cached_deps(_keep_canonical(df, id_col, comp, keep_by),
                            cached_deps(pairs))
+
+
+def substring_overlap_pairs(
+    df: DataFrame,
+    min_len: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_fp_docs: int | None = None,
+) -> DataFrame:
+    """Candidate document pairs sharing a long VERBATIM character run —
+    the span-level dedup signal of Lee et al. 2021 ("Deduplicating
+    Training Data Makes Language Models Better", ExactSubstr), built on
+    the package's winnowing fingerprints rather than a global suffix
+    array: returns (id_a, id_b, n_shared_fps) with id_a < id_b.
+
+    Guarantee (Schleimer et al. 2003, thm. in §2): with k = min_len // 2
+    and window = min_len - k + 1, winnowing selects at least one common
+    fingerprint from ANY shared run of >= min_len characters (lowercased;
+    byte == char for ASCII) — so every such pair IS reported. Conversely
+    a reported pair shares at least one selected k-gram hash: k is
+    min_len/2 so false signals need a verbatim k-char match (or a 61-bit
+    rolling-hash collision) — ``n_shared_fps`` (distinct shared selected
+    fingerprints) is the strength to threshold on.
+
+    Scale shape — the LSH-bucket family: fingerprint construction is the
+    zero-per-doc-Python winnowing pass; candidates come from a self-join
+    on fp confined to fingerprint buckets, shuffling (id, fp) rows only,
+    never text; ``max_fp_docs`` caps degenerate fingerprints (site
+    boilerplate — their members are caught by paragraph/exact dedup) the
+    way minhash buckets cap. The pair aggregate is a map-side-combining
+    count."""
+    if min_len < 8:
+        raise ValueError(f"min_len must be >= 8, got {min_len}")
+    from .text import winnowing_fingerprints
+
+    k = min_len // 2
+    window = min_len - k + 1
+    fps = (winnowing_fingerprints(df, text_col=text_col, id_col=id_col,
+                                  k=k, window=window)
+           .select(F.col(id_col).alias("_id"), "fp").dropDuplicates())
+    if max_fp_docs is not None:
+        ok = (fps.groupBy("fp").agg(F.count(F.lit(1)).alias("_n"))
+              .where(F.col("_n") <= max_fp_docs).drop("_n"))
+        fps = fps.join(ok, "fp")
+    a, b = fps.alias("a"), fps.alias("b")
+    return (a.join(b, (F.col("a.fp") == F.col("b.fp"))
+                   & (F.col("a._id") < F.col("b._id")))
+            .groupBy(F.col("a._id").alias("id_a"),
+                     F.col("b._id").alias("id_b"))
+            .agg(F.count(F.lit(1)).alias("n_shared_fps")))
+
+
+def dedup_substring(
+    df: DataFrame,
+    min_len: int = 64,
+    min_shared_fps: int = 1,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    keep_by: str | None = None,
+    max_fp_docs: int | None = None,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Document-level dedup on the span signal: cluster docs linked by
+    ``substring_overlap_pairs`` with >= ``min_shared_fps`` shared
+    fingerprints (connected components, min-label), keep one canonical
+    doc per cluster (min id, or best ``keep_by``). Same (id, component,
+    keep) row contract as ``dedup_near_text`` — NULL ids pass through.
+
+    This is the doc-level policy over span evidence (drop near-verbatim
+    re-posts); cutting the span itself while keeping both docs is
+    ``dedup_paragraphs``' territory when spans align with paragraphs."""
+    pairs = substring_overlap_pairs(df, min_len=min_len, text_col=text_col,
+                                    id_col=id_col, max_fp_docs=max_fp_docs)
+    strong = pairs.where(F.col("n_shared_fps") >= min_shared_fps)
+    comp = connected_components(strong, "id_a", "id_b",
+                                checkpoint_dir=checkpoint_dir)
+    return _keep_canonical(df, id_col, comp, keep_by)

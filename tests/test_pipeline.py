@@ -1619,3 +1619,84 @@ def test_clean_corpus_with_domain_cut(spark):
                         mix_budgets={"A": 50.0, "B": 50.0},
                         mix_kw={"token_col": "qscore"})
     assert "n_copies" in out2.columns and out2.count() > 0
+
+
+def test_substring_overlap_pairs_guarantee(spark):
+    """The winnowing detection guarantee: any pair sharing a verbatim run
+    of >= min_len chars is reported; clearly distinct docs are not; more
+    shared runs -> more shared fingerprints; max_fp_docs caps boilerplate."""
+    import numpy as np
+
+    from ddsketchy_spark.pipeline.dedup import substring_overlap_pairs
+
+    rng = np.random.default_rng(3)
+
+    def rand_text(n):
+        return "".join(chr(97 + c) for c in rng.integers(0, 26, n))
+
+    span = rand_text(64)
+    span2 = rand_text(64)
+    rows = [
+        (1, rand_text(100) + span + rand_text(80)),
+        (2, span + rand_text(150)),                    # shares span w/ 1
+        (3, rand_text(60) + span + span2 + rand_text(40)),  # shares both
+        (4, rand_text(300)),                           # distinct
+        (5, rand_text(20) + span2 + rand_text(90)),    # shares span2 w/ 3
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {(r["id_a"], r["id_b"]): r["n_shared_fps"]
+           for r in substring_overlap_pairs(df, min_len=64).collect()}
+    for pair in [(1, 2), (1, 3), (2, 3), (3, 5)]:
+        assert pair in got, (pair, got)
+    assert all(4 not in p for p in got)
+    assert (4, 5) not in got and (1, 5) not in got and (2, 5) not in got
+    # doc 3 shares BOTH spans with nobody jointly, but (1,3) and (3,5)
+    # each rest on one span; a doc pair sharing two spans scores higher:
+    six = df.union(spark.createDataFrame(
+        [(6, span + rand_text(30) + span2)], "doc_id long, text string"))
+    got6 = {(r["id_a"], r["id_b"]): r["n_shared_fps"]
+            for r in substring_overlap_pairs(six, min_len=64).collect()}
+    assert got6[(3, 6)] > got6[(3, 4)] if (3, 4) in got6 else got6[(3, 6)] >= 2
+    # boilerplate cap: the span appears in docs 1,2,3,6 -> fps shared by
+    # >3 docs vanish under max_fp_docs=3... pairs resting only on such
+    # fps disappear
+    capped = {(r["id_a"], r["id_b"]) for r in
+              substring_overlap_pairs(six, min_len=64,
+                                      max_fp_docs=1).collect()}
+    assert capped == set()
+    import pytest as pt
+    with pt.raises(ValueError, match="min_len"):
+        substring_overlap_pairs(df, min_len=4)
+
+
+def test_dedup_substring_clusters(spark):
+    """Doc-level policy over span evidence: chained span sharing clusters
+    via connected components; min-id (or keep_by) survivor; NULL id
+    passes through."""
+    import numpy as np
+
+    from ddsketchy_spark.pipeline.dedup import dedup_substring
+
+    rng = np.random.default_rng(9)
+
+    def rand_text(n):
+        return "".join(chr(97 + c) for c in rng.integers(0, 26, n))
+
+    s1, s2 = rand_text(64), rand_text(64)
+    rows = [
+        (10, s1 + rand_text(100), 0.1),
+        (11, rand_text(50) + s1 + s2, 0.9),   # links 10 via s1, 12 via s2
+        (12, s2 + rand_text(120), 0.5),
+        (13, rand_text(250), 0.7),            # singleton
+        (None, s1 + rand_text(40), 0.2),      # NULL id: passes
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, q double")
+    out = {r["doc_id"]: (r["component"], r["keep"])
+           for r in dedup_substring(df, min_len=64).collect()}
+    assert out[10] == (10, True) and out[11] == (10, False)
+    assert out[12] == (10, False) and out[13] == (13, True)
+    assert out[None] == (None, True)
+    # keep_by: the 0.9-quality member wins the cluster instead of min id
+    out2 = {r["doc_id"]: r["keep"]
+            for r in dedup_substring(df, min_len=64, keep_by="q").collect()}
+    assert out2[11] and not out2[10] and not out2[12] and out2[13]

@@ -230,6 +230,22 @@ def main() -> None:
                 r"FlatMapGroupsInPandas"],
     )
 
+    # substring-overlap pairs: winnowing mapInArrow feeding an fp-bucket
+    # equi self-join + map-side-combining pair count — candidates confined
+    # to fingerprint buckets, never a cartesian, no per-pair Python
+    from ddsketchy_spark.pipeline.dedup import substring_overlap_pairs
+
+    sop = substring_overlap_pairs(docs, min_len=64)
+    results["substring_pairs"] = audit(
+        "substring_pairs", sop,
+        want=[r"(MapInArrow|PythonMapInArrow)",
+              r"(ShuffledHashJoin|SortMergeJoin|BroadcastHashJoin)",
+              r"HashAggregate"],
+        reject=[r"CartesianProduct", r"BroadcastNestedLoopJoin",
+                r"BatchEvalPython", r"ArrowEvalPython",
+                r"FlatMapGroupsInPandas", r"Window"],
+    )
+
     # time-bucketed as-of join (hot-key path): windows + equi joins on
     # (key, bucket) only — never a range/nested-loop join
     ajb = asof_join(clicks, purch, "ts", ["user_id"], ["px"], time_buckets=8)
