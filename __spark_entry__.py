@@ -1100,6 +1100,70 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["dedup_exact_incremental_documents"] = dedup_exact_incremental_documents
 
+    def dedup_semantic_incremental_embeddings(spark, sf):
+        """Incremental SEMANTIC dedup via the persistent cosine-LSH index
+        (pipeline/dedup_index.py write_cosine_index /
+        dedup_against_cosine_index): the embeddings table indexed ONCE on
+        disk, an increment of 50 exact vector copies + 30 negated
+        (cos = -1: never a match — the table's max off-diagonal cosine is
+        ~0.51) + 10 internal copies of the negated block probed against
+        it. The DuckDB oracle re-derives every count from vector equality
+        (identical vectors are the only cross-threshold matches in this
+        construction — cos 1.0 — which cross_exact_complete pins
+        Spark-side)."""
+        import shutil
+        import tempfile
+
+        from ddsketchy_spark.pipeline.cache import release_cached_deps
+        from ddsketchy_spark.pipeline.dedup_index import (
+            dedup_against_cosine_index, write_cosine_index)
+
+        emb = (_load(spark, sf, "embeddings").select("vec_id", "embedding")
+               .where("embedding IS NOT NULL"))
+        # sign flip is exact in IEEE floats, so DuckDB's re-derivation by
+        # list equality sees the same duplicate groups; the lambda
+        # references only its own variable (safe on self-joining frames
+        # per the package HOF rule)
+        neg = F.transform("embedding", lambda x: -x)
+        b_exact = emb.where("vec_id < 50").select(
+            (F.col("vec_id") + 100000).alias("vec_id"), "embedding")
+        b_uniq = emb.where("vec_id >= 50 AND vec_id < 80").select(
+            (F.col("vec_id") + 200000).alias("vec_id"),
+            neg.alias("embedding"))
+        b_intl = emb.where("vec_id >= 50 AND vec_id < 60").select(
+            (F.col("vec_id") + 400000).alias("vec_id"),
+            neg.alias("embedding"))
+        inc = b_exact.unionByName(b_uniq).unionByName(b_intl)
+        tmp = tempfile.mkdtemp(prefix="ddsketchy_cosidx_")
+        try:
+            path = f"{tmp}/index"
+            write_cosine_index(emb, path, n_planes=16, bands=4, seed=7)
+            out = dedup_against_cosine_index(inc, path, threshold=0.9)
+            agg = out.agg(
+                F.count(F.lit(1)).alias("inc_docs"),
+                F.sum(F.col("corpus_match").isNotNull().cast("long"))
+                .alias("cross_dropped"),
+                F.sum((~F.col("keep") & F.col("corpus_match").isNull())
+                      .cast("long")).alias("within_dropped"),
+                F.sum(F.col("keep").cast("long")).alias("kept"),
+            ).collect()[0]
+            n_exact = b_exact.count()
+            exact_dropped = (out.join(b_exact.select("vec_id"), "vec_id")
+                             .where("NOT keep AND corpus_match IS NOT NULL")
+                             .count())
+            release_cached_deps(out)
+            return spark.createDataFrame(
+                [(int(agg["inc_docs"]), int(agg["cross_dropped"]),
+                  int(agg["within_dropped"]), int(agg["kept"]),
+                  bool(exact_dropped == n_exact))],
+                "inc_docs long, cross_dropped long, within_dropped long, "
+                "kept long, cross_exact_complete boolean")
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
+
+    q["dedup_semantic_incremental_embeddings"] = \
+        dedup_semantic_incremental_embeddings
+
     def substring_pairs_documents(spark, sf):
         """Span-level dedup signal (pipeline/dedup.py
         substring_overlap_pairs): winnowing-backed candidate pairs
@@ -2069,6 +2133,31 @@ inc AS (
 cm AS (SELECT doc_id FROM inc WHERE text IN (SELECT text FROM a)),
 surv AS (SELECT * FROM inc WHERE doc_id NOT IN (SELECT doc_id FROM cm)),
 w AS (SELECT text, count(*) AS c FROM surv GROUP BY 1)
+SELECT CAST((SELECT count(*) FROM inc) AS BIGINT) AS inc_docs,
+       CAST((SELECT count(*) FROM cm) AS BIGINT) AS cross_dropped,
+       CAST(COALESCE((SELECT sum(c - 1) FROM w WHERE c > 1), 0) AS BIGINT)
+         AS within_dropped,
+       CAST((SELECT count(*) FROM surv)
+            - COALESCE((SELECT sum(c - 1) FROM w WHERE c > 1), 0) AS BIGINT)
+         AS kept,
+       TRUE AS cross_exact_complete
+"""
+    o["dedup_semantic_incremental_embeddings"] = """
+WITH a AS (SELECT vec_id, embedding FROM embeddings
+           WHERE embedding IS NOT NULL),
+inc AS (
+  SELECT vec_id + 100000 AS vec_id, embedding FROM a WHERE vec_id < 50
+  UNION ALL
+  SELECT vec_id + 200000, list_transform(embedding, x -> -x)
+  FROM a WHERE vec_id >= 50 AND vec_id < 80
+  UNION ALL
+  SELECT vec_id + 400000, list_transform(embedding, x -> -x)
+  FROM a WHERE vec_id >= 50 AND vec_id < 60
+),
+cm AS (SELECT vec_id FROM inc
+       WHERE embedding IN (SELECT embedding FROM a)),
+surv AS (SELECT * FROM inc WHERE vec_id NOT IN (SELECT vec_id FROM cm)),
+w AS (SELECT embedding, count(*) AS c FROM surv GROUP BY 1)
 SELECT CAST((SELECT count(*) FROM inc) AS BIGINT) AS inc_docs,
        CAST((SELECT count(*) FROM cm) AS BIGINT) AS cross_dropped,
        CAST(COALESCE((SELECT sum(c - 1) FROM w WHERE c > 1), 0) AS BIGINT)

@@ -38,6 +38,15 @@ Leskovec/Rajaraman/Ullman MMDS ch.3). The reference sketch library has no
 incremental-index analogue — this is pipeline scope, same family as
 ``similarity.write_ivf_index``.
 
+The SEMANTIC member (``write_cosine_index`` / ``cosine_pairs_against_
+index`` / ``dedup_against_cosine_index`` / ``append_to_cosine_index``)
+runs the same loop over EMBEDDINGS: the corpus's row-normalized vectors
+and random-hyperplane band keys persist once (the batch engine's own
+enrichment kernel, ``similarity._lsh_enriched``, so probe candidacy and
+cosines are bit-identical to ``dedup_semantic(method="lsh")`` on the
+union); probes broadcast the increment's touched (blk, key) set onto the
+corpus bands scan exactly as the MinHash probe does.
+
 The EXACT-digest twin (``write_exact_index`` / ``exact_matches_against_
 index`` / ``dedup_against_exact_index`` / ``append_to_exact_index``) is
 the cheap first line of the same loop: "has this exact page been crawled
@@ -503,6 +512,319 @@ def dedup_against_exact_index(
             F.lit(None).cast(meta["id_type"]).alias("corpus_match"),
             F.lit(True).alias("keep"))
     return labeled.unionByName(dropped)
+
+
+_COS_SIDECAR = "_cosine_index.json"
+
+
+def write_cosine_index(
+    df: DataFrame,
+    path: str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_planes: int = 16,
+    bands: int = 4,
+    seed: int = 7,
+    dim: int | None = None,
+    mode: str = "error",
+) -> dict:
+    """Build and persist a random-hyperplane cosine-LSH index of ``df``
+    under ``path`` — the SEMANTIC member of the incremental-dedup index
+    family (exact digests / MinHash text / cosine embeddings).
+
+    Layout: ``path/vecs`` = (id, nvec: array<double>) parquet — the
+    row-NORMALIZED vectors, so probe-time scoring is one einsum with no
+    renormalization; ``path/bands`` = (id, blk, key) parquet, sorted
+    within partitions by (blk, key) for row-group min-max skipping under
+    a pushed bucket predicate; ``path/_cosine_index.json`` = the
+    parameter sidecar (planes regenerate deterministically from
+    (dim, n_planes, seed) — only the law's parameters travel, never the
+    matrix). NULL-id and NULL-vector rows are excluded (the package-wide
+    law). Returns the sidecar dict.
+
+    Signatures use the batch engine's own enrichment kernel
+    (``similarity._lsh_enriched`` — normalize, E @ planes.T sign bits,
+    band slicing), so probe candidates and cosines are bit-identical to
+    what ``lsh_cosine_topk``/``dedup_semantic(method="lsh")`` would
+    report for the same pairs on the union corpus."""
+    from pyspark import StorageLevel
+
+    from .similarity import _hyperplanes, _lsh_enriched
+
+    if n_planes % bands:
+        raise ValueError("bands must divide n_planes")
+    if not 0 < n_planes <= 62:
+        raise ValueError("n_planes must be in 1..62 (sign bits pack into "
+                         "one BIGINT)")
+    base = df.where(F.col(id_col).isNotNull() & F.col(vec_col).isNotNull())
+    if dim is None:
+        first = base.select(vec_col).first()
+        if first is None:
+            raise ValueError("no non-NULL vectors to index")
+        dim = len(first[0])
+    width = n_planes // bands
+    planes = _hyperplanes(dim, n_planes, seed)
+    v = base.select(F.col(id_col).alias("id"),
+                    F.col(vec_col).cast("array<double>").alias("vec"))
+    enriched = _lsh_enriched(v, df.schema[id_col], planes, n_planes, bands,
+                             width).persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        (enriched.select(F.col("id").alias(id_col), "nvec")
+         .write.mode(mode).parquet(path.rstrip("/") + "/vecs"))
+        (enriched.select(F.col("id").alias(id_col),
+                         F.posexplode("keys").alias("blk", "key"))
+         .sortWithinPartitions("blk", "key")
+         .write.mode(mode).parquet(path.rstrip("/") + "/bands"))
+        n_vecs = enriched.count()
+    finally:
+        enriched.unpersist()
+    meta = {
+        "format_version": 1,
+        "n_planes": int(n_planes),
+        "bands": int(bands),
+        "width": int(width),
+        "seed": int(seed),
+        "dim": int(dim),
+        "id_col": id_col,
+        "id_type": df.schema[id_col].dataType.simpleString(),
+        "vec_col": vec_col,
+        "n_vecs": int(n_vecs),
+        "law": "random-hyperplane sign LSH (similarity._lsh_enriched)",
+    }
+    write_json_sidecar(df.sparkSession, path, _COS_SIDECAR, meta)
+    return meta
+
+
+def read_cosine_index(spark: SparkSession, path: str
+                      ) -> tuple[DataFrame, DataFrame, dict]:
+    """Load a ``write_cosine_index`` artifact: (bands_df, vecs_df, meta)."""
+    meta = read_json_sidecar(
+        spark, path, _COS_SIDECAR,
+        "not a write_cosine_index artifact (build the index with "
+        "write_cosine_index so the LSH parameters travel with it)")
+    bands_df = spark.read.parquet(path.rstrip("/") + "/bands")
+    vecs_df = spark.read.parquet(path.rstrip("/") + "/vecs")
+    return bands_df, vecs_df, meta
+
+
+def _resolve_cosine_index(spark, index):
+    if isinstance(index, str):
+        return read_cosine_index(spark, index)
+    bands_df, vecs_df, meta = index
+    return bands_df, vecs_df, meta
+
+
+def _check_increment_vec(inc_df: DataFrame, meta: dict,
+                         vec_col: str) -> None:
+    if vec_col not in inc_df.columns:
+        raise ValueError(
+            f"increment has no {vec_col!r} column (index vec_col); rename "
+            "the increment's vector column to match the index")
+    first = (inc_df.where(F.col(vec_col).isNotNull())
+             .select(vec_col).first())
+    if first is not None and len(first[0]) != meta["dim"]:
+        raise ValueError(
+            f"increment vectors have dim {len(first[0])} but the index "
+            f"was built at dim {meta['dim']} — cosines would be garbage")
+
+
+def cosine_pairs_against_index(
+    inc_df: DataFrame,
+    index,
+    vec_col: str | None = None,
+    broadcast_increment="auto",
+    auto_broadcast_rows: int = 2_000_000,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Cross semantic near-duplicate candidate pairs between an increment
+    and an indexed corpus: (id_inc, id_corpus, cos).
+
+    The increment is enriched under the index sidecar's own LSH law
+    (planes regenerated from (dim, n_planes, seed) — callers cannot
+    desync it); a pair is a candidate iff the two vectors share at least
+    one band key, exactly the batch engine's candidacy law, and ``cos``
+    is the same einsum over the same normalized float64 vectors — the
+    cross-parity test pins bit-identity.
+
+    Scale shape (what matters at 100 TB): the corpus bands table only
+    STREAMS — the increment's distinct (blk, key) set broadcasts onto it
+    and candidate corpus rows flow out of the scan; normalized corpus
+    vectors are joined back by candidate id only (AQE broadcasts when the
+    candidate set is small). ``broadcast_increment``: True / False /
+    "auto" (bounded ``limit(n+1).count()`` probe). ``max_bucket_size``
+    caps per-(blk, key) membership counted over candidate corpus rows
+    and increment rows separately. A doc id present on BOTH sides never
+    pairs with itself."""
+    from pyspark import StorageLevel
+
+    from .cache import tag_cached_deps
+    from .similarity import _hyperplanes, _lsh_enriched, _score_pairs_arrow
+
+    spark = inc_df.sparkSession
+    bands_df, vecs_df, meta = _resolve_cosine_index(spark, index)
+    _check_increment_schema(inc_df, meta)
+    id_col = meta["id_col"]
+    vcol = vec_col or meta["vec_col"]
+    _check_increment_vec(inc_df, meta, vcol)
+    planes = _hyperplanes(meta["dim"], meta["n_planes"], meta["seed"])
+
+    inc = inc_df.where(F.col(id_col).isNotNull() & F.col(vcol).isNotNull())
+    v = inc.select(F.col(id_col).alias("id"),
+                   F.col(vcol).cast("array<double>").alias("vec"))
+    id_field = inc_df.schema[id_col]
+    enriched = _lsh_enriched(
+        v, id_field, planes, meta["n_planes"], meta["bands"], meta["width"]
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    inc_banded = enriched.select("id", F.posexplode("keys").alias("blk", "key"))
+
+    if broadcast_increment == "auto":
+        small = (inc.limit(auto_broadcast_rows + 1).count()
+                 <= auto_broadcast_rows)
+    else:
+        small = bool(broadcast_increment)
+    maybe_bc = F.broadcast if small else (lambda d: d)
+
+    touched = inc_banded.select("blk", "key").dropDuplicates()
+    cand_corpus = bands_df.join(maybe_bc(touched), ["blk", "key"])
+    if max_bucket_size is not None:
+        for side in ("corpus", "inc"):
+            frame = cand_corpus if side == "corpus" else inc_banded
+            ok = (frame.groupBy("blk", "key")
+                  .agg(F.count(F.lit(1)).alias("_bn"))
+                  .where(F.col("_bn") <= max_bucket_size).drop("_bn"))
+            if side == "corpus":
+                cand_corpus = cand_corpus.join(ok, ["blk", "key"])
+            else:
+                inc_banded = inc_banded.join(ok, ["blk", "key"])
+
+    c, i = cand_corpus.alias("c"), inc_banded.alias("i")
+    cand = (c.join(maybe_bc(i),
+                   (F.col("c.blk") == F.col("i.blk"))
+                   & (F.col("c.key") == F.col("i.key"))
+                   & (F.col(f"c.{id_col}") != F.col("i.id")))
+            .select(F.col("i.id").alias("id_inc"),
+                    F.col(f"c.{id_col}").alias("id_corpus"))
+            .dropDuplicates(["id_inc", "id_corpus"]))
+    vc = vecs_df.select(F.col(id_col).alias("id_corpus"),
+                        F.col("nvec").alias("_vb"))
+    vi = enriched.select(F.col("id").alias("id_inc"),
+                         F.col("nvec").alias("_va"))
+    paired = (cand.join(vc, "id_corpus").join(maybe_bc(vi), "id_inc")
+              .select(F.col("id_inc").alias("id"),
+                      F.col("id_corpus").alias("neighbor"), "_va", "_vb"))
+    scored = _score_pairs_arrow(paired, id_field, meta["dim"])
+    out = scored.select(F.col("id").alias("id_inc"),
+                        F.col("neighbor").alias("id_corpus"), "cos")
+    return tag_cached_deps(out, [enriched])
+
+
+def dedup_against_cosine_index(
+    inc_df: DataFrame,
+    index,
+    threshold: float = 0.9,
+    vec_col: str | None = None,
+    within: bool = True,
+    keep_by: str | None = None,
+    broadcast_increment="auto",
+    max_bucket_size: int | None = None,
+    checkpoint_dir: str | None = None,
+    within_k: int = 32,
+) -> DataFrame:
+    """Incremental SEMANTIC dedup of ``inc_df`` against an indexed corpus
+    — the embedding twin of ``dedup_against_index``, same row contract:
+    one row per increment row, (id_col, corpus_match, component, keep).
+
+    - ``corpus_match``: the MIN corpus id with cos >= threshold (NaN
+      cosines never match — the zero-vector guard). Matched docs are
+      dropped: keep = FALSE, component = NULL.
+    - survivors are near-deduplicated among THEMSELVES (``within=True``)
+      with ``dedup_semantic(method="lsh")`` under the index's own LSH
+      parameters: component = cluster id, keep = canonical survivor
+      (``keep_by`` = quality-aware selection); ``within_k`` is the
+      per-node candidate degree cap of the within pass.
+    - NULL-id rows pass through (keep = TRUE, both labels NULL).
+
+    Follow with ``append_to_cosine_index`` on the kept rows to fold
+    survivors into the index for the next increment."""
+    from .cache import cached_deps, tag_cached_deps
+    from .dedup import dedup_semantic
+
+    spark = inc_df.sparkSession
+    bands_df, vecs_df, meta = _resolve_cosine_index(spark, index)
+    id_col = meta["id_col"]
+    vcol = vec_col or meta["vec_col"]
+    pairs = cosine_pairs_against_index(
+        inc_df, (bands_df, vecs_df, meta), vec_col=vcol,
+        broadcast_increment=broadcast_increment,
+        max_bucket_size=max_bucket_size)
+    hits = (pairs.where(~F.isnan(F.col("cos"))
+                        & (F.col("cos") >= threshold))
+            .groupBy("id_inc").agg(F.min("id_corpus").alias("corpus_match")))
+    marked = inc_df.join(
+        hits, inc_df[id_col] == hits["id_inc"], "left").drop("id_inc")
+    dropped = (marked.where(F.col("corpus_match").isNotNull())
+               .select(F.col(id_col), "corpus_match",
+                       F.lit(None).cast(meta["id_type"]).alias("component"),
+                       F.lit(False).alias("keep")))
+    survivors = marked.where(F.col("corpus_match").isNull()) \
+                      .drop("corpus_match")
+    if within:
+        labels = dedup_semantic(
+            survivors, threshold=threshold, vec_col=vcol, id_col=id_col,
+            method="lsh", checkpoint_dir=checkpoint_dir, keep_by=keep_by,
+            k=within_k, n_planes=meta["n_planes"], bands=meta["bands"],
+            seed=meta["seed"], max_bucket_size=max_bucket_size)
+    else:
+        labels = survivors.select(
+            F.col(id_col),
+            F.lit(None).cast(meta["id_type"]).alias("component"),
+            F.lit(True).alias("keep"))
+    kept_side = labels.select(
+        F.col(id_col),
+        F.lit(None).cast(meta["id_type"]).alias("corpus_match"),
+        "component", "keep")
+    out = kept_side.unionByName(dropped)
+    return tag_cached_deps(out, cached_deps(pairs) + cached_deps(labels))
+
+
+def append_to_cosine_index(df: DataFrame, path: str,
+                           vec_col: str | None = None) -> dict:
+    """Fold new vectors (typically ``dedup_against_cosine_index``
+    survivors) into an existing cosine index under its OWN sidecar law;
+    updates ``n_vecs``. The caller appends each id at most once (append
+    exactly the kept survivors), as with the MinHash twin."""
+    from pyspark import StorageLevel
+
+    from .similarity import _hyperplanes, _lsh_enriched
+
+    spark = df.sparkSession
+    meta = read_json_sidecar(
+        spark, path, _COS_SIDECAR,
+        "not a write_cosine_index artifact — nothing to append to")
+    _check_increment_schema(df, meta)
+    id_col = meta["id_col"]
+    vcol = vec_col or meta["vec_col"]
+    _check_increment_vec(df, meta, vcol)
+    planes = _hyperplanes(meta["dim"], meta["n_planes"], meta["seed"])
+    base = df.where(F.col(id_col).isNotNull() & F.col(vcol).isNotNull())
+    v = base.select(F.col(id_col).alias("id"),
+                    F.col(vcol).cast("array<double>").alias("vec"))
+    enriched = _lsh_enriched(
+        v, df.schema[id_col], planes, meta["n_planes"], meta["bands"],
+        meta["width"]).persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        (enriched.select(F.col("id").alias(id_col), "nvec")
+         .write.mode("append").parquet(path.rstrip("/") + "/vecs"))
+        (enriched.select(F.col("id").alias(id_col),
+                         F.posexplode("keys").alias("blk", "key"))
+         .sortWithinPartitions("blk", "key")
+         .write.mode("append").parquet(path.rstrip("/") + "/bands"))
+        n_new = enriched.count()
+    finally:
+        enriched.unpersist()
+    meta["n_vecs"] = int(meta["n_vecs"]) + int(n_new)
+    write_json_sidecar(spark, path, _COS_SIDECAR, meta)
+    return meta
 
 
 def append_to_exact_index(df: DataFrame, path: str,

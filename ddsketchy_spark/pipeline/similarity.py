@@ -205,8 +205,14 @@ def lsh_cosine_topk(
         raise ValueError("bands must divide n_planes")
     width = n_planes // bands
     planes = _hyperplanes(dim, n_planes, seed)
-    v = df.select(F.col(id_col).alias("id"),
-                  F.col(vec_col).cast("array<double>").alias("vec"))
+    # NULL ids can never enter a pair graph — filtered at dispatch, the
+    # package-wide law (and the broadcast engine would otherwise crash:
+    # toPandas coerces an id column with a NULL to float64, so the
+    # mapInArrow scorer emits float64 ids under a bigint-declared schema
+    # — the minhash engine's r4 fix, mirrored here)
+    v = df.where(F.col(id_col).isNotNull()).select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).cast("array<double>").alias("vec"))
     if verify not in ("auto", "broadcast", "local", "sql"):
         raise ValueError(f"unknown verify mode {verify!r}")
     if verify == "auto":

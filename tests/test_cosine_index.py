@@ -1,0 +1,227 @@
+"""Incremental cosine-LSH (semantic) dedup index (pipeline/dedup_index.py).
+
+The law under test: probing an increment of embeddings against an index
+of corpus A reports exactly the cross pairs the batch engine
+(lsh_cosine_topk verify="local" / dedup_semantic(method="lsh")) would
+report on A u B, with bit-identical cosines (shared enrichment + einsum
+scoring code); dedup_against_cosine_index composes corpus-match dropping
+with within-increment semantic dedup; append_to_cosine_index folds
+survivors in for the next round.
+"""
+
+import math
+
+import pytest
+
+from pyspark.sql import functions as F
+
+KW = dict(n_planes=16, bands=4, seed=7)
+DIM = 8
+
+
+def _vec(i, scale=1.0):
+    # near-orthogonal corpus geometry: basis vector i with a tiny fixed
+    # tail so no component is exactly zero (sign bits stay deterministic)
+    v = [0.01 * (j + 1) for j in range(DIM)]
+    v[i % DIM] = 10.0
+    return [x * scale for x in v]
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rows = [(i + 1, _vec(i)) for i in range(6)]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+@pytest.fixture(scope="module")
+def index_path(spark, corpus, tmp_path_factory):
+    from ddsketchy_spark.pipeline.dedup_index import write_cosine_index
+
+    path = str(tmp_path_factory.mktemp("cosidx") / "index")
+    meta = write_cosine_index(corpus, path, **KW)
+    assert meta["n_vecs"] == 6 and meta["width"] == 4 and meta["dim"] == DIM
+    return path
+
+
+def _increment(spark):
+    rows = [
+        (101, _vec(0, scale=2.0)),   # scaled copy of corpus vec 1 (cos 1)
+        (102, _vec(2)),              # exact copy of corpus vec 3
+        (103, [-x for x in _vec(4)]),  # negation: cos -1, never a match
+        (104, _vec(1, scale=-3.0)),  # internal dup pair, absent from corpus
+        (105, _vec(1, scale=-1.5)),  # (negated corpus vec 2: cos -1 to it)
+        (None, _vec(0)),             # NULL id: never probed, passes through
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_cross_pairs_match_batch_engine(spark, corpus, index_path):
+    """Index probe == batch engine on the union, restricted to cross
+    pairs — same candidate set, bit-identical cosines, in both the
+    broadcast-increment and shuffle plans."""
+    from ddsketchy_spark.pipeline.cache import release_cached_deps
+    from ddsketchy_spark.pipeline.dedup_index import (
+        cosine_pairs_against_index)
+    from ddsketchy_spark.pipeline.similarity import lsh_cosine_topk
+
+    inc = _increment(spark)
+    union = corpus.unionByName(inc.where("vec_id IS NOT NULL"))
+    topk = lsh_cosine_topk(union, k=100, verify="local", **KW)
+    batch_cross = {
+        (min(r["id"], r["neighbor"]), max(r["id"], r["neighbor"])): r["cos"]
+        for r in topk.collect()
+        if (r["id"] > 100) != (r["neighbor"] > 100)}
+    release_cached_deps(topk)
+    assert len(batch_cross) >= 2  # at least the two planted copies
+    for bc in (True, False):
+        probe = cosine_pairs_against_index(
+            inc, index_path, broadcast_increment=bc)
+        got = {(min(r["id_inc"], r["id_corpus"]),
+                max(r["id_inc"], r["id_corpus"])): r["cos"]
+               for r in probe.collect()}
+        release_cached_deps(probe)
+        assert got == batch_cross, f"broadcast_increment={bc}"
+    # the planted copies score (numerically) 1.0
+    assert math.isclose(batch_cross[(1, 101)], 1.0, rel_tol=0, abs_tol=1e-12)
+    assert math.isclose(batch_cross[(3, 102)], 1.0, rel_tol=0, abs_tol=1e-12)
+
+
+def test_dedup_against_cosine_index_composition(spark, index_path):
+    """Corpus matches dropped (corpus_match = min matching corpus id),
+    survivors semantically deduped among themselves, NULL ids pass
+    through."""
+    from ddsketchy_spark.pipeline.cache import release_cached_deps
+    from ddsketchy_spark.pipeline.dedup_index import (
+        dedup_against_cosine_index)
+
+    out = dedup_against_cosine_index(
+        _increment(spark), index_path, threshold=0.9)
+    rows = {r["vec_id"]: r for r in out.collect()}
+    release_cached_deps(out)
+    assert rows[101]["corpus_match"] == 1 and not rows[101]["keep"]
+    assert rows[102]["corpus_match"] == 3 and not rows[102]["keep"]
+    for vid in (103, 104, 105):
+        assert rows[vid]["corpus_match"] is None
+    assert rows[103]["keep"]
+    # internal dup pair: min id 104 is the canonical survivor
+    assert rows[104]["keep"] and not rows[105]["keep"]
+    assert rows[104]["component"] == 104 and rows[105]["component"] == 104
+    null_row = next(r for k, r in rows.items() if k is None)
+    assert null_row["keep"] and null_row["component"] is None
+
+
+def test_dedup_against_cosine_index_keep_by(spark, index_path):
+    """keep_by switches the within-increment survivor to the
+    highest-scoring cluster member."""
+    from ddsketchy_spark.pipeline.cache import release_cached_deps
+    from ddsketchy_spark.pipeline.dedup_index import (
+        dedup_against_cosine_index)
+
+    inc = _increment(spark).withColumn(
+        "quality", F.when(F.col("vec_id") == 105, 9.0).otherwise(1.0))
+    out = dedup_against_cosine_index(
+        inc, index_path, threshold=0.9, keep_by="quality")
+    rows = {r["vec_id"]: r for r in out.collect()}
+    release_cached_deps(out)
+    assert rows[105]["keep"] and not rows[104]["keep"]
+
+
+def test_append_and_reprobe(spark, corpus, tmp_path):
+    """Appended survivors match the NEXT increment's probes; n_vecs
+    tracks."""
+    from ddsketchy_spark.pipeline.cache import release_cached_deps
+    from ddsketchy_spark.pipeline.dedup_index import (
+        append_to_cosine_index, cosine_pairs_against_index,
+        write_cosine_index)
+
+    path = str(tmp_path / "index")
+    write_cosine_index(corpus, path, **KW)
+    newbie = spark.createDataFrame(
+        [(200, [-x for x in _vec(3)])], "vec_id long, embedding array<double>")
+    probe0 = cosine_pairs_against_index(newbie, path)
+    hits0 = probe0.where("cos >= 0.9").count()
+    release_cached_deps(probe0)
+    assert hits0 == 0
+    meta = append_to_cosine_index(newbie, path)
+    assert meta["n_vecs"] == 7
+    again = spark.createDataFrame(
+        [(300, [-2.0 * x for x in _vec(3)])],
+        "vec_id long, embedding array<double>")
+    probe1 = cosine_pairs_against_index(again, path)
+    hit = probe1.where("cos >= 0.9").collect()
+    release_cached_deps(probe1)
+    assert len(hit) == 1 and hit[0]["id_corpus"] == 200
+
+
+def test_cosine_index_guards(spark, corpus, tmp_path):
+    from ddsketchy_spark.pipeline.dedup_index import (
+        cosine_pairs_against_index, read_cosine_index, write_cosine_index)
+
+    with pytest.raises(ValueError, match="divide"):
+        write_cosine_index(corpus, str(tmp_path / "x"), n_planes=10, bands=4)
+    with pytest.raises(ValueError, match="BIGINT"):
+        write_cosine_index(corpus, str(tmp_path / "x"), n_planes=64, bands=8)
+    with pytest.raises(FileNotFoundError, match="write_cosine_index"):
+        read_cosine_index(spark, str(tmp_path / "nothere"))
+    path = str(tmp_path / "index")
+    write_cosine_index(corpus, path, **KW)
+    bad_id = spark.createDataFrame(
+        [("s1", _vec(0))], "vec_id string, embedding array<double>")
+    with pytest.raises(ValueError, match="id type"):
+        cosine_pairs_against_index(bad_id, path)
+    bad_dim = spark.createDataFrame(
+        [(9, [1.0, 2.0])], "vec_id long, embedding array<double>")
+    with pytest.raises(ValueError, match="dim"):
+        cosine_pairs_against_index(bad_dim, path)
+    bad_col = spark.createDataFrame([(9,)], "vec_id long")
+    with pytest.raises(ValueError, match="vec_col"):
+        cosine_pairs_against_index(bad_col, path)
+
+
+def test_probe_max_bucket_size(spark, tmp_path):
+    """A degenerate bucket (many identical corpus vectors) is dropped
+    from candidacy when it exceeds the cap — counted over candidate
+    corpus rows, so untouched buckets cost nothing."""
+    from ddsketchy_spark.pipeline.cache import release_cached_deps
+    from ddsketchy_spark.pipeline.dedup_index import (
+        cosine_pairs_against_index, write_cosine_index)
+
+    rows = [(i, _vec(0)) for i in range(10)] + [(50, _vec(5))]
+    corpus = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>")
+    path = str(tmp_path / "index")
+    write_cosine_index(corpus, path, **KW)
+    inc = spark.createDataFrame(
+        [(101, _vec(0, scale=2.0)), (102, _vec(5, scale=2.0))],
+        "vec_id long, embedding array<double>")
+    capped = cosine_pairs_against_index(inc, path, max_bucket_size=5)
+    got = {(r["id_inc"], r["id_corpus"]) for r in capped.collect()}
+    release_cached_deps(capped)
+    # the 10-member boilerplate bucket is dropped; the singleton survives
+    assert got == {(102, 50)}
+    full = cosine_pairs_against_index(inc, path)
+    full_pairs = {(r["id_inc"], r["id_corpus"]) for r in full.collect()}
+    release_cached_deps(full)
+    # uncapped candidacy keeps every boilerplate pair (and possibly more
+    # — near-orthogonal vectors may still share a 4-bit band key)
+    assert {(101, i) for i in range(10)} <= full_pairs
+    assert (102, 50) in full_pairs and got <= full_pairs
+
+
+def test_lsh_cosine_broadcast_null_id(spark):
+    """r4 regression (the minhash twin's bug, mirrored): a NULL-id row
+    crashed lsh_cosine_topk verify='broadcast' (toPandas float64-coerced
+    the id column — the CLAUDE.md pandas-NULL trap — so the Arrow scorer
+    emitted float64 ids under a bigint-declared schema). Law, now
+    explicit for both engines: NULL ids never enter the pair graph."""
+    from ddsketchy_spark.pipeline.cache import release_cached_deps
+    from ddsketchy_spark.pipeline.similarity import lsh_cosine_topk
+
+    df = spark.createDataFrame(
+        [(1, _vec(0)), (2, _vec(0, scale=2.0)), (None, _vec(0))],
+        "vec_id long, embedding array<double>")
+    for verify in ("broadcast", "local"):
+        topk = lsh_cosine_topk(df, k=5, verify=verify, **KW)
+        got = sorted((r["id"], r["neighbor"]) for r in topk.collect())
+        release_cached_deps(topk)
+        assert got == [(1, 2), (2, 1)], verify

@@ -374,6 +374,28 @@ def main() -> None:
                     r"SortMergeJoin", r"BatchEvalPython", r"ArrowEvalPython",
                     r"FlatMapGroupsInPandas", r"(MapInArrow|PythonMapInArrow)"],
         )
+
+        # cosine (semantic) index probe: same contract as the minhash
+        # probe — corpus bands/vecs tables only scanned, increment side
+        # broadcast, no cartesian; the two mapInArrow nodes (enrichment +
+        # einsum scorer) are the intended Python
+        from ddsketchy_spark.pipeline.dedup_index import (
+            cosine_pairs_against_index, write_cosine_index)
+
+        emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+        write_cosine_index(emb.limit(200), f"{tmpd}/cosidx",
+                           n_planes=16, bands=4)
+        cinc = emb.limit(20).select(
+            (F.col("vec_id") + 900000).alias("vec_id"), "embedding")
+        cprobe = cosine_pairs_against_index(cinc, f"{tmpd}/cosidx",
+                                            broadcast_increment=True)
+        results["cosine_index_probe"] = audit(
+            "cosine_index_probe", cprobe,
+            want=[r"BroadcastHashJoin", r"(MapInArrow|PythonMapInArrow)"],
+            reject=[r"CartesianProduct", r"BroadcastNestedLoopJoin",
+                    r"BatchEvalPython", r"ArrowEvalPython",
+                    r"FlatMapGroupsInPandas"],
+        )
     finally:
         shutil.rmtree(tmpd, ignore_errors=True)
 
