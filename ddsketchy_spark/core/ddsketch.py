@@ -209,8 +209,11 @@ class DDSketch:
     def __len__(self) -> int:
         return self.count
 
-    @property
     def is_empty(self) -> bool:
+        # a METHOD, not a property: the reference binding exposes count/
+        # sum/mean/min/max/alpha as getters but is_empty as a plain
+        # method (reference src/python.rs:62-99) — a property here would
+        # break `sk.is_empty()` for users switching from the reference
         return self.count == 0
 
     @property

@@ -116,7 +116,7 @@ def test_empty_sketch():
     sk = DDSketch(0.01)
     assert sk.count == 0
     assert len(sk) == 0
-    assert sk.is_empty
+    assert sk.is_empty()
     assert sk.quantile(0.5) == 0.0
     assert sk.quantile_opt(0.5) is None
     assert sk.min == math.inf
@@ -426,13 +426,13 @@ def test_python_binding_surface():
     assert sk.count == 3 and len(sk) == 3
     assert sk.sum == 6.0
     assert sk.mean == 2.0
-    assert not sk.is_empty
+    assert not sk.is_empty()
     p = sk.percentiles()
     assert len(p) == 4
     r = repr(sk)
     assert r.startswith("DDSketch(count=3")
     sk.clear()
-    assert sk.is_empty and sk.alpha == pytest.approx(0.01)
+    assert sk.is_empty() and sk.alpha == pytest.approx(0.01)
 
 
 def test_accuracy_10k_linear():

@@ -98,7 +98,7 @@ def test_clear_repr_empty():
     sk = DDSketch.from_values([1.0, 2.0, 3.0])
     assert "count=3" in repr(sk)
     sk.clear()
-    assert sk.is_empty and sk.count == 0
+    assert sk.is_empty() and sk.count == 0
     assert sk.quantile(0.5) == 0.0
     assert sk.mean == 0.0
     assert str(sk).startswith("DDSketch(")
