@@ -1164,6 +1164,56 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["dedup_semantic_incremental_embeddings"] = \
         dedup_semantic_incremental_embeddings
 
+    def bloom_novelty_documents(spark, sf):
+        """Bloom n-gram decontamination/novelty index
+        (pipeline/novelty.py): the first five documents act as the
+        benchmark, indexed ONCE as a Bloom blob (fpr 1e-9 — expected
+        false positives over the whole corpus probe ~ 1e-4, i.e. none);
+        every document then probes the broadcast bitmap with zero
+        benchmark I/O. DuckDB re-derives docs / contaminated /
+        seen-gram / fully-novel counts from the exact string-gram join;
+        no_false_negatives is the Spark-side law assertion (per-doc
+        bloom n_seen >= exact n_seen — Bloom can never miss)."""
+        import shutil
+        import tempfile
+
+        from ddsketchy_spark.pipeline.novelty import (
+            _gram_hashes, novelty_against_index, write_ngram_bloom_index)
+
+        docs = _load(spark, sf, "documents").select("doc_id", "text")
+        bench = docs.filter("doc_id < 5")
+        tmp = tempfile.mkdtemp(prefix="ddsketchy_bloomidx_")
+        try:
+            path = f"{tmp}/index"
+            write_ngram_bloom_index(bench, path, n=13, fpr=1e-9)
+            scored = novelty_against_index(docs, path)
+            bg = _gram_hashes(bench, "text", 13).dropDuplicates()
+            ig = _gram_hashes(docs, "text", 13, F.col("doc_id"))
+            exact = (ig.join(bg, "gh", "left_semi")
+                     .groupBy("doc_id").agg(F.count(F.lit(1)).alias("_e")))
+            j = (scored.join(exact, "doc_id", "left")
+                 .withColumn("_e", F.coalesce("_e", F.lit(0))))
+            agg = j.agg(
+                F.count(F.lit(1)).alias("docs"),
+                F.sum((F.col("n_seen") > 0).cast("long"))
+                .alias("contaminated_docs"),
+                F.sum("n_seen").alias("seen_grams"),
+                F.sum(((F.col("n_grams") > 0) & (F.col("n_seen") == 0))
+                      .cast("long")).alias("fully_novel_docs"),
+                F.min((F.col("n_seen") >= F.col("_e")).cast("long"))
+                .alias("_nfn"),
+            ).collect()[0]
+            return spark.createDataFrame(
+                [(int(agg["docs"]), int(agg["contaminated_docs"]),
+                  int(agg["seen_grams"]), int(agg["fully_novel_docs"]),
+                  bool(agg["_nfn"] == 1))],
+                "docs long, contaminated_docs long, seen_grams long, "
+                "fully_novel_docs long, no_false_negatives boolean")
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
+
+    q["bloom_novelty_documents"] = bloom_novelty_documents
+
     def substring_pairs_documents(spark, sf):
         """Span-level dedup signal (pipeline/dedup.py
         substring_overlap_pairs): winnowing-backed candidate pairs
@@ -2166,6 +2216,23 @@ SELECT CAST((SELECT count(*) FROM inc) AS BIGINT) AS inc_docs,
             - COALESCE((SELECT sum(c - 1) FROM w WHERE c > 1), 0) AS BIGINT)
          AS kept,
        TRUE AS cross_exact_complete
+"""
+    o["bloom_novelty_documents"] = """
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents
+           WHERE text IS NOT NULL),
+ci AS (SELECT doc_id, words, unnest(generate_series(1, len(words) - 12)) AS p
+       FROM w WHERE len(words) >= 13),
+cg AS (SELECT doc_id, array_to_string(words[p:p+12], ' ') AS gram FROM ci),
+bg AS (SELECT DISTINCT gram FROM cg WHERE doc_id < 5),
+seen AS (SELECT doc_id, count(*) AS s FROM cg JOIN bg USING (gram)
+         GROUP BY 1),
+pg AS (SELECT count(DISTINCT doc_id) AS with_grams FROM cg)
+SELECT CAST((SELECT count(*) FROM documents) AS BIGINT) AS docs,
+       CAST((SELECT count(*) FROM seen) AS BIGINT) AS contaminated_docs,
+       CAST(COALESCE((SELECT sum(s) FROM seen), 0) AS BIGINT) AS seen_grams,
+       CAST((SELECT with_grams FROM pg)
+            - (SELECT count(*) FROM seen) AS BIGINT) AS fully_novel_docs,
+       TRUE AS no_false_negatives
 """
     o["winnowing_fingerprints_docs"] = _winnowing_sql(k=5, window=4)
     o["lsh_cosine_topk_embeddings"] = """

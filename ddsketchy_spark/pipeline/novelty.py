@@ -1,0 +1,238 @@
+"""Bloom n-gram index: decontamination and novelty scoring at 100 TB.
+
+The exact-join decontamination pass (``text.decontaminate``) re-reads and
+re-joins the benchmark every run. When the reference gram set is STABLE —
+eval benchmarks, blocklists, a frozen reference corpus — the scalable
+shape is a persistent Bloom filter over the reference's word-n-gram
+hashes: a one-time build, then every increment probes a broadcast bitmap
+with ZERO reference I/O and zero join shuffle.
+
+- ``write_ngram_bloom_index`` — reference docs -> one Bloom blob +
+  ``_ngram_bloom.json`` parameter sidecar (Hadoop FS: local/HDFS/s3a).
+- ``novelty_against_index`` — per-doc (n_grams, n_seen, novel_frac):
+  the fraction of a doc's n-grams ABSENT from the reference, a
+  freshness/duplication signal for crawl triage.
+- ``decontaminate_against_index`` — GPT-3-style contamination drop
+  (Lee/Brown et al.: any shared 13-gram): Bloom filters have NO false
+  negatives, so a contaminated doc is ALWAYS flagged — the error budget
+  only ever drops ~fpr extra clean docs, the safe direction for
+  decontamination.
+- ``append_to_ngram_bloom_index`` — OR new reference grams into the blob
+  (Bloom merge is bitwise OR: associative, idempotent).
+
+Laws, all shared with the batch operators so the two paths can never
+diverge: grams are ``text._gram_rows`` (the codegen transform/slice law
+of ``ngram_counts``/``contamination_pairs``), gram identity is
+``xxhash64(gram)`` (``contamination_pairs``' hash), and the filter is
+``core.bloom.BloomFilter`` with hash_kind="spark" — probe i is
+``pmod(xxhash64(key, i), n_bits)``, so the JVM-side distributed build
+(``companions.bloom_state(engine="native")``: only distinct set-bit
+positions ever leave the executors) and the NumPy probe are bit-identical.
+
+Scale shape: the build shuffles O(distinct set-bit positions) <= n_bits
+rows regardless of corpus size; the probe broadcasts one blob (16 MB per
+~10^7 grams at 1% fpr — benchmark-scale sets are single-digit MB) and
+runs one vectorized pandas probe per Arrow batch plus a map-side-
+combining per-doc count. Nothing about the reference is ever rescanned.
+For reference sets too big for one executor-resident bitmap (a full
+10^12-gram corpus), shard the index by gram-hash prefix and probe each
+shard's increment slice — out of scope here and documented as such.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..core.bloom import BloomFilter
+from .fsio import read_json_sidecar, write_json_sidecar
+
+_SIDECAR = "_ngram_bloom.json"
+_BLOB = "bloom.bin"
+
+
+def _write_blob(spark, dir_path: str, name: str, blob: bytes) -> None:
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(dir_path.rstrip("/") + "/" + name)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    out = fs.create(hpath, True)
+    try:
+        out.write(bytearray(blob))
+    finally:
+        out.close()
+
+
+def _read_blob(spark, dir_path: str, name: str) -> bytes:
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(dir_path.rstrip("/") + "/" + name)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    stream = fs.open(hpath)
+    try:
+        raw = jvm.org.apache.commons.io.IOUtils.toByteArray(stream)
+    finally:
+        stream.close()
+    return bytes(raw)
+
+
+def _gram_hashes(df: DataFrame, text_col: str, n: int, *extra_cols):
+    """(extra_cols..., gh): xxhash64 of each word n-gram — the shared
+    gram + hash law (text._gram_rows / contamination_pairs)."""
+    from .text import _gram_rows
+
+    rows = _gram_rows(df, text_col, n, "_gram", *extra_cols)
+    return rows.select(*[c for c in rows.columns if c != "_gram"],
+                       F.xxhash64("_gram").alias("gh"))
+
+
+def write_ngram_bloom_index(
+    df: DataFrame,
+    path: str,
+    n: int = 13,
+    text_col: str = "text",
+    fpr: float = 0.01,
+    n_bits: int | None = None,
+    n_hashes: int | None = None,
+) -> dict:
+    """Build and persist a Bloom filter over ``df``'s distinct word
+    n-gram hashes under ``path``. Returns the sidecar dict.
+
+    Sizing: pass ``n_bits``/``n_hashes`` explicitly, or they are derived
+    from the DISTINCT gram count at the target ``fpr`` — counted with
+    Spark's HLL (``approx_count_distinct``, one pass, +20% headroom for
+    its error) rather than an exact count-distinct shuffle. The build
+    itself aggregates distinct (position) rows JVM-side
+    (``bloom_state(engine="native")``): at most n_bits rows cross the
+    wire however large the reference corpus is."""
+    from ..spark.companions import bloom_state
+
+    grams = _gram_hashes(df, text_col, n).dropDuplicates()
+    if n_bits is None or n_hashes is None:
+        est = grams.agg(
+            F.approx_count_distinct("gh").alias("d")).collect()[0]["d"]
+        auto_bits, auto_hashes = BloomFilter.params_for_capacity(
+            max(int(est * 1.2), 1), fpr)
+        n_bits = n_bits or auto_bits
+        n_hashes = n_hashes or auto_hashes
+    out = bloom_state(grams, "gh", n_bits=n_bits, n_hashes=n_hashes,
+                      engine="native")
+    spark = df.sparkSession
+    _write_blob(spark, path, _BLOB, out["state"])
+    meta = {
+        "format_version": 1,
+        "n": int(n),
+        "text_col": text_col,
+        "n_bits": int(n_bits),
+        "n_hashes": int(n_hashes),
+        "n_grams": int(out["n_added"]),
+        "fill_ratio": float(out["fill_ratio"]),
+        "law": "xxhash64(word n-gram); probe i = pmod(xxhash64(gh, i), "
+               "n_bits)",
+    }
+    write_json_sidecar(spark, path, _SIDECAR, meta)
+    return meta
+
+
+def read_ngram_bloom_index(spark: SparkSession, path: str
+                           ) -> tuple[bytes, dict]:
+    """Load a ``write_ngram_bloom_index`` artifact: (blob, meta)."""
+    meta = read_json_sidecar(
+        spark, path, _SIDECAR,
+        "not a write_ngram_bloom_index artifact (build it with "
+        "write_ngram_bloom_index so the gram/hash law travels with it)")
+    return _read_blob(spark, path, _BLOB), meta
+
+
+def _resolve(spark, index):
+    if isinstance(index, str):
+        return read_ngram_bloom_index(spark, index)
+    blob, meta = index
+    return blob, meta
+
+
+def novelty_against_index(
+    df: DataFrame,
+    index,
+    text_col: str | None = None,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document novelty vs an indexed reference: one row per input
+    row with ``n_grams`` (the doc's word-n-gram count under the index's
+    ``n``), ``n_seen`` (grams the Bloom filter reports as present — no
+    false negatives, ~fpr false positives), and ``novel_frac`` =
+    1 - n_seen/n_grams.
+
+    Sentinels, never NULLs: docs with NULL text or fewer than ``n`` words
+    have no grams — n_grams = n_seen = 0 and novel_frac = -1.0. NULL-id
+    rows get the same sentinel (a NULL key never joins its counts back);
+    ids are assumed unique — duplicate ids pool their gram counts.
+
+    Plan: gram rows (codegen) -> one vectorized broadcast-blob probe per
+    Arrow batch -> map-side-combining per-id count -> left join back.
+    O(rows x grams) probe work but only (id, bool) rows shuffle."""
+    from ..spark.joins import bloom_probe_column
+
+    spark = df.sparkSession
+    blob, meta = _resolve(spark, index)
+    tcol = text_col or meta["text_col"]
+    if tcol not in df.columns:
+        raise ValueError(f"no {tcol!r} column to score (index text_col)")
+    grams = _gram_hashes(df, tcol, meta["n"], F.col(id_col))
+    seen = grams.withColumn(
+        "_seen", bloom_probe_column(grams, "gh", blob).cast("long"))
+    per_doc = (seen.groupBy(id_col)
+               .agg(F.count(F.lit(1)).alias("n_grams"),
+                    F.sum("_seen").alias("n_seen")))
+    out = (df.join(per_doc, id_col, "left")
+           .withColumn("n_grams", F.coalesce("n_grams", F.lit(0)))
+           .withColumn("n_seen", F.coalesce("n_seen", F.lit(0)))
+           .withColumn(
+               "novel_frac",
+               F.when(F.col("n_grams") > 0,
+                      1.0 - F.col("n_seen") / F.col("n_grams"))
+               .otherwise(F.lit(-1.0))))
+    return out
+
+
+def decontaminate_against_index(
+    df: DataFrame,
+    index,
+    text_col: str | None = None,
+    id_col: str = "doc_id",
+    max_seen: int = 0,
+) -> DataFrame:
+    """Drop documents sharing more than ``max_seen`` word n-grams with
+    the indexed reference — the GPT-3 13-gram contamination rule
+    (``max_seen=0``: any shared gram contaminates) against a benchmark
+    indexed ONCE.
+
+    Bloom filters have no false negatives, so every truly contaminated
+    doc IS dropped; the fpr only ever drops extra clean docs — the safe
+    failure direction for decontamination. Docs with no grams (short or
+    NULL text) are kept, matching ``text.decontaminate``'s law."""
+    scored = novelty_against_index(df, index, text_col=text_col,
+                                   id_col=id_col)
+    return (scored.where(F.col("n_seen") <= max_seen)
+            .drop("n_grams", "n_seen", "novel_frac"))
+
+
+def append_to_ngram_bloom_index(df: DataFrame, path: str,
+                                text_col: str | None = None) -> dict:
+    """OR new reference documents' grams into an existing index under
+    its OWN sidecar parameters (Bloom merge is bitwise OR — associative
+    and idempotent, so re-appending overlapping grams is harmless;
+    ``n_grams`` counts newly-added DISTINCT gram hashes, which may
+    double-count grams already present from earlier generations)."""
+    from ..spark.companions import bloom_state
+
+    spark = df.sparkSession
+    blob, meta = read_ngram_bloom_index(spark, path)
+    tcol = text_col or meta["text_col"]
+    grams = _gram_hashes(df, tcol, meta["n"]).dropDuplicates()
+    out = bloom_state(grams, "gh", n_bits=meta["n_bits"],
+                      n_hashes=meta["n_hashes"], engine="native")
+    merged = BloomFilter.from_bytes(blob).merge(
+        BloomFilter.from_bytes(out["state"]))
+    _write_blob(spark, path, _BLOB, merged.to_bytes())
+    meta["n_grams"] = int(meta["n_grams"]) + int(out["n_added"])
+    meta["fill_ratio"] = float(merged.fill_ratio)
+    write_json_sidecar(spark, path, _SIDECAR, meta)
+    return meta

@@ -1,0 +1,126 @@
+"""Bloom n-gram index: decontamination + novelty (pipeline/novelty.py).
+
+Laws under test: gram/hash identity shared with text._gram_rows /
+contamination_pairs; NO false negatives (every truly-seen gram reports
+seen, every contaminated doc is dropped); sentinel contract for gramless
+rows; append = bitwise-OR merge.
+"""
+
+import pytest
+
+from pyspark.sql import functions as F
+
+N = 3  # test-sized gram order (the operators default to 13)
+
+CORPUS = [
+    (1, "the quick brown fox jumps over the lazy dog"),
+    (2, "training data pipelines shuffle narrow rows never text"),
+    (3, "a reference corpus sentence about owls and rivers tonight"),
+]
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    return spark.createDataFrame(CORPUS, "doc_id long, text string")
+
+
+@pytest.fixture(scope="module")
+def index_path(spark, corpus, tmp_path_factory):
+    from ddsketchy_spark.pipeline.novelty import write_ngram_bloom_index
+
+    path = str(tmp_path_factory.mktemp("bloomidx") / "index")
+    meta = write_ngram_bloom_index(corpus, path, n=N, fpr=0.001)
+    assert meta["n"] == N and meta["n_grams"] > 0
+    assert 0.0 < meta["fill_ratio"] < 0.5
+    return path
+
+
+def test_no_false_negatives_and_exact_parity(spark, corpus, index_path):
+    """An exact copy of a corpus doc scores novel_frac 0.0 (every gram
+    seen — Bloom never misses); per-doc n_seen >= the exact-join count
+    on every row; a fresh doc's grams are (at this filter size) unseen."""
+    from ddsketchy_spark.pipeline.novelty import (
+        _gram_hashes, novelty_against_index)
+
+    inc = spark.createDataFrame(
+        [(101, CORPUS[0][1]),
+         (102, "an entirely novel document with words the corpus lacks"),
+         (103, CORPUS[1][1] + " plus a novel tail of extra words here")],
+        "doc_id long, text string")
+    out = {r["doc_id"]: r for r in
+           novelty_against_index(inc, index_path, id_col="doc_id").collect()}
+    assert out[101]["novel_frac"] == 0.0
+    assert out[101]["n_seen"] == out[101]["n_grams"] > 0
+    # exact ground truth by joining gram hashes
+    corpus_g = _gram_hashes(corpus, "text", N).dropDuplicates()
+    inc_g = _gram_hashes(inc, "text", N, F.col("doc_id"))
+    exact = {r["doc_id"]: r["e"] for r in
+             (inc_g.join(corpus_g, "gh", "left_semi")
+              .groupBy("doc_id").agg(F.count(F.lit(1)).alias("e"))
+              .collect())}
+    for did, r in out.items():
+        assert r["n_seen"] >= exact.get(did, 0), did  # no false negatives
+    # the partially-contaminated doc saw at least its corpus-sourced grams
+    assert out[103]["n_seen"] >= exact[103] > 0
+    assert 0.0 < out[103]["novel_frac"] < 1.0
+    # fresh doc: deterministic for this data/filter — fully novel
+    assert out[102]["novel_frac"] == 1.0
+
+
+def test_sentinels_for_gramless_rows(spark, index_path):
+    from ddsketchy_spark.pipeline.novelty import novelty_against_index
+
+    inc = spark.createDataFrame(
+        [(201, None), (202, "too short"), (None, CORPUS[0][1])],
+        "doc_id long, text string")
+    rows = novelty_against_index(inc, index_path).collect()
+    got = {r["doc_id"]: (r["n_grams"], r["n_seen"], r["novel_frac"])
+           for r in rows}
+    assert got[201] == (0, 0, -1.0)
+    assert got[202] == (0, 0, -1.0)
+    assert got[None] == (0, 0, -1.0)  # NULL key never joins back
+
+
+def test_decontaminate_against_index(spark, index_path):
+    """Any shared n-gram -> dropped (no false negatives = every
+    contaminated doc goes); gramless docs are kept, matching
+    text.decontaminate's law."""
+    from ddsketchy_spark.pipeline.novelty import decontaminate_against_index
+
+    inc = spark.createDataFrame(
+        [(101, CORPUS[2][1]),                              # contaminated
+         (102, "fresh words that never appeared anywhere before now"),
+         (103, "tiny"), (104, None)],
+        "doc_id long, text string")
+    kept = sorted(r["doc_id"] for r in
+                  decontaminate_against_index(inc, index_path).collect())
+    assert kept == [102, 103, 104]
+
+
+def test_append_and_reprobe(spark, corpus, tmp_path):
+    from ddsketchy_spark.pipeline.novelty import (
+        append_to_ngram_bloom_index, novelty_against_index,
+        write_ngram_bloom_index)
+
+    path = str(tmp_path / "index")
+    write_ngram_bloom_index(corpus, path, n=N, fpr=0.001)
+    newdoc = spark.createDataFrame(
+        [(500, "completely new benchmark sentence to fold into the index")],
+        "doc_id long, text string")
+    before = novelty_against_index(newdoc, path).collect()[0]
+    assert before["novel_frac"] == 1.0
+    meta = append_to_ngram_bloom_index(newdoc, path)
+    assert meta["n_grams"] > 0
+    after = novelty_against_index(newdoc, path).collect()[0]
+    assert after["novel_frac"] == 0.0  # its own grams now all present
+
+
+def test_bloom_index_guards(spark, corpus, tmp_path, index_path):
+    from ddsketchy_spark.pipeline.novelty import (
+        novelty_against_index, read_ngram_bloom_index)
+
+    with pytest.raises(FileNotFoundError, match="write_ngram_bloom_index"):
+        read_ngram_bloom_index(spark, str(tmp_path / "nothere"))
+    no_text = spark.createDataFrame([(1,)], "doc_id long")
+    with pytest.raises(ValueError, match="text_col"):
+        novelty_against_index(no_text, index_path)
