@@ -1214,6 +1214,53 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["bloom_novelty_documents"] = bloom_novelty_documents
 
+    def rollup_drift_events(spark, sf):
+        """Sketch-state drift between two rollup snapshots
+        (spark/rollup.py rollup_drift): the even-event half is snapshot
+        v0, the odd half folds in as v1 (one pass over the NEW rows
+        only), then the drift report joins the two versions' finalized
+        estimates per event_type — all from KB-scale state blobs, no
+        data rescans. Uncollapsed DDSketch merges are bit-identical to
+        one-shot builds, so DuckDB re-derives BOTH versions' p50 exactly
+        (the zero-bucket-aware bucket walk) along with the exact
+        count drift."""
+        import shutil
+        import tempfile
+
+        from ddsketchy_spark.spark.ddsketch_agg import DDSketchAggregator
+        from ddsketchy_spark.spark.rollup import rollup_drift, update_rollup
+
+        ev = _load(spark, sf, "events").select(
+            "event_id", "event_type", "value")
+        agg = DDSketchAggregator("value", alpha=ALPHA, quantiles=(0.5,))
+        tmp = tempfile.mkdtemp(prefix="ddsketchy_drift_")
+        try:
+            root = f"{tmp}/rollup"
+            update_rollup(spark, root,
+                          ev.where("event_id % 2 = 0").drop("event_id"),
+                          agg, ["event_type"])
+            update_rollup(spark, root,
+                          ev.where("event_id % 2 = 1").drop("event_id"),
+                          agg, ["event_type"])
+            d = rollup_drift(spark, root, agg, ["event_type"])
+            rows = (d.select(
+                "event_type", "status",
+                F.col("count_old").alias("cnt_old"),
+                F.col("count_new").alias("cnt_new"),
+                F.col("delta_count").alias("delta_cnt"),
+                _r6(F.col("p50_old")).alias("p50_old"),
+                _r6(F.col("p50_new")).alias("p50_new"))
+                .orderBy("event_type").collect())
+            # materialized before the rollup dir is deleted
+            return spark.createDataFrame(
+                rows, "event_type string, status string, cnt_old long, "
+                      "cnt_new long, delta_cnt long, p50_old double, "
+                      "p50_new double")
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
+
+    q["rollup_drift_events"] = rollup_drift_events
+
     def substring_pairs_documents(spark, sf):
         """Span-level dedup signal (pipeline/dedup.py
         substring_overlap_pairs): winnowing-backed candidate pairs
@@ -2216,6 +2263,19 @@ SELECT CAST((SELECT count(*) FROM inc) AS BIGINT) AS inc_docs,
             - COALESCE((SELECT sum(c - 1) FROM w WHERE c > 1), 0) AS BIGINT)
          AS kept,
        TRUE AS cross_exact_complete
+"""
+    _drift_old = _dds_oracle(
+        "(SELECT event_type, value FROM events WHERE event_id % 2 = 0) eo",
+        "value", (0.5,), by="event_type")
+    _drift_new = _dds_oracle("events", "value", (0.5,), by="event_type")
+    o["rollup_drift_events"] = f"""
+WITH old_v AS ({_drift_old}),
+new_v AS ({_drift_new})
+SELECT o.event_type, 'both' AS status,
+       o.cnt AS cnt_old, n.cnt AS cnt_new, n.cnt - o.cnt AS delta_cnt,
+       o.p50 AS p50_old, n.p50 AS p50_new
+FROM old_v o JOIN new_v n USING (event_type)
+ORDER BY o.event_type
 """
     o["bloom_novelty_documents"] = """
 WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents

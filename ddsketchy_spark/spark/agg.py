@@ -220,6 +220,10 @@ def _group_ids(tbl: pa.Table, by: Sequence[str]) -> tuple[np.ndarray, list[tuple
     an Arrow int64 column and would crash the executor. Real NaN keys (from
     a float key column) are canonicalized so they form ONE group, matching
     Spark's groupBy NaN normalization."""
+    if not by:
+        # global aggregate: every row is the one group (makes by=[] work
+        # uniformly through build/merge/rollup instead of a special case)
+        return np.zeros(tbl.num_rows, dtype=np.int64), [()]
     cols = [[_norm_key(v) for v in tbl.column(k).to_pylist()] for k in by]
     gids = np.empty(len(cols[0]), dtype=np.int64)
     seen: dict[tuple, int] = {}
@@ -320,6 +324,11 @@ def merge_grouped(
             schema=out_arrow)
 
     n_parts = partials.sparkSession.sparkContext.defaultParallelism
+    if not by:
+        # global (by=[]): every partition would otherwise emit its own
+        # "global" row — fold everything into one task (blob rows are
+        # KB-scale; for wide fan-in use merge_rounds > 1 or merge_global)
+        return partials.repartition(1).mapInArrow(final_merge, out_schema)
     return partials.repartition(n_parts, *by).mapInArrow(final_merge, out_schema)
 
 

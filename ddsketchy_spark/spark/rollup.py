@@ -111,3 +111,79 @@ def read_rollup(
     # a snapshot has exactly one state per key; merge_grouped degenerates
     # to per-key finalize
     return merge_grouped(states, agg, list(by))
+
+
+def read_rollup_version(spark: SparkSession, root: str,
+                        version: int) -> DataFrame:
+    """A SPECIFIC snapshot's (by..., state) rows; FileNotFoundError when
+    that version does not exist or is incomplete (no ``_SUCCESS``)."""
+    fs, _, jvm = _fs_and_path(spark, root)
+    snap = _snapshot_dir(root, version)
+    if not fs.exists(jvm.org.apache.hadoop.fs.Path(snap + "/_SUCCESS")):
+        raise FileNotFoundError(
+            f"no complete rollup snapshot v={version} under {root!r}")
+    return spark.read.parquet(snap)
+
+
+def rollup_drift(
+    spark: SparkSession,
+    root: str,
+    agg: SketchAggregator,
+    by: Sequence[str],
+    v_old: int | None = None,
+    v_new: int | None = None,
+) -> DataFrame:
+    """Per-key estimate drift between two rollup snapshots — the corpus
+    health check between crawls (did a source's token-length p99 move?
+    did a key's volume spike?), computed WITHOUT rescanning any data:
+    both sides are the snapshots' KB-scale state blobs, finalized exactly
+    as ``read_rollup`` would report each version.
+
+    ``v_new`` defaults to the latest complete version, ``v_old`` to
+    ``v_new - 1``. Output: by..., ``status`` ('added' = key only in new,
+    'removed' = only in old — impossible for snapshots of one rollup
+    lineage, kept for cross-root comparisons and corruption visibility,
+    'both' otherwise), then for every finalize column c of ``agg``:
+    ``c_old``, ``c_new``, and (numeric c) ``delta_c = c_new - c_old``
+    (NULL when either side is missing).
+
+    Scale shape: reads two state tables (one KB-scale blob per key), one
+    per-key finalize pass each, one key-only full-outer join — no data
+    rescans, no row shuffles beyond O(keys)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import (
+        DoubleType, FloatType, IntegerType, LongType)
+
+    by = list(by)
+    if v_new is None:
+        v_new = latest_version(spark, root)
+        if v_new < 0:
+            raise FileNotFoundError(f"no rollup snapshots under {root!r}")
+    if v_old is None:
+        v_old = v_new - 1
+    if v_old < 0:
+        raise ValueError(
+            f"v_old={v_old}: need two snapshots to drift (update the "
+            "rollup at least twice)")
+    if v_old == v_new:
+        raise ValueError("v_old == v_new — nothing to compare")
+    fields = agg.output_fields()
+    sides = {}
+    for tag, v in (("old", v_old), ("new", v_new)):
+        est = merge_grouped(read_rollup_version(spark, root, v), agg, by)
+        sides[tag] = est.select(
+            *by, *[F.col(f.name).alias(f"{f.name}_{tag}") for f in fields],
+            F.lit(True).alias(f"_in_{tag}"))
+    j = (sides["old"].join(sides["new"], by, "full_outer") if by
+         else sides["old"].crossJoin(sides["new"]))
+    status = (F.when(F.col("_in_old").isNull(), F.lit("added"))
+              .when(F.col("_in_new").isNull(), F.lit("removed"))
+              .otherwise(F.lit("both")))
+    numeric = (LongType, IntegerType, DoubleType, FloatType)
+    cols = [F.col(c) for c in by] + [status.alias("status")]
+    for f in fields:
+        cols += [F.col(f"{f.name}_old"), F.col(f"{f.name}_new")]
+        if isinstance(f.dataType, numeric):
+            cols.append((F.col(f"{f.name}_new") - F.col(f"{f.name}_old"))
+                        .alias(f"delta_{f.name}"))
+    return j.select(*cols)

@@ -62,3 +62,67 @@ def test_new_keys_appear_old_keys_survive(spark, tmp_path):
 def test_empty_rollup_returns_none(spark, tmp_path):
     agg = DDSketchAggregator("v")
     assert read_rollup(spark, str(tmp_path / "nope"), agg, ["k"]) is None
+
+
+def test_rollup_drift_between_versions(spark, tmp_path):
+    """Drift between two snapshots: counts/sums/deltas exact vs the raw
+    halves, quantile estimates = the per-version read_rollup values,
+    'added' status for a key the old snapshot lacks, defaults pick
+    (latest-1, latest)."""
+    from ddsketchy_spark.spark.rollup import rollup_drift
+
+    agg = DDSketchAggregator("v", quantiles=(0.5,))
+    root = str(tmp_path / "rollup3")
+    d1 = spark.createDataFrame(
+        [("a", float(i + 1)) for i in range(100)]
+        + [("c", float(i + 1)) for i in range(40)], "k string, v double")
+    d2 = spark.createDataFrame(
+        [("a", float(i + 1)) for i in range(50)]
+        + [("b", 7.0)], "k string, v double")
+    update_rollup(spark, root, d1, agg, ["k"])
+    update_rollup(spark, root, d2, agg, ["k"])
+    drift = {r["k"]: r for r in
+             rollup_drift(spark, root, agg, ["k"]).collect()}
+    assert set(drift) == {"a", "b", "c"}
+    a = drift["a"]
+    assert a["status"] == "both"
+    assert (a["count_old"], a["count_new"], a["delta_count"]) == (100, 150, 50)
+    assert a["sum_new"] - a["sum_old"] == sum(range(1, 51))
+    b = drift["b"]
+    assert b["status"] == "added"
+    assert b["count_old"] is None and b["count_new"] == 1
+    assert b["delta_count"] is None and b["p50_new"] == 7.0
+    c = drift["c"]
+    assert c["status"] == "both" and c["delta_count"] == 0
+    # quantile columns match the per-version finalize exactly
+    old_est = {r["k"]: r for r in
+               read_rollup(spark, root, agg, ["k"]).collect()}
+    assert drift["a"]["p50_new"] == old_est["a"]["p50"]
+    # guards
+    import pytest
+
+    with pytest.raises(ValueError, match="two snapshots"):
+        rollup_drift(spark, root, agg, ["k"], v_old=-1, v_new=0)
+    with pytest.raises(ValueError, match="nothing to compare"):
+        rollup_drift(spark, root, agg, ["k"], v_old=1, v_new=1)
+    with pytest.raises(FileNotFoundError, match="v=9"):
+        rollup_drift(spark, root, agg, ["k"], v_old=0, v_new=9)
+
+
+def test_rollup_drift_global(spark, tmp_path):
+    """Empty `by`: one global row, deltas exact."""
+    from ddsketchy_spark.spark.rollup import rollup_drift
+
+    agg = DDSketchAggregator("v", quantiles=(0.5,))
+    root = str(tmp_path / "rollup4")
+    d1 = spark.createDataFrame([(float(i + 1),) for i in range(64)],
+                               "v double")
+    d2 = spark.createDataFrame([(1000.0,)], "v double")
+    update_rollup(spark, root, d1, agg, [])
+    update_rollup(spark, root, d2, agg, [])
+    rows = rollup_drift(spark, root, agg, []).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["status"] == "both"
+    assert (r["count_old"], r["count_new"], r["delta_count"]) == (64, 65, 1)
+    assert r["max_new"] >= 990.0  # the spike is visible in the drift row
