@@ -1261,6 +1261,54 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["rollup_drift_events"] = rollup_drift_events
 
+    def theta_overlap_events(spark, sf):
+        """Per-key SET overlap between two Theta rollup snapshots
+        (spark/rollup.py theta_rollup_overlap): distinct users by
+        event_type, v0 = the even-event half, v1 folds in the odd half;
+        the overlap report (old/new/union/intersection/new-only/jaccard)
+        is computed from the two snapshots' state blobs ALONE via Theta
+        set algebra. k=4096 keeps every sketch in exact mode at this
+        scale (exact_mode=TRUE is part of the contract), so DuckDB
+        re-derives every estimate as an exact distinct count."""
+        import shutil
+        import tempfile
+
+        from ddsketchy_spark.spark.companions import ThetaAggregator
+        from ddsketchy_spark.spark.rollup import (
+            theta_rollup_overlap, update_rollup)
+
+        ev = _load(spark, sf, "events").select(
+            "event_id", "event_type", "user_id")
+        agg = ThetaAggregator("user_id", k=4096)
+        tmp = tempfile.mkdtemp(prefix="ddsketchy_thetaov_")
+        try:
+            root = f"{tmp}/rollup"
+            update_rollup(spark, root,
+                          ev.where("event_id % 2 = 0").drop("event_id"),
+                          agg, ["event_type"])
+            update_rollup(spark, root,
+                          ev.where("event_id % 2 = 1").drop("event_id"),
+                          agg, ["event_type"])
+            ov = theta_rollup_overlap(spark, root, agg, ["event_type"])
+            rows = (ov.select(
+                "event_type",
+                _r6(F.col("est_old")).alias("est_old"),
+                _r6(F.col("est_new")).alias("est_new"),
+                _r6(F.col("est_union")).alias("est_union"),
+                _r6(F.col("est_intersection")).alias("est_intersection"),
+                _r6(F.col("est_new_only")).alias("est_new_only"),
+                _r6(F.col("jaccard")).alias("jaccard"),
+                "exact_mode").orderBy("event_type").collect())
+            return spark.createDataFrame(
+                rows, "event_type string, est_old double, est_new double, "
+                      "est_union double, est_intersection double, "
+                      "est_new_only double, jaccard double, "
+                      "exact_mode boolean")
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
+
+    q["theta_overlap_events"] = theta_overlap_events
+
     def substring_pairs_documents(spark, sf):
         """Span-level dedup signal (pipeline/dedup.py
         substring_overlap_pairs): winnowing-backed candidate pairs
@@ -2276,6 +2324,22 @@ SELECT o.event_type, 'both' AS status,
        o.p50 AS p50_old, n.p50 AS p50_new
 FROM old_v o JOIN new_v n USING (event_type)
 ORDER BY o.event_type
+"""
+    o["theta_overlap_events"] = """
+WITH o AS (SELECT event_type, count(DISTINCT user_id) AS d_old
+           FROM events WHERE event_id % 2 = 0 GROUP BY 1),
+n AS (SELECT event_type, count(DISTINCT user_id) AS d_new
+      FROM events GROUP BY 1)
+SELECT event_type,
+       round(CAST(d_old AS DOUBLE), 6) AS est_old,
+       round(CAST(d_new AS DOUBLE), 6) AS est_new,
+       round(CAST(d_new AS DOUBLE), 6) AS est_union,
+       round(CAST(d_old AS DOUBLE), 6) AS est_intersection,
+       round(CAST(d_new - d_old AS DOUBLE), 6) AS est_new_only,
+       round(CAST(d_old AS DOUBLE) / d_new, 6) AS jaccard,
+       TRUE AS exact_mode
+FROM o JOIN n USING (event_type)
+ORDER BY event_type
 """
     o["bloom_novelty_documents"] = """
 WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents

@@ -187,3 +187,112 @@ def rollup_drift(
             cols.append((F.col(f"{f.name}_new") - F.col(f"{f.name}_old"))
                         .alias(f"delta_{f.name}"))
     return j.select(*cols)
+
+
+def theta_rollup_overlap(
+    spark: SparkSession,
+    root: str,
+    agg,
+    by: Sequence[str],
+    v_old: int | None = None,
+    v_new: int | None = None,
+    other_root: str | None = None,
+) -> DataFrame:
+    """Per-key SET overlap between two Theta-sketch rollup snapshots —
+    "how many of this crawl's distinct items did we already have?" —
+    from the snapshots' state blobs alone (Theta set algebra: union /
+    intersect / a-not-b are closed on the states, so no data rescan).
+
+    ``agg`` must be a ``ThetaAggregator`` (its states are the only ones
+    with set algebra). ``v_new`` defaults to the latest version of
+    ``root``; the old side reads ``other_root`` (cross-lineage
+    comparison, e.g. two crawls rolled up separately) when given, else
+    ``root`` at ``v_old`` (default ``v_new - 1``). Output per key:
+    ``est_old``/``est_new``/``est_union``/``est_intersection``/
+    ``est_new_only`` (the genuinely new items) / ``jaccard``, plus
+    ``exact_mode`` — TRUE when every sketch involved never trimmed
+    (retained < k), in which case all five estimates are EXACT distinct
+    counts. Keys missing on one side are treated as the empty set.
+
+    Scale shape: two state-table reads, one key-only full-outer join,
+    one vectorized pass decoding two KB-scale blobs per key."""
+    import pyarrow as pa
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import (
+        BooleanType, DoubleType, StructField, StructType)
+
+    from ..core.theta import ThetaSketch
+    from .agg import to_arrow_schema
+
+    by = list(by)
+    if v_new is None:
+        v_new = latest_version(spark, root)
+        if v_new < 0:
+            raise FileNotFoundError(f"no rollup snapshots under {root!r}")
+    old_root = other_root or root
+    if v_old is None:
+        v_old = (latest_version(spark, old_root) if other_root
+                 else v_new - 1)
+    if v_old < 0:
+        raise ValueError(
+            f"v_old={v_old}: need two snapshots to overlap (update the "
+            "rollup at least twice, or pass other_root)")
+    if other_root is None and v_old == v_new:
+        raise ValueError("v_old == v_new — nothing to compare")
+    old = (read_rollup_version(spark, old_root, v_old)
+           .select(*by, F.col("state").alias("_s_old")))
+    new = (read_rollup_version(spark, root, v_new)
+           .select(*by, F.col("state").alias("_s_new")))
+    j = old.join(new, by, "full_outer") if by else old.crossJoin(new)
+
+    key_fields = [f for f in j.schema.fields if f.name in by]
+    out_schema = StructType(key_fields + [
+        StructField("est_old", DoubleType()),
+        StructField("est_new", DoubleType()),
+        StructField("est_union", DoubleType()),
+        StructField("est_intersection", DoubleType()),
+        StructField("est_new_only", DoubleType()),
+        StructField("jaccard", DoubleType()),
+        StructField("exact_mode", BooleanType()),
+    ])
+    out_arrow = to_arrow_schema(out_schema)
+    k, seed, hk = agg.k, agg.seed, agg.hash_kind
+    in_cols = list(j.columns)  # the DataFrame itself must not be captured
+
+    def overlap(batches):
+        for batch in batches:
+            n = batch.num_rows
+            if not n:
+                continue
+            olds = batch.column(len(by)).to_pylist()
+            news = batch.column(len(by) + 1).to_pylist()
+            cols: dict[str, list] = {f.name: [] for f in out_schema.fields}
+            for i in range(n):
+                a = (ThetaSketch.from_bytes(olds[i]) if olds[i] is not None
+                     else ThetaSketch(k, seed, hk))
+                b = (ThetaSketch.from_bytes(news[i]) if news[i] is not None
+                     else ThetaSketch(k, seed, hk))
+                union = ThetaSketch(k, seed, hk).merge(a).merge(b)
+                inter = a.intersect(b)
+                new_only = b.a_not_b(a)
+                u = union.estimate()
+                cols["est_old"].append(a.estimate())
+                cols["est_new"].append(b.estimate())
+                cols["est_union"].append(u)
+                cols["est_intersection"].append(inter.estimate())
+                cols["est_new_only"].append(new_only.estimate())
+                cols["jaccard"].append(
+                    inter.estimate() / u if u > 0 else 0.0)
+                cols["exact_mode"].append(
+                    not (a.is_estimation_mode() or b.is_estimation_mode()
+                         or union.is_estimation_mode()))
+            for kf in key_fields:
+                cols[kf.name] = batch.column(
+                    in_cols.index(kf.name)).to_pylist()
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(cols[f.name], type=out_arrow.field(f.name).type)
+                 for f in out_schema.fields],
+                schema=out_arrow)
+
+    return j.mapInArrow(overlap, out_schema)

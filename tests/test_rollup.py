@@ -126,3 +126,43 @@ def test_rollup_drift_global(spark, tmp_path):
     assert r["status"] == "both"
     assert (r["count_old"], r["count_new"], r["delta_count"]) == (64, 65, 1)
     assert r["max_new"] >= 990.0  # the spike is visible in the drift row
+
+
+def test_theta_rollup_overlap(spark, tmp_path):
+    """Set overlap between snapshots from Theta state algebra alone:
+    exact-mode estimates equal true distinct counts; cross-root
+    comparison and empty-side keys behave."""
+    from ddsketchy_spark.spark.companions import ThetaAggregator
+    from ddsketchy_spark.spark.rollup import theta_rollup_overlap
+
+    agg = ThetaAggregator("u", k=4096)
+    root = str(tmp_path / "theta_roll")
+    d1 = spark.createDataFrame([("a", i) for i in range(1, 101)],
+                               "k string, u long")
+    d2 = spark.createDataFrame(
+        [("a", i) for i in range(51, 151)] + [("b", 7)], "k string, u long")
+    update_rollup(spark, root, d1, agg, ["k"])
+    update_rollup(spark, root, d2, agg, ["k"])
+    ov = {r["k"]: r for r in
+          theta_rollup_overlap(spark, root, agg, ["k"]).collect()}
+    a = ov["a"]
+    assert a["exact_mode"]
+    assert (a["est_old"], a["est_new"]) == (100.0, 150.0)
+    assert a["est_intersection"] == 100.0  # v0 is a subset of v1
+    assert a["est_new_only"] == 50.0 and a["est_union"] == 150.0
+    assert abs(a["jaccard"] - 100.0 / 150.0) < 1e-12
+    b = ov["b"]
+    assert b["est_old"] == 0.0 and b["est_new"] == 1.0
+    assert b["est_new_only"] == 1.0 and b["jaccard"] == 0.0
+    # cross-root: a separate crawl's rollup as the old side
+    root2 = str(tmp_path / "theta_roll2")
+    d3 = spark.createDataFrame([("a", i) for i in range(100, 200)],
+                               "k string, u long")
+    update_rollup(spark, root2, d3, agg, ["k"])
+    cross = {r["k"]: r for r in
+             theta_rollup_overlap(spark, root, agg, ["k"],
+                                  other_root=root2).collect()}
+    ca = cross["a"]
+    assert ca["est_old"] == 100.0 and ca["est_new"] == 150.0
+    assert ca["est_intersection"] == 51.0  # {100..150}
+    assert ca["est_new_only"] == 99.0 and ca["est_union"] == 199.0
