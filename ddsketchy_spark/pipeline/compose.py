@@ -61,8 +61,14 @@ def clean_corpus(
        ``near_dedup_kw`` forwards num_perm/bands/threshold/verify (and
        ``keep_by=<column of df>`` for quality-aware survivor selection);
        use ``near_dedup_kw={"skip": True}`` to skip.
-    4. ``decontaminate`` — drop docs sharing a ``decontam_n``-gram with
-       ``benchmark`` (skipped when ``benchmark`` is None).
+    4. decontamination — drop docs sharing a gram with the benchmark.
+       ``benchmark`` is EITHER a DataFrame (exact ``decontaminate`` join,
+       ``decontam_n`` grams) OR a ``write_ngram_bloom_index`` path
+       (``novelty.decontaminate_against_index``: the benchmark was
+       indexed ONCE as a Bloom blob; this run probes a broadcast bitmap
+       with zero benchmark I/O — no false negatives, so every
+       contaminated doc still drops; the index's own ``n`` applies).
+       Skipped when None.
     4b. OPTIONAL per-domain quality cut — pass ``domain_cut_kw`` (at
        least ``{"frac": ..., "rank_col": ...}``; ``by`` defaults to
        ``"source"``, ``key_col`` to the pipeline's ``id_col``) to keep
@@ -113,10 +119,17 @@ def clean_corpus(
                       | F.col(id_col).isNull())
                .drop("_keep_hit"))
     if benchmark is not None:
-        out = decontaminate(out, benchmark, n=decontam_n, text_col=text_col,
-                            corpus_id=id_col,
-                            bench_id=id_col if id_col in benchmark.columns
-                            else benchmark.columns[0])
+        if isinstance(benchmark, str):
+            from .novelty import decontaminate_against_index
+
+            out = decontaminate_against_index(out, benchmark,
+                                              text_col=text_col,
+                                              id_col=id_col)
+        else:
+            out = decontaminate(out, benchmark, n=decontam_n,
+                                text_col=text_col, corpus_id=id_col,
+                                bench_id=id_col if id_col in benchmark.columns
+                                else benchmark.columns[0])
     if domain_cut_kw is not None:
         from ..spark.skew import take_top_frac_by_group
 

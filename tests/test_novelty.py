@@ -124,3 +124,37 @@ def test_bloom_index_guards(spark, corpus, tmp_path, index_path):
     no_text = spark.createDataFrame([(1,)], "doc_id long")
     with pytest.raises(ValueError, match="text_col"):
         novelty_against_index(no_text, index_path)
+
+
+def test_clean_corpus_with_bloom_benchmark(spark, tmp_path):
+    """clean_corpus accepts a Bloom index PATH as the benchmark: the
+    contaminated doc drops with zero benchmark I/O at run time, NULL-id
+    rows still pass through, and the index's own gram order applies.
+    Also composes with the paragraph stage at broadcast size (the
+    DeduplicateRelations/HOF outer-capture shape the exact-decontam path
+    regression-tests)."""
+    from ddsketchy_spark.pipeline.compose import clean_corpus
+    from ddsketchy_spark.pipeline.novelty import write_ngram_bloom_index
+
+    P = ("a long shared boilerplate paragraph that should be removed "
+         "from every later document")
+    rows = [(i, f"wholly distinct body number {i} with its own words "
+             f"token{i}a token{i}b the of and to\n{P}", "t")
+            for i in range(20)] + [(None, "null id survives the pipeline "
+                                    "with the usual words intact", "t")]
+    df = spark.createDataFrame(rows,
+                               "doc_id long, text string, source string")
+    bench = spark.createDataFrame(
+        [(900, "wholly distinct body number 7 with its own words")],
+        "doc_id long, text string")
+    path = str(tmp_path / "benchidx")
+    write_ngram_bloom_index(bench, path, n=5, fpr=1e-6)
+    out = clean_corpus(df, quality_kw={"min_words": 3},
+                       para_dedup_kw={"min_chars": 20},
+                       near_dedup_kw={"verify": "local", "num_perm": 32,
+                                      "bands": 8, "threshold": 0.9},
+                       benchmark=path)
+    got = {r["doc_id"]: r["text"] for r in out.collect()}
+    assert 7 not in got
+    assert None in got
+    assert sum(P in t for t in got.values() if t) == 1
