@@ -397,17 +397,24 @@ def ivf_index(
     the corpus from storage, the inverted-file property that makes IVF
     sublinear. Deterministic end to end (seeded k-means on a
     data-deterministic sample)."""
+    v = df.select(F.col(id_col).alias("id"),
+                  F.col(vec_col).cast("array<double>").alias("vec"))
+    cents = _train_ivf_centroids(v, n_clusters, kmeans_iters, seed, train_rows)
+    return _ivf_assign(v, cents, df.schema[id_col]), cents
+
+
+def _ivf_assign(v: DataFrame, cents: np.ndarray, id_field) -> DataFrame:
+    """(id, nvec, cluster) rows: every vector L2-normalized and assigned
+    to its nearest centroid — one NumPy matmul per Arrow batch. The one
+    assignment kernel shared by ``ivf_index`` and ``append_to_ivf_index``
+    so index generations can never disagree on the law."""
     import pyarrow as pa
 
     from pyspark.sql.types import (
         ArrayType, DoubleType, LongType, StructField, StructType)
 
-    v = df.select(F.col(id_col).alias("id"),
-                  F.col(vec_col).cast("array<double>").alias("vec"))
-    cents = _train_ivf_centroids(v, n_clusters, kmeans_iters, seed, train_rows)
     dim = cents.shape[1]
-    bc = df.sparkSession.sparkContext.broadcast(cents)
-    id_field = df.schema[id_col]
+    bc = v.sparkSession.sparkContext.broadcast(cents)
     schema = StructType([
         StructField("id", id_field.dataType),
         StructField("nvec", ArrayType(DoubleType())),
@@ -431,7 +438,7 @@ def ivf_index(
                  pa.array(best)],
                 names=["id", "nvec", "cluster"])
 
-    return v.mapInArrow(assign, schema), cents
+    return v.mapInArrow(assign, schema)
 
 
 def write_ivf_index(
@@ -511,6 +518,38 @@ def read_ivf_index(spark, path: str) -> tuple[DataFrame, np.ndarray, dict]:
                          f"{cents.shape} != ({meta['n_clusters']}, "
                          f"{meta['dim']})")
     return spark.read.parquet(path), cents, meta
+
+
+def append_to_ivf_index(
+    df: DataFrame,
+    path: str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> dict:
+    """Fold new vectors into an existing on-disk IVF index under its OWN
+    centroids — no retraining, so assignments stay consistent with every
+    earlier generation and probes prune identically across appends. New
+    files land inside the existing ``cluster=...`` partition directories
+    (partition pruning keeps working per append generation). NULL-id and
+    NULL-vector rows are excluded. Returns the sidecar meta.
+
+    When the data distribution drifts far from the trained centroids,
+    clusters go unbalanced and recall at fixed n_probe decays — the
+    rebalance story is a periodic retrain + full rewrite (``ivf_index`` +
+    ``write_ivf_index`` to a new path), not an in-place mutation."""
+    spark = df.sparkSession
+    _, cents, meta = read_ivf_index(spark, path)
+    base = df.where(F.col(id_col).isNotNull() & F.col(vec_col).isNotNull())
+    first = base.select(vec_col).first()
+    if first is not None and len(first[0]) != meta["dim"]:
+        raise ValueError(
+            f"appended vectors have dim {len(first[0])} but the index was "
+            f"trained at dim {meta['dim']}")
+    v = base.select(F.col(id_col).alias("id"),
+                    F.col(vec_col).cast("array<double>").alias("vec"))
+    assigned = _ivf_assign(v, cents, df.schema[id_col])
+    assigned.write.partitionBy("cluster").mode("append").parquet(path)
+    return meta
 
 
 def ann_query_ivf(

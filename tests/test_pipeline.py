@@ -1327,6 +1327,48 @@ def test_ivf_index_and_query(spark, sf001_dir, tmp_path):
     assert hits >= 2, hits
 
 
+def test_ivf_index_append(spark, sf001_dir, tmp_path):
+    """append_to_ivf_index folds new vectors in under the EXISTING
+    centroids: the sidecar round-trips unchanged, appended rows land in
+    the right cluster partitions (identical assignment law), probes find
+    appended vectors, and dim-mismatched appends are refused."""
+    import pytest as _pytest
+
+    from ddsketchy_spark.pipeline.similarity import (
+        append_to_ivf_index, ann_query_ivf, ivf_index, read_ivf_index,
+        write_ivf_index)
+
+    emb = spark.read.parquet(f"{sf001_dir}/embeddings.parquet")
+    idx, cents = ivf_index(emb.filter("vec_id < 400"), n_clusters=8,
+                           train_rows=100)
+    path = str(tmp_path / "ivf_app")
+    write_ivf_index(idx, cents, path)
+    extra = emb.filter("vec_id >= 400").select(
+        (F.col("vec_id") + 10_000).alias("vec_id"), "embedding")
+    meta = append_to_ivf_index(extra, path)
+    assert meta["n_clusters"] == 8
+    stored, cents_back, _ = read_ivf_index(spark, path)
+    assert stored.count() == 500
+    # the appended vectors probe back to themselves through the stored
+    # index (same assignment law -> they live in the partitions the
+    # probe prunes to)
+    qrows = (emb.filter("vec_id IN (410, 455)").orderBy("vec_id")
+             .select("vec_id", "embedding").collect())
+    res = ann_query_ivf(stored, cents_back, [r["embedding"] for r in qrows],
+                        k=3, n_probe=8, query_ids=[10410, 10455])
+    tops = {}
+    for r in res.collect():
+        cur = tops.get(r["query_id"])
+        if cur is None or r["cos"] > cur[1]:
+            tops[r["query_id"]] = (r["id"], r["cos"])
+    assert tops[10410][0] == 10410 and tops[10410][1] > 0.999999
+    assert tops[10455][0] == 10455 and tops[10455][1] > 0.999999
+    bad = spark.createDataFrame([(1, [1.0, 2.0])],
+                                "vec_id long, embedding array<double>")
+    with _pytest.raises(ValueError, match="dim"):
+        append_to_ivf_index(bad, path)
+
+
 def test_word_jaccard_allpairs_randomized(spark):
     """Randomized completeness check of the prefix/size filters: on random
     corpora over a tiny vocabulary (hot tokens, repeated words, single-word
