@@ -158,3 +158,35 @@ def test_clean_corpus_with_bloom_benchmark(spark, tmp_path):
     assert 7 not in got
     assert None in got
     assert sum(P in t for t in got.values() if t) == 1
+
+
+def test_streaming_novelty_foreachbatch(spark, corpus, index_path, tmp_path):
+    """Novelty scoring on a STREAM: the index blob is static and the
+    score is per-doc, so foreachBatch probes each micro-batch
+    independently — the union of micro-batch results must equal the
+    batch run row for row."""
+    from ddsketchy_spark.pipeline.novelty import novelty_against_index
+
+    rows = [(100 + i, CORPUS[i % 3][1] if i % 2 else
+             f"novel body {i} with distinct words nobody indexed before")
+            for i in range(12)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    src = str(tmp_path / "nov_src")
+    df.repartition(4).write.parquet(src)
+
+    batch_rows = {r["doc_id"]: (r["n_grams"], r["n_seen"], r["novel_frac"])
+                  for r in novelty_against_index(df, index_path).collect()}
+
+    got = {}
+
+    def probe(batch_df, batch_id):
+        for r in novelty_against_index(batch_df, index_path).collect():
+            got[r["doc_id"]] = (r["n_grams"], r["n_seen"], r["novel_frac"])
+
+    stream = (spark.readStream.schema(df.schema)
+              .option("maxFilesPerTrigger", "1").parquet(src))
+    q = (stream.writeStream.foreachBatch(probe)
+         .option("checkpointLocation", str(tmp_path / "nov_ck"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    assert got == batch_rows and len(got) == 12
