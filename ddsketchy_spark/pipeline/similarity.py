@@ -199,20 +199,28 @@ def lsh_cosine_topk(
       pure-SQL reference (~50x slower on millions of pairs)."""
     from pyspark.sql import Window
 
-    if dim is None:
-        dim = len(df.select(vec_col).first()[0])
     if n_planes % bands:
         raise ValueError("bands must divide n_planes")
-    width = n_planes // bands
-    planes = _hyperplanes(dim, n_planes, seed)
     # NULL ids can never enter a pair graph — filtered at dispatch, the
     # package-wide law (and the broadcast engine would otherwise crash:
     # toPandas coerces an id column with a NULL to float64, so the
     # mapInArrow scorer emits float64 ids under a bigint-declared schema
-    # — the minhash engine's r4 fix, mirrored here)
-    v = df.where(F.col(id_col).isNotNull()).select(
+    # — the minhash engine's r4 fix, mirrored here). NULL vectors can
+    # never be near anything — same law as NULL text in the minhash
+    # engine (and the Arrow enrichment would reshape-crash on them).
+    v = df.where(F.col(id_col).isNotNull()
+                 & F.col(vec_col).isNotNull()).select(
         F.col(id_col).alias("id"),
         F.col(vec_col).cast("array<double>").alias("vec"))
+    if dim is None:
+        first = v.select("vec").first()
+        if first is None:
+            raise ValueError(
+                "no rows with a non-NULL id and vector to infer dim from; "
+                "pass dim= explicitly for empty inputs")
+        dim = len(first[0])
+    width = n_planes // bands
+    planes = _hyperplanes(dim, n_planes, seed)
     if verify not in ("auto", "broadcast", "local", "sql"):
         raise ValueError(f"unknown verify mode {verify!r}")
     if verify == "auto":

@@ -225,3 +225,20 @@ def test_lsh_cosine_broadcast_null_id(spark):
         got = sorted((r["id"], r["neighbor"]) for r in topk.collect())
         release_cached_deps(topk)
         assert got == [(1, 2), (2, 1)], verify
+
+
+def test_lsh_cosine_null_vector(spark):
+    """r4 regression: a NULL-vector row reshape-crashed the local
+    engine's Arrow enrichment (and np.stack in broadcast). Law, mirroring
+    NULL text in the minhash engine: NULL vectors never enter the pair
+    graph; dedup_semantic leaves such rows as singletons."""
+    from ddsketchy_spark.pipeline.dedup import dedup_semantic
+
+    df = spark.createDataFrame(
+        [(1, _vec(0)), (2, _vec(0, scale=2.0)), (3, None)],
+        "vec_id long, embedding array<double>")
+    for verify in ("local", "broadcast"):
+        out = {r["vec_id"]: (r["component"], r["keep"]) for r in
+               dedup_semantic(df, threshold=0.9, method="lsh",
+                              verify=verify, **KW).collect()}
+        assert out == {1: (1, True), 2: (1, False), 3: (3, True)}, verify
