@@ -207,11 +207,30 @@ def decontaminate_against_index(
     Bloom filters have no false negatives, so every truly contaminated
     doc IS dropped; the fpr only ever drops extra clean docs — the safe
     failure direction for decontamination. Docs with no grams (short or
-    NULL text) are kept, matching ``text.decontaminate``'s law."""
-    scored = novelty_against_index(df, index, text_col=text_col,
-                                   id_col=id_col)
-    return (scored.where(F.col("n_seen") <= max_seen)
-            .drop("n_grams", "n_seen", "novel_frac"))
+    NULL text) are kept, matching ``text.decontaminate``'s law; NULL-id
+    rows are kept (an anti join's NULL key never matches).
+
+    Scale shape: only SEEN gram rows survive the probe, so the
+    contaminated-id set is tiny (benchmark overlap is rare by
+    construction) and the final left-anti join broadcasts it — the
+    corpus text never shuffles, unlike scoring every doc via
+    ``novelty_against_index`` and filtering."""
+    from ..spark.joins import bloom_probe_column
+
+    spark = df.sparkSession
+    blob, meta = _resolve(spark, index)
+    tcol = text_col or meta["text_col"]
+    if tcol not in df.columns:
+        raise ValueError(f"no {tcol!r} column to probe (index text_col)")
+    grams = _gram_hashes(df, tcol, meta["n"], F.col(id_col))
+    seen = grams.where(bloom_probe_column(grams, "gh", blob))
+    if max_seen <= 0:
+        bad = seen.select(id_col).dropDuplicates()
+    else:
+        bad = (seen.groupBy(id_col)
+               .agg(F.count(F.lit(1)).alias("_ns"))
+               .where(F.col("_ns") > max_seen).drop("_ns"))
+    return df.join(bad, id_col, "left_anti")
 
 
 def append_to_ngram_bloom_index(df: DataFrame, path: str,
