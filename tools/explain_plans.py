@@ -396,6 +396,23 @@ def main() -> None:
                     r"BatchEvalPython", r"ArrowEvalPython",
                     r"FlatMapGroupsInPandas"],
         )
+
+        # Bloom decontamination: the corpus scan must flow straight into
+        # a broadcast LEFT-ANTI join on the tiny contaminated-id set —
+        # corpus text never shuffles. The vectorized pandas bitmap probe
+        # (ArrowEvalPython) on the gram side is the one intended Python.
+        from ddsketchy_spark.pipeline.novelty import (
+            decontaminate_against_index, write_ngram_bloom_index)
+
+        write_ngram_bloom_index(docs.limit(5), f"{tmpd}/bloomidx", n=13)
+        dec = decontaminate_against_index(docs, f"{tmpd}/bloomidx")
+        results["bloom_decontam"] = audit(
+            "bloom_decontam", dec,
+            want=[r"BroadcastHashJoin.*LeftAnti"],
+            reject=[r"CartesianProduct", r"BroadcastNestedLoopJoin",
+                    r"SortMergeJoin", r"BatchEvalPython",
+                    r"FlatMapGroupsInPandas"],
+        )
     finally:
         shutil.rmtree(tmpd, ignore_errors=True)
 
