@@ -242,3 +242,37 @@ def test_lsh_cosine_null_vector(spark):
                dedup_semantic(df, threshold=0.9, method="lsh",
                               verify=verify, **KW).collect()}
         assert out == {1: (1, True), 2: (1, False), 3: (3, True)}, verify
+
+
+def test_multimodal_incremental_dedup(spark, tmp_path):
+    """Multimodal seam -> incremental semantic dedup end to end: media
+    features (deterministic fake extractor, string ids) build a cosine
+    index once; a new media batch containing byte-duplicate payloads
+    probes it and the duplicates are dropped as corpus matches —
+    exercising the index with a STRING id column along the way."""
+    from ddsketchy_spark.pipeline.cache import release_cached_deps
+    from ddsketchy_spark.pipeline.dedup_index import (
+        dedup_against_cosine_index, write_cosine_index)
+    from ddsketchy_spark.pipeline.multimodal import (
+        fake_feature_extract, synth_media)
+
+    media = synth_media(spark, n=24)
+    feats = fake_feature_extract(media, dim=16)
+    path = str(tmp_path / "media_idx")
+    write_cosine_index(feats, path, vec_col="features", id_col="media_id",
+                       n_planes=16, bands=4)
+    # new batch: 6 byte-identical payloads under new ids + the rest fresh
+    dup = media.where("media_id < 'm-000006'").select(
+        F.concat(F.lit("n-"), F.col("media_id")).alias("media_id"),
+        "modality", "payload", "meta")
+    fresh = synth_media(spark, n=40, seed=43).where(
+        "media_id >= 'm-000024'")
+    inc_feats = fake_feature_extract(dup.unionByName(fresh), dim=16)
+    out = dedup_against_cosine_index(inc_feats, path, threshold=0.999999)
+    rows = {r["media_id"]: r for r in out.collect()}
+    release_cached_deps(out)
+    for i in range(6):
+        r = rows[f"n-m-{i:06d}"]
+        assert r["corpus_match"] == f"m-{i:06d}" and not r["keep"]
+    kept = [k for k, r in rows.items() if r["keep"]]
+    assert len(kept) == 16 and all(k.startswith("m-0000") for k in kept)
