@@ -276,3 +276,44 @@ def test_multimodal_incremental_dedup(spark, tmp_path):
         assert r["corpus_match"] == f"m-{i:06d}" and not r["keep"]
     kept = [k for k, r in rows.items() if r["keep"]]
     assert len(kept) == 16 and all(k.startswith("m-0000") for k in kept)
+
+
+def test_cross_parity_randomized(spark, tmp_path):
+    """Randomized (seeded) parity: 200 corpus + 60 increment vectors with
+    planted scaled copies — the probe's pair set and cosines equal the
+    batch engine's cross pairs bit for bit."""
+    import numpy as np
+
+    from ddsketchy_spark.pipeline.cache import release_cached_deps
+    from ddsketchy_spark.pipeline.dedup_index import (
+        cosine_pairs_against_index, write_cosine_index)
+    from ddsketchy_spark.pipeline.similarity import lsh_cosine_topk
+
+    rng = np.random.default_rng(1234)
+    C = rng.standard_normal((200, 12))
+    corpus = spark.createDataFrame(
+        [(i, C[i].tolist()) for i in range(200)],
+        "vec_id long, embedding array<double>")
+    inc_rows = [(1000 + i, (2.0 * C[3 * i]).tolist()) for i in range(30)]
+    inc_rows += [(2000 + i, rng.standard_normal(12).tolist())
+                 for i in range(30)]
+    inc = spark.createDataFrame(inc_rows,
+                                "vec_id long, embedding array<double>")
+    path = str(tmp_path / "ridx")
+    write_cosine_index(corpus, path, n_planes=24, bands=4, seed=3)
+    topk = lsh_cosine_topk(corpus.unionByName(inc), k=500, verify="local",
+                           n_planes=24, bands=4, seed=3)
+    batch_cross = {
+        (min(r["id"], r["neighbor"]), max(r["id"], r["neighbor"])): r["cos"]
+        for r in topk.collect()
+        if (r["id"] >= 1000) != (r["neighbor"] >= 1000)}
+    release_cached_deps(topk)
+    probe = cosine_pairs_against_index(inc, path)
+    got = {(min(r["id_inc"], r["id_corpus"]),
+            max(r["id_inc"], r["id_corpus"])): r["cos"]
+           for r in probe.collect()}
+    release_cached_deps(probe)
+    assert got == batch_cross
+    # every planted copy is a candidate (identical signatures) at cos ~ 1
+    for i in range(30):
+        assert abs(got[(3 * i, 1000 + i)] - 1.0) < 1e-12
