@@ -444,9 +444,13 @@ class DDSketch:
         )
 
     def __repr__(self) -> str:
+        # the reference's exact Display format incl. the {:.3} float
+        # precision (reference src/ddsketchy.rs:668-680; Rust prints
+        # inf as "inf", matching Python's f"{:.3f}")
         return (
-            f"DDSketch(count={self.count}, alpha={self.alpha}, "
-            f"min={self._raw_min}, max={self._raw_max}, mean={self.mean})"
+            f"DDSketch(count={self.count}, alpha={self.alpha:.3f}, "
+            f"min={self._raw_min:.3f}, max={self._raw_max:.3f}, "
+            f"mean={self.mean:.3f})"
         )
 
     __str__ = __repr__
