@@ -290,3 +290,73 @@ def test_exact_index_guards(spark, corpus, index_path, exact_index_path,
     # refuses to overwrite by default
     with pytest.raises(Exception, match="[Aa]lready exists"):
         write_exact_index(corpus, exact_index_path)
+
+
+def test_streaming_crawl_loop_against_index(spark, corpus, tmp_path):
+    """The continuous-crawl loop on a STREAM: each micro-batch is
+    near-deduped against the persistent index inside foreachBatch, its
+    survivors are appended, and the next crawl — arriving AFTER the
+    first stream run terminated — resumes through the same checkpoint
+    (exactly-once: crawl 1 is not reprocessed) and is deduped against
+    the UPDATED index. A doc duplicating a crawl-1 survivor is dropped
+    in crawl 2 even though neither ever appeared in the original
+    corpus. This is the deployment shape for incremental dedup of an
+    arriving crawl feed at scale: the corpus index only ever streams
+    through broadcast probes, and state between crawls lives entirely
+    in the on-disk index + the stream checkpoint."""
+    from ddsketchy_spark.pipeline.dedup_index import (
+        append_to_minhash_index, dedup_against_index, read_minhash_index,
+        write_minhash_index)
+
+    path = str(tmp_path / "crawl_index")
+    write_minhash_index(corpus, path, **KW)
+
+    src = tmp_path / "crawl_src"
+    src.mkdir()
+    ck = str(tmp_path / "crawl_ck")
+    schema = "doc_id long, text string"
+    novel1 = "a freshly crawled page about tidal pools and barnacle clusters"
+    novel2 = "another page covering alpine meadows and late summer snowfields"
+
+    results, processed_ids = {}, []
+
+    def process(batch_df, batch_id):
+        labels = dedup_against_index(batch_df, path, threshold=0.9)
+        rows = labels.collect()
+        processed_ids.extend(r["doc_id"] for r in rows)
+        results.update({r["doc_id"]: r for r in rows})
+        kept_ids = [r["doc_id"] for r in rows
+                    if r["keep"] and r["doc_id"] is not None]
+        if kept_ids:
+            kept = batch_df.join(F.broadcast(
+                batch_df.sparkSession.createDataFrame(
+                    [(i,) for i in kept_ids], "doc_id long")), "doc_id")
+            append_to_minhash_index(kept, path)
+
+    def run_once():
+        stream = (spark.readStream.schema(schema)
+                  .option("maxFilesPerTrigger", "1").parquet(str(src)))
+        q = (stream.writeStream.foreachBatch(process)
+             .option("checkpointLocation", ck)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(180)
+
+    # crawl 1: one corpus dup, one novel page
+    spark.createDataFrame(
+        [(201, A_TEXTS[0]), (202, novel1)], schema,
+    ).coalesce(1).write.mode("append").parquet(str(src))
+    run_once()
+    assert results[201]["keep"] is False and results[201]["corpus_match"] == 1
+    assert results[202]["keep"] is True
+    assert read_minhash_index(spark, path)[2]["n_docs"] == 5 + 1
+
+    # crawl 2 arrives later: a dup of crawl 1's survivor + a novel page
+    spark.createDataFrame(
+        [(301, novel1), (302, novel2)], schema,
+    ).coalesce(1).write.mode("append").parquet(str(src))
+    run_once()
+    assert results[301]["keep"] is False and results[301]["corpus_match"] == 202
+    assert results[302]["keep"] is True
+    assert read_minhash_index(spark, path)[2]["n_docs"] == 5 + 2
+    # exactly-once across the restart: crawl 1 was not reprocessed
+    assert sorted(processed_ids) == [201, 202, 301, 302]
