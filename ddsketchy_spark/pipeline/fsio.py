@@ -1,16 +1,31 @@
-"""JSON sidecar I/O through Hadoop's FileSystem API.
+"""Cluster-portable filesystem I/O (never ``os.*``/``open``).
 
-Index/sink artifacts in this package (IVF index, shard manifest, minhash
-dedup index) carry their driver-side metadata in an underscore-prefixed
-JSON file INSIDE the artifact directory: the underscore keeps Spark's
-parquet reader from treating it as data, and going through Hadoop's
-FileSystem (never ``os.*``/``open``) makes the same code work for
-local paths, HDFS, and s3a:// — the CLAUDE.md filesystem rule.
+Two layers, one rule — state and sidecar bytes must reach HDFS/S3 the same
+way parquet does, so checkpoint/resume is true on a real cluster, not just
+on a POSIX mount:
+
+- **Driver-side JSON sidecars** (IVF index, shard manifest, minhash dedup
+  index metadata) go through the JVM Hadoop ``FileSystem`` via the Spark
+  gateway (``write_json_sidecar``/``read_json_sidecar``): it sees the full
+  ``spark.hadoop.*`` configuration (s3a credentials, HDFS HA nameservices)
+  for free.
+- **Executor-side blobs** (per-partition checkpoint states, streaming
+  running state) CANNOT use the gateway — Python workers have no JVM — so
+  they go through ``pyarrow.fs`` (``executor_fs``/``fs_write_atomic``/...):
+  ``file:/`` and bare paths resolve to the local FS, ``hdfs://`` to libhdfs
+  (the Hadoop native client, present on cluster nodes), ``s3://``/``s3a://``
+  to Arrow's native S3. Atomicity contract: ``fs_write_atomic`` writes a
+  tmp file and renames — atomic on local/HDFS; on S3 the final PUT of the
+  copy is atomic per object, which is the strongest S3 offers. Callers that
+  need crash-safe OVERWRITE semantics (streaming state) must therefore use
+  unique generation filenames instead of rename-over (see
+  ``streaming/stream_agg.py``).
 """
 
 from __future__ import annotations
 
 import json
+import time
 
 
 def write_json_sidecar(spark, dir_path: str, name: str, obj: dict) -> None:
@@ -43,3 +58,80 @@ def read_json_sidecar(spark, dir_path: str, name: str,
     finally:
         stream.close()
     return json.loads(raw)
+
+
+# ---------------------------------------------------------------------------
+# Executor-safe layer (pyarrow.fs) — usable inside mapInArrow/applyInPandas
+# workers, where no JVM gateway exists. Deliberately lazy-imports pyarrow.fs
+# (tiny module, no pandas pulled in — cf. the CLAUDE.md worker-start note).
+
+def executor_fs(path: str):
+    """Resolve ``path`` to ``(pyarrow.fs.FileSystem, fs-local path)``.
+
+    Accepts bare paths (``/tmp/x``), ``file:/`` in any slash count,
+    ``hdfs://``, and ``s3://``; Hadoop's ``s3a://``/``s3n://`` spellings are
+    mapped to Arrow's ``s3://`` so one URI works from both driver-side
+    Hadoop code and executor-side Python."""
+    from pyarrow import fs as pafs
+
+    if path.startswith("s3a://") or path.startswith("s3n://"):
+        path = "s3://" + path.split("://", 1)[1]
+    return pafs.FileSystem.from_uri(path)
+
+
+def fs_mkdirs(path: str) -> None:
+    fs, p = executor_fs(path)
+    fs.create_dir(p, recursive=True)
+
+
+def fs_exists(path: str) -> bool:
+    from pyarrow import fs as pafs
+
+    fs, p = executor_fs(path)
+    return fs.get_file_info(p).type != pafs.FileType.NotFound
+
+
+def fs_read_bytes(path: str) -> bytes:
+    fs, p = executor_fs(path)
+    with fs.open_input_stream(p) as f:
+        return f.read()
+
+
+def fs_write_atomic(path: str, data: bytes) -> bool:
+    """Write ``data`` to ``path`` via tmp-file + rename. Returns True if
+    this call produced the file, False if a concurrent writer (another task
+    attempt) won the race — in which case the winner's complete file is
+    left untouched. Never leaves a truncated file at ``path``."""
+    fs, p = executor_fs(path)
+    tmp = f"{p}.tmp-{time.time_ns()}"
+    with fs.open_output_stream(tmp) as f:
+        f.write(data)
+    try:
+        fs.move(tmp, p)
+        return True
+    except OSError:
+        # HDFS rename refuses an existing destination: a concurrent attempt
+        # committed first. Its file is complete (it, too, renamed); drop ours.
+        if fs_exists(path):
+            fs.delete_file(tmp)
+            return False
+        raise
+
+
+def fs_list_names(path: str) -> list[str]:
+    """Base names of the files directly under ``path`` (sorted), [] when the
+    directory does not exist."""
+    from pyarrow import fs as pafs
+
+    fs, p = executor_fs(path)
+    try:
+        infos = fs.get_file_info(pafs.FileSelector(p, recursive=False))
+    except (FileNotFoundError, OSError):
+        return []
+    return sorted(i.base_name for i in infos
+                  if i.type == pafs.FileType.File)
+
+
+def fs_delete_file(path: str) -> None:
+    fs, p = executor_fs(path)
+    fs.delete_file(p)

@@ -17,8 +17,10 @@ Mirrors the reference's serialize -> restore -> continue lifecycle
   produces estimates bit-identical to an uninterrupted run (merge order
   independence makes the recompute/reuse mix irrelevant).
 
-The checkpoint dir is a plain filesystem path here; point it at a shared
-store (NFS/object-store mount) on a real cluster. Resume assumes the SAME
+The checkpoint dir is any Hadoop-addressable URI — ``/local/path``,
+``file:/...``, ``hdfs://...``, ``s3://``/``s3a://...`` — all I/O (executor
+blob writes included) goes through the cluster-portable filesystem layer in
+``pipeline/fsio.py`` (pyarrow.fs), never ``os.*``. Resume assumes the SAME
 input split layout (same files, same partitioning) — the lineage checksum
 verifies this per partition when validate=True.
 """
@@ -26,7 +28,6 @@ verifies this per partition when validate=True.
 from __future__ import annotations
 
 import json
-import os
 import time
 from typing import Iterator
 
@@ -36,22 +37,16 @@ import pyarrow as pa
 from pyspark import TaskContext
 from pyspark.sql import DataFrame
 
+from ..pipeline import fsio
 from .agg import SketchAggregator, merge_global
 
 
 def _manifest_path(ckpt_dir: str, pid: int) -> str:
-    return os.path.join(ckpt_dir, f"part-{pid:05d}.json")
+    return ckpt_dir.rstrip("/") + f"/part-{pid:05d}.json"
 
 
 def _blob_path(ckpt_dir: str, pid: int) -> str:
-    return os.path.join(ckpt_dir, f"part-{pid:05d}.bin")
-
-
-def _atomic_write(path: str, data: bytes) -> None:
-    tmp = f"{path}.tmp-{os.getpid()}-{time.time_ns()}"
-    with open(tmp, "wb") as f:
-        f.write(data)
-    os.replace(tmp, path)
+    return ckpt_dir.rstrip("/") + f"/part-{pid:05d}.bin"
 
 
 def build_partials_checkpointed(
@@ -63,7 +58,7 @@ def build_partials_checkpointed(
     """Stage 1 with per-partition checkpoint/resume. Returns the partial-
     states DataFrame (one row per partition), identical to
     ``build_partials(df, agg)`` but persistent."""
-    os.makedirs(ckpt_dir, exist_ok=True)
+    fsio.fs_mkdirs(ckpt_dir)
     pruned = df.select(*agg.value_cols)
     schema = "state binary"
 
@@ -72,12 +67,11 @@ def build_partials_checkpointed(
         pid = ctx.partitionId() if ctx is not None else 0
         mpath = _manifest_path(ckpt_dir, pid)
         bpath = _blob_path(ckpt_dir, pid)
-        if os.path.exists(mpath) and os.path.exists(bpath):
+        if fsio.fs_exists(mpath) and fsio.fs_exists(bpath):
             # resume: reuse the completed partition's state without
             # consuming (decoding) the input
-            with open(bpath, "rb") as f:
-                blob = f.read()
-            manifest = json.load(open(mpath))
+            blob = fsio.fs_read_bytes(bpath)
+            manifest = json.loads(fsio.fs_read_bytes(mpath))
             if not validate:
                 yield pa.RecordBatch.from_arrays(
                     [pa.array([blob], type=pa.binary())], names=["state"])
@@ -108,7 +102,10 @@ def build_partials_checkpointed(
             checksum = (checksum + int(_batch_checksum(batch))) % (1 << 61)
             agg.add_arrow(state, pa.Table.from_batches([batch]))
         blob = agg.state_bytes(state)
-        _atomic_write(bpath, blob)
+        # blob first, manifest last: a manifest is the commit record, so a
+        # crash between the two writes leaves a harmless orphan blob that
+        # the rerun simply overwrites
+        fsio.fs_write_atomic(bpath, blob)
         manifest = {
             "partition": pid,
             "rows": rows,
@@ -118,7 +115,7 @@ def build_partials_checkpointed(
             "completed_at": time.time(),
             "recomputed": True,
         }
-        _atomic_write(mpath, json.dumps(manifest).encode())
+        fsio.fs_write_atomic(mpath, json.dumps(manifest).encode())
         yield pa.RecordBatch.from_arrays(
             [pa.array([blob], type=pa.binary())], names=["state"])
 
@@ -158,9 +155,10 @@ def checkpointed_sketch_aggregate(
 def load_metrics(ckpt_dir: str) -> list[dict]:
     """All partition lineage manifests, ordered by partition id."""
     out = []
-    for f in sorted(os.listdir(ckpt_dir)):
+    for f in fsio.fs_list_names(ckpt_dir):
         if f.endswith(".json"):
-            out.append(json.load(open(os.path.join(ckpt_dir, f))))
+            out.append(json.loads(fsio.fs_read_bytes(
+                ckpt_dir.rstrip("/") + "/" + f)))
     return out
 
 

@@ -16,36 +16,47 @@ For grouped/windowed streaming quantiles, compose with watermarked
 
 from __future__ import annotations
 
-import os
-import time
-
 from pyspark.sql import DataFrame
 
 from ..core.ddsketch import DDSketch
+from ..pipeline import fsio
 from ..spark.agg import SketchAggregator, merge_global, build_partials
 from ..spark.ddsketch_agg import DDSketchAggregator
 
 
 class StreamingSketch:
-    """Running sketch state with idempotent micro-batch merges."""
+    """Running sketch state with idempotent micro-batch merges.
+
+    ``state_dir`` is any Hadoop-addressable URI (``/path``, ``file:/``,
+    ``hdfs://``, ``s3://``/``s3a://``) — all I/O goes through
+    ``pipeline/fsio.py``, never ``os.*``."""
 
     _HDR_LEN = 8  # little-endian batch_id prefixed to the blob
 
     def __init__(self, agg: SketchAggregator, state_dir: str) -> None:
         self.agg = agg
-        self.state_dir = state_dir
-        os.makedirs(state_dir, exist_ok=True)
-        # batch_id and blob live in ONE file committed by ONE atomic rename:
-        # a crash can never leave the id and the state out of sync (two
-        # separate files would double-merge a replayed batch if the process
-        # died between the writes)
-        self._state_path = os.path.join(state_dir, "state.bin")
+        self.state_dir = state_dir.rstrip("/")
+        fsio.fs_mkdirs(state_dir)
+
+    # batch_id and blob live in ONE file whose NAME is the generation
+    # (``state-<batch_id>.bin``), committed by one tmp-file rename. A crash
+    # can never leave the id and the state out of sync, and — unlike
+    # rename-over-the-previous-file, which HDFS refuses and S3 can only
+    # emulate with a delete window — committing to a fresh name then
+    # garbage-collecting older generations is crash-safe on every store:
+    # at least one complete generation exists at all times, and the loader
+    # simply takes the newest.
+
+    def _generation_names(self) -> list[str]:
+        return [f for f in fsio.fs_list_names(self.state_dir)
+                if f.startswith("state-") and f.endswith(".bin")]
 
     def _load(self) -> tuple[bytes | None, int]:
-        if not os.path.exists(self._state_path):
+        gens = self._generation_names()
+        if not gens:
             return None, -1
-        with open(self._state_path, "rb") as f:
-            raw = f.read()
+        # zero-padded batch ids make lexicographic max the numeric max
+        raw = fsio.fs_read_bytes(f"{self.state_dir}/{max(gens)}")
         last_batch = int.from_bytes(raw[: self._HDR_LEN], "little", signed=True)
         return raw[self._HDR_LEN:], last_batch
 
@@ -57,11 +68,16 @@ class StreamingSketch:
         batch_blob = merge_global(partials, self.agg, fanout=16)
         merged = (self.agg.merge_blobs([blob, batch_blob])
                   if blob is not None else batch_blob)
-        tmp = f"{self._state_path}.tmp-{time.time_ns()}"
-        with open(tmp, "wb") as f:
-            f.write(int(batch_id).to_bytes(self._HDR_LEN, "little", signed=True))
-            f.write(merged)
-        os.replace(tmp, self._state_path)
+        name = f"state-{int(batch_id):020d}.bin"
+        payload = (int(batch_id).to_bytes(self._HDR_LEN, "little", signed=True)
+                   + merged)
+        fsio.fs_write_atomic(f"{self.state_dir}/{name}", payload)
+        for g in self._generation_names():  # GC superseded generations
+            if g < name:
+                try:
+                    fsio.fs_delete_file(f"{self.state_dir}/{g}")
+                except OSError:
+                    pass  # best-effort; a leftover older gen is never loaded
 
     def current_blob(self) -> bytes | None:
         return self._load()[0]

@@ -818,3 +818,49 @@ def test_take_top_frac_by_group_kll_and_guards(spark):
         take_top_frac_by_group(df, 0.5, "v", "source")
     assert take_top_frac_by_group(df, 1.0, "v", "source",
                                   key_col="doc_id").count() == 20000
+
+
+def test_checkpoint_file_uri_no_posix_io(spark, token_table_path, tmp_path):
+    """Checkpoint dir given as a ``file:/`` URI: ``os.open``/``os.path``
+    would choke on (or mis-resolve) the scheme, so a green run proves every
+    read/write — executor blob writes included — goes through the
+    fsio layer (pyarrow.fs), i.e. the same code path that serves
+    hdfs:// and s3:// on a real cluster."""
+    local = tmp_path / "ckpt_uri"
+    ckpt = "file://" + str(local)
+    agg = DDSketchAggregator("n_tok", alpha=0.01, quantiles=(0.5, 0.99))
+    df = read_tokens(spark, token_table_path)
+    out1 = checkpointed_sketch_aggregate(df, agg, ckpt)
+    # blobs + manifests landed at the real local path behind the URI
+    assert any(f.suffix == ".bin" for f in local.iterdir())
+    assert checkpoint_summary(ckpt)["rows"] == 20_000
+    # resume through the URI: bit-identical, nothing rewritten
+    mtimes = {f.name: f.stat().st_mtime for f in local.iterdir()}
+    out2 = checkpointed_sketch_aggregate(df, agg, ckpt)
+    assert out2["state"] == out1["state"]
+    assert {f.name: f.stat().st_mtime for f in local.iterdir()} == mtimes
+
+
+def test_streaming_state_file_uri_and_generations(spark, token_table_path, tmp_path):
+    """StreamingSketch over a ``file:/`` URI: generation-file commits are
+    idempotent under replay, GC leaves exactly the newest generation, and
+    a restarted instance resumes from it."""
+    from ddsketchy_spark.streaming import StreamingSketch
+
+    sdir = tmp_path / "stream_state_uri"
+    agg = DDSketchAggregator("n_tok", alpha=0.01, quantiles=())
+    sk = StreamingSketch(agg, "file://" + str(sdir))
+    df = read_tokens(spark, token_table_path).limit(500)
+    sk.process_batch(df, 0)
+    sk.process_batch(df, 1)
+    blob = sk.current_blob()
+    assert DDSketch.from_bytes(blob).count == 1000
+    sk.process_batch(df, 1)  # replayed micro-batch: no-op
+    assert sk.current_blob() == blob
+    gens = sorted(f.name for f in sdir.iterdir() if f.name.startswith("state-"))
+    assert gens == ["state-%020d.bin" % 1]  # older generation GC'd
+    # a fresh instance (restart) resumes from the surviving generation
+    sk2 = StreamingSketch(agg, "file://" + str(sdir))
+    assert sk2.current_blob() == blob
+    sk2.process_batch(df, 2)
+    assert DDSketch.from_bytes(sk2.current_blob()).count == 1500
