@@ -769,11 +769,16 @@ def dedup_against_cosine_index(
     survivors = marked.where(F.col("corpus_match").isNull()) \
                       .drop("corpus_match")
     if within:
+        # dim comes from the sidecar, NOT from an eager .first() probe of
+        # the survivors: a fully-duplicate increment (the steady state of a
+        # streaming crawl re-seeing its corpus) leaves ZERO survivors, and
+        # the probe would raise instead of returning all-dropped labels
         labels = dedup_semantic(
             survivors, threshold=threshold, vec_col=vcol, id_col=id_col,
             method="lsh", checkpoint_dir=checkpoint_dir, keep_by=keep_by,
             k=within_k, n_planes=meta["n_planes"], bands=meta["bands"],
-            seed=meta["seed"], max_bucket_size=max_bucket_size)
+            seed=meta["seed"], max_bucket_size=max_bucket_size,
+            dim=meta["dim"])
     else:
         labels = survivors.select(
             F.col(id_col),

@@ -104,14 +104,26 @@ def write_ngram_bloom_index(
     wire however large the reference corpus is."""
     from ..spark.companions import bloom_state
 
+    if n_bits is not None and (n_bits <= 0 or n_bits & (n_bits - 1)):
+        # fail at entry, not at collect time deep inside _bloom_from_rows
+        raise ValueError(
+            f"n_bits must be a power of two (BloomFilter's mask-probe "
+            f"contract), got {n_bits}")
     grams = _gram_hashes(df, text_col, n).dropDuplicates()
     if n_bits is None or n_hashes is None:
         est = grams.agg(
             F.approx_count_distinct("gh").alias("d")).collect()[0]["d"]
-        auto_bits, auto_hashes = BloomFilter.params_for_capacity(
-            max(int(est * 1.2), 1), fpr)
-        n_bits = n_bits or auto_bits
-        n_hashes = n_hashes or auto_hashes
+        est = max(int(est * 1.2), 1)
+        if n_bits is None:
+            n_bits, auto_hashes = BloomFilter.params_for_capacity(est, fpr)
+            n_hashes = n_hashes or auto_hashes
+        else:
+            # caller fixed the bit budget: the optimal hash count follows
+            # from THEIR n_bits, not from the auto-sized array's pair;
+            # capped — past ~32 probes the fpr gain is nil and the
+            # per-gram probe explode cost is linear in n_hashes
+            n_hashes = min(32, max(1, round(n_bits / est
+                                            * 0.6931471805599453)))
     out = bloom_state(grams, "gh", n_bits=n_bits, n_hashes=n_hashes,
                       engine="native")
     spark = df.sparkSession

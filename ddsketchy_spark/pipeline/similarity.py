@@ -266,6 +266,16 @@ def lsh_cosine_topk(
             raise ValueError(
                 f"{len(pdf)} embeddings exceed max_broadcast_rows="
                 f"{max_broadcast_rows}; use verify='sql' or raise the limit")
+        if len(pdf) == 0:
+            # empty input (possible only with dim= given): np.stack and
+            # createDataFrame both refuse zero rows — there are no pairs
+            from pyspark.sql.types import DoubleType, StructField, StructType
+
+            id_field = df.schema[id_col]
+            return df.sparkSession.createDataFrame([], StructType([
+                StructField("id", id_field.dataType),
+                StructField("neighbor", id_field.dataType),
+                StructField("cos", DoubleType())]))
         # ids may be any type: join on dense row indices, map back on output
         id_values = pdf["id"].to_numpy()
         order = np.argsort(id_values, kind="stable")
@@ -485,8 +495,12 @@ def write_ivf_index(
     if bad:
         raise ValueError(f"extra_meta may not override reserved sidecar "
                          f"keys {sorted(bad)}")
+    # member table FIRST, sidecar LAST: the sidecar is the commit marker —
+    # read_ivf_index refuses a sidecar-less dir, so a crashed write can
+    # never serve a partial index (the retrain_ivf_index safety contract)
     index_df.write.partitionBy("cluster").mode(mode).parquet(path)
     meta.update(extra_meta or {})
+    meta.setdefault("generation", 1)
     jvm = spark._jvm
     hpath = jvm.org.apache.hadoop.fs.Path(path.rstrip("/") + "/_ivf_meta.json")
     fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
@@ -558,6 +572,54 @@ def append_to_ivf_index(
     assigned = _ivf_assign(v, cents, df.schema[id_col])
     assigned.write.partitionBy("cluster").mode("append").parquet(path)
     return meta
+
+
+def retrain_ivf_index(
+    spark,
+    path: str,
+    new_path: str,
+    n_clusters: int | None = None,
+    kmeans_iters: int = 10,
+    seed: int = 11,
+    train_rows: int = 100_000,
+) -> dict:
+    """Periodic IVF rebalance (the drift remedy ``append_to_ivf_index``
+    documents): re-run spherical k-means over a BOUNDED deterministic
+    sample of the FULL index — base plus every appended generation, so
+    drifted appends pull centroids toward where the data actually lives —
+    and rewrite every member under the new centroids into ``new_path``
+    as the next index generation.
+
+    Versioning + mid-rewrite safety: the sidecar carries ``generation``
+    (old + 1) and ``retrained_from``; ``write_ivf_index`` commits the
+    member table FIRST and the sidecar LAST, and ``read_ivf_index``
+    refuses any directory without a sidecar — so a probe can never read a
+    half-rewritten index: it either sees the complete new generation or a
+    loud FileNotFoundError, and the old generation at ``path`` stays
+    intact throughout (swap paths only after this returns).
+
+    Scale shape: only the ``train_rows`` deterministic sample reaches the
+    driver; reassignment is the shared ``_ivf_assign`` matmul kernel
+    streaming over the index; the rewrite is one partitionBy("cluster")
+    write. Returns the new sidecar meta."""
+    if path.rstrip("/") == new_path.rstrip("/"):
+        raise ValueError(
+            "retrain must write a NEW generation path — rewriting in "
+            "place would race live probes against a half-deleted index")
+    idx, _cents, meta = read_ivf_index(spark, path)
+    v = idx.select("id", F.col("nvec").alias("vec"))
+    k = n_clusters or meta["n_clusters"]
+    new_cents = _train_ivf_centroids(v, k, kmeans_iters, seed, train_rows)
+    assigned = _ivf_assign(v, new_cents, idx.schema["id"])
+    carried = {k2: v2 for k2, v2 in meta.items()
+               if k2 not in ("format_version", "n_clusters", "dim",
+                             "generation", "retrained_from")}
+    write_ivf_index(assigned, new_cents, new_path, extra_meta={
+        **carried,
+        "generation": int(meta.get("generation", 1)) + 1,
+        "retrained_from": path,
+    })
+    return read_ivf_index(spark, new_path)[2]
 
 
 def ann_query_ivf(

@@ -151,8 +151,7 @@ def rollup_drift(
     per-key finalize pass each, one key-only full-outer join — no data
     rescans, no row shuffles beyond O(keys)."""
     from pyspark.sql import functions as F
-    from pyspark.sql.types import (
-        DoubleType, FloatType, IntegerType, LongType)
+    from pyspark.sql.types import NumericType
 
     by = list(by)
     if v_new is None:
@@ -179,11 +178,12 @@ def rollup_drift(
     status = (F.when(F.col("_in_old").isNull(), F.lit("added"))
               .when(F.col("_in_new").isNull(), F.lit("removed"))
               .otherwise(F.lit("both")))
-    numeric = (LongType, IntegerType, DoubleType, FloatType)
     cols = [F.col(c) for c in by] + [status.alias("status")]
     for f in fields:
         cols += [F.col(f"{f.name}_old"), F.col(f"{f.name}_new")]
-        if isinstance(f.dataType, numeric):
+        # every numeric finalize column gets a delta — NumericType covers
+        # Decimal/Short/Byte outputs of custom aggregators too
+        if isinstance(f.dataType, NumericType):
             cols.append((F.col(f"{f.name}_new") - F.col(f"{f.name}_old"))
                         .alias(f"delta_{f.name}"))
     return j.select(*cols)
@@ -224,7 +224,15 @@ def theta_rollup_overlap(
 
     from ..core.theta import ThetaSketch
     from .agg import to_arrow_schema
+    from .companions import ThetaAggregator
 
+    if not isinstance(agg, ThetaAggregator):
+        # fail driver-side with the real reason — any other aggregator's
+        # blobs would only die executor-side inside ThetaSketch.from_bytes
+        # with an opaque deserialization error
+        raise TypeError(
+            f"theta_rollup_overlap needs a ThetaAggregator (its states are "
+            f"the only ones with set algebra), got {type(agg).__name__}")
     by = list(by)
     if v_new is None:
         v_new = latest_version(spark, root)

@@ -317,3 +317,20 @@ def test_cross_parity_randomized(spark, tmp_path):
     # every planted copy is a candidate (identical signatures) at cos ~ 1
     for i in range(30):
         assert abs(got[(3 * i, 1000 + i)] - 1.0) < 1e-12
+
+
+def test_fully_duplicate_increment_all_dropped(spark, corpus, index_path):
+    """r4 advice repro: an increment that duplicates the entire indexed
+    corpus leaves ZERO survivors — the steady state of a streaming crawl
+    re-seeing its own output. The within pass must label it all-dropped,
+    not crash: dim rides the sidecar into dedup_semantic (never an eager
+    .first() probe of the empty survivor frame), and the broadcast LSH
+    engine returns an empty pair frame for zero rows."""
+    from ddsketchy_spark.pipeline.dedup_index import dedup_against_cosine_index
+
+    inc = corpus.withColumn("vec_id", F.col("vec_id") + 100)
+    rows = dedup_against_cosine_index(inc, index_path, threshold=0.99).collect()
+    assert len(rows) == 6
+    assert all(r["keep"] is False for r in rows)
+    assert all(r["corpus_match"] == r["vec_id"] - 100 for r in rows)
+    assert all(r["component"] is None for r in rows)

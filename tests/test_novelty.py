@@ -124,6 +124,18 @@ def test_bloom_index_guards(spark, corpus, tmp_path, index_path):
     no_text = spark.createDataFrame([(1,)], "doc_id long")
     with pytest.raises(ValueError, match="text_col"):
         novelty_against_index(no_text, index_path)
+    # r4 advice: a non-power-of-two n_bits fails at ENTRY with the real
+    # reason, not at collect time deep inside _bloom_from_rows
+    from ddsketchy_spark.pipeline.novelty import write_ngram_bloom_index
+    with pytest.raises(ValueError, match="power of two"):
+        write_ngram_bloom_index(corpus, str(tmp_path / "bad"), n=3,
+                                n_bits=1000)
+    # n_bits alone: n_hashes derives from the CALLER'S bit budget
+    # (n_bits/n * ln 2), not from the auto-sized array's pair
+    meta = write_ngram_bloom_index(corpus, str(tmp_path / "fixedbits"),
+                                   n=3, n_bits=1 << 20)
+    assert meta["n_bits"] == 1 << 20
+    assert meta["n_hashes"] >= 8  # far more than the auto pairing would use
 
 
 def test_clean_corpus_with_bloom_benchmark(spark, tmp_path):

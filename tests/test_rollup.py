@@ -137,6 +137,11 @@ def test_theta_rollup_overlap(spark, tmp_path):
 
     agg = ThetaAggregator("u", k=4096)
     root = str(tmp_path / "theta_roll")
+    # r4 advice: a non-Theta aggregator fails driver-side with the real
+    # reason, not executor-side inside ThetaSketch.from_bytes
+    from ddsketchy_spark.spark.ddsketch_agg import DDSketchAggregator
+    with pytest.raises(TypeError, match="ThetaAggregator"):
+        theta_rollup_overlap(spark, root, DDSketchAggregator("u"), ["k"])
     d1 = spark.createDataFrame([("a", i) for i in range(1, 101)],
                                "k string, u long")
     d2 = spark.createDataFrame(
