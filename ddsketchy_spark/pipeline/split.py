@@ -9,8 +9,10 @@ correlated document lands on the same side.
 
 Law (fully SQL-re-derivable, DuckDB-oracled):
 
-- the split key is ``group_col`` when given (falling back to the row's
-  ``id_col`` for NULL groups — an ungrouped row is its own group), else
+- the split key is ``'g:' || group_col`` when given (falling back to
+  ``'i:' || id_col`` for NULL groups — an ungrouped row is its own
+  group; the namespace prefixes keep a doc id that happens to EQUAL some
+  group label from aliasing into that group's draw), else the bare
   ``id_col``;
 - the key draws the same md5-based 52-bit unit uniform ``u`` as
   ``mix.unit_uniform`` (bit-identical in every engine, deterministic
@@ -53,8 +55,10 @@ def split_corpus(
         raise ValueError(f"split weights must be positive, got {splits}")
     total = float(sum(splits.values()))
     names = list(splits)
-    key = (F.coalesce(F.col(group_col).cast("string"),
-                      F.col(id_col).cast("string"))
+    # namespace prefixes (grouped mode only): concat propagates a NULL
+    # group/id, so the coalesce fallback law is unchanged
+    key = (F.coalesce(F.concat(F.lit("g:"), F.col(group_col).cast("string")),
+                      F.concat(F.lit("i:"), F.col(id_col).cast("string")))
            if group_col is not None else F.col(id_col).cast("string"))
     u = unit_uniform(key, seed)
     expr = F.lit(names[-1])  # last split absorbs u in [c_{k-1}, 1)

@@ -46,7 +46,9 @@ def test_split_corpus_law_and_fractions(spark):
 
 def test_split_corpus_group_mode(spark):
     """group_col: every non-NULL group lands wholly in one split; NULL
-    groups fall back to the row id; NULL-both rows get a NULL split."""
+    groups fall back to the row id; NULL-both rows get a NULL split.
+    Grouped-mode keys carry g:/i: namespace prefixes so a doc id equal to
+    some group label never aliases into that group's draw (r4 verdict)."""
     from ddsketchy_spark.pipeline.split import split_corpus
 
     rows = [(i, f"g{i % 7}") for i in range(200)]
@@ -61,10 +63,10 @@ def test_split_corpus_group_mode(spark):
             by_grp.setdefault(r["grp"], set()).add(r["split"])
     assert by_grp and all(len(s) == 1 for s in by_grp.values())
     for g, s in by_grp.items():
-        assert s == {_expect(g, {"train": 0.5, "test": 0.5})}
+        assert s == {_expect("g:" + g, {"train": 0.5, "test": 0.5})}
     for r in out:
         if r["grp"] is None and r["doc_id"] is not None:
-            assert r["split"] == _expect(str(r["doc_id"]),
+            assert r["split"] == _expect("i:" + str(r["doc_id"]),
                                          {"train": 0.5, "test": 0.5})
     assert [r["split"] for r in out if r["doc_id"] is None] == [None]
 
@@ -107,3 +109,18 @@ def test_split_corpus_leakage_with_near_dup_groups(spark):
     grp_splits = (out.groupBy("component")
                   .agg(F.countDistinct("split").alias("k")).collect())
     assert grp_splits and all(r["k"] == 1 for r in grp_splits)
+
+
+def test_split_corpus_group_id_namespace_disjoint(spark):
+    """A NULL-group doc whose id string EQUALS some group label draws from
+    the i: namespace — it can no longer alias into that group's split
+    (r4 verdict What's-wrong #3)."""
+    from ddsketchy_spark.pipeline.split import split_corpus
+
+    splits = {"x": 0.5, "y": 0.5}
+    df = spark.createDataFrame([("groupZ", None), ("m1", "groupZ")],
+                               "doc_id string, grp string")
+    got = {r["doc_id"]: r["split"] for r in
+           split_corpus(df, splits, group_col="grp").collect()}
+    assert got["groupZ"] == _expect("i:groupZ", splits)
+    assert got["m1"] == _expect("g:groupZ", splits)
