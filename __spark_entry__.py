@@ -43,18 +43,22 @@ _PARA_BOILERPLATE = ("shared boilerplate navigation footer paragraph "
                      "common to many pages of this synthetic corpus")
 
 
-def _winnowing_ctes(k: int, window: int, relation: str = "documents") -> str:
+def _winnowing_ctes(k: int, window: int, relation: str = "documents",
+                    lower: bool = True) -> str:
     """The CTE chain of the ``winnowing_fingerprints`` DuckDB
     re-derivation (see ``_winnowing_sql``) over ``relation`` (any table
     or CTE with doc_id, text) — ends with ``winmins``; append a final
-    SELECT (and optionally more CTEs)."""
+    SELECT (and optionally more CTEs). ``lower=False`` mirrors the
+    case-sensitive span-rewrite law (lowercase=False on the Spark
+    side)."""
     B, MASK1 = 1000003, 1 << 61
     powers = [pow(B, k - 1 - j, MASK1) for j in range(k)]
     terms = " + ".join(
         f"CAST(ascii(substr(t, p+{j}, 1)) AS HUGEINT) * {powers[j]}::HUGEINT"
         for j in range(k))
+    t_expr = "lower(text)" if lower else "text"
     return f"""docs AS (
-  SELECT doc_id, lower(text) AS t, length(text) - {k - 1} AS n
+  SELECT doc_id, {t_expr} AS t, length(text) - {k - 1} AS n
   FROM {relation} WHERE text IS NOT NULL AND length(text) >= {k}
 ),
 hashes AS (
@@ -1332,6 +1336,38 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["substring_pairs_documents"] = substring_pairs_documents
 
+    def exactsubstr_rewrite_documents(spark, sf):
+        """ExactSubstr span REMOVAL (pipeline/dedup.py
+        rewrite_shared_spans; Lee et al. 2021, arXiv:2107.06499): every
+        verified maximal shared byte run >= 40 chars is CUT from the
+        pair's later document, keep-first. Corpus = documents
+        (doc_id < 120) plus planted partners embedding each low-id doc's
+        first 120 characters between unique salts. DuckDB re-derives the
+        ENTIRE law — case-sensitive winnowing, diagonal chains, region
+        clamps, per-position equality runs, interval merge, and the
+        rewrite itself — and md5-matches every rewritten text plus the
+        cut counters."""
+        from ddsketchy_spark.pipeline.dedup import rewrite_shared_spans
+
+        docs = (_load(spark, sf, "documents").select("doc_id", "text")
+                .where("doc_id IS NOT NULL AND text IS NOT NULL"))
+        base = docs.where("doc_id < 120")
+        planted = docs.where("doc_id < 25").select(
+            (F.col("doc_id") + 800000).alias("doc_id"),
+            F.concat(F.lit("planted intro "),
+                     F.md5(F.col("doc_id").cast("string")), F.lit(" "),
+                     F.substring("text", 1, 120), F.lit(" planted outro "),
+                     F.md5((F.col("doc_id") + 7).cast("string"))
+                     ).alias("text"))
+        corpus = base.unionByName(planted)
+        out = rewrite_shared_spans(corpus, min_len=40)
+        return (out.select("doc_id", F.md5("text").alias("text_md5"),
+                           "n_cut_spans", "n_cut_bytes")
+                .orderBy("doc_id"))
+
+    q["exactsubstr_rewrite_documents"] = exactsubstr_rewrite_documents
+
+
     # -- relational coverage: classic aggregations + broadcast joins --------
 
     def _r2(c):
@@ -2018,7 +2054,7 @@ FROM u GROUP BY split ORDER BY split
     o["split_corpus_grouped_documents"] = """
 WITH u AS (
   SELECT source,
-         CAST(('0x' || substring(md5(source || ':3'), 1, 13)) AS BIGINT)
+         CAST(('0x' || substring(md5('g:' || source || ':3'), 1, 13)) AS BIGINT)
            / (16.0 ^ 13) AS u
   FROM documents WHERE doc_id IS NOT NULL AND source IS NOT NULL
 )
@@ -2243,6 +2279,118 @@ SELECT m.doc_id, coalesce(m.corpus_match, -1) AS corpus_match,
 FROM m LEFT JOIN keepmin k USING (fp)
 ORDER BY m.doc_id
 """
+
+    _K, _W, _ML = 20, 21, 40
+    _E = 2 * (_W + _K)
+    _G = _K + 2 * _E
+    o["exactsubstr_rewrite_documents"] = f"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  WHERE doc_id IS NOT NULL AND text IS NOT NULL AND doc_id < 120
+  UNION ALL
+  SELECT doc_id + 800000,
+         'planted intro ' || md5(CAST(doc_id AS VARCHAR)) || ' ' ||
+         substr(text, 1, 120) || ' planted outro ' ||
+         md5(CAST(doc_id + 7 AS VARCHAR))
+  FROM documents
+  WHERE doc_id IS NOT NULL AND text IS NOT NULL AND doc_id < 25
+),
+{_winnowing_ctes(_K, _W, "corpus", lower=False)},
+fps AS (SELECT DISTINCT doc_id, m.p AS pos, m.h AS fp FROM winmins),
+mt AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.pos AS pa,
+         b.pos - a.pos AS diag
+  FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+),
+ch AS (
+  SELECT id_a, id_b, diag, pa,
+         SUM(CASE WHEN gap IS NULL OR gap <= {_G} THEN 0 ELSE 1 END)
+           OVER (PARTITION BY id_a, id_b, diag ORDER BY pa
+                 ROWS UNBOUNDED PRECEDING) AS chain
+  FROM (SELECT *, pa - lag(pa) OVER (PARTITION BY id_a, id_b, diag
+                                     ORDER BY pa) AS gap FROM mt)
+),
+spans0 AS (
+  SELECT id_a, id_b, diag, min(pa) AS a_lo, max(pa) + {_K} AS a_hi
+  FROM ch GROUP BY id_a, id_b, diag, chain
+),
+lens AS (SELECT doc_id, length(text) AS bl FROM corpus),
+sp AS (
+  SELECT DISTINCT id_a, id_b, diag,
+         greatest(a_lo - {_E}, 0, -diag) AS reg_lo,
+         least(a_hi + {_E}, la.bl, lb.bl - diag) AS reg_hi
+  FROM spans0 JOIN lens la ON la.doc_id = id_a
+              JOIN lens lb ON lb.doc_id = id_b
+  WHERE least(a_hi + {_E}, la.bl, lb.bl - diag)
+        - greatest(a_lo - {_E}, 0, -diag) >= {_ML}
+),
+posq AS (
+  SELECT s.id_a, s.id_b, s.diag, s.reg_lo, g.p,
+         substr(ta.text, CAST(g.p + 1 AS BIGINT), 1)
+           = substr(tb.text, CAST(g.p + s.diag + 1 AS BIGINT), 1) AS eq
+  FROM sp s
+  JOIN corpus ta ON ta.doc_id = s.id_a
+  JOIN corpus tb ON tb.doc_id = s.id_b,
+  LATERAL unnest(generate_series(s.reg_lo, s.reg_hi - 1)) AS g(p)
+),
+runs AS (
+  SELECT id_a, id_b, diag, min(p) AS a_start, count(*) AS run_len
+  FROM (SELECT *, p - ROW_NUMBER() OVER (PARTITION BY id_a, id_b, diag,
+                                         reg_lo ORDER BY p) AS island
+        FROM posq WHERE eq)
+  GROUP BY id_a, id_b, diag, reg_lo, island
+  HAVING count(*) >= {_ML}
+),
+cut0 AS (SELECT id_b AS doc_id, a_start + diag AS s,
+                a_start + diag + run_len AS e
+         FROM runs),
+mrg AS (
+  SELECT doc_id, s, e,
+         CASE WHEN s <= max(e) OVER (PARTITION BY doc_id ORDER BY s, e
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+              THEN 0 ELSE 1 END AS brk
+  FROM cut0
+),
+cuts AS (
+  SELECT doc_id, min(s) AS s, max(e) AS e
+  FROM (SELECT doc_id, s, e,
+               SUM(brk) OVER (PARTITION BY doc_id ORDER BY s, e
+                              ROWS UNBOUNDED PRECEDING) AS grp
+        FROM mrg)
+  GROUP BY doc_id, grp
+),
+segs AS (
+  SELECT doc_id, lag(e, 1, 0) OVER (PARTITION BY doc_id ORDER BY s) AS seg_s,
+         s AS seg_e
+  FROM cuts
+  UNION ALL
+  SELECT c.doc_id, max(c.e), any_value(l.bl)
+  FROM cuts c JOIN lens l USING (doc_id) GROUP BY c.doc_id
+),
+rew AS (
+  SELECT s.doc_id,
+         string_agg(substr(t.text, seg_s + 1, seg_e - seg_s),
+                    '' ORDER BY seg_s) AS new_text
+  FROM segs s JOIN corpus t USING (doc_id)
+  WHERE seg_e > seg_s
+  GROUP BY s.doc_id
+),
+stats AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_cut_spans,
+         CAST(sum(e - s) AS BIGINT) AS n_cut_bytes
+  FROM cuts GROUP BY doc_id
+)
+SELECT c.doc_id,
+       md5(CASE WHEN st.doc_id IS NULL THEN c.text
+                ELSE coalesce(r.new_text, '') END) AS text_md5,
+       coalesce(st.n_cut_spans, 0) AS n_cut_spans,
+       coalesce(st.n_cut_bytes, 0) AS n_cut_bytes
+FROM corpus c
+LEFT JOIN stats st ON st.doc_id = c.doc_id
+LEFT JOIN rew r ON r.doc_id = c.doc_id
+ORDER BY c.doc_id
+"""
+
     o["substring_pairs_documents"] = f"""
 WITH corpus AS (
   SELECT doc_id, text FROM documents

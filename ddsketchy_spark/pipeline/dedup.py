@@ -1130,6 +1130,7 @@ def dedup_substring(
     keep_by: str | None = None,
     max_fp_docs: int | None = None,
     checkpoint_dir: str | None = None,
+    rewrite: bool = False,
 ) -> DataFrame:
     """Document-level dedup on the span signal: cluster docs linked by
     ``substring_overlap_pairs`` with >= ``min_shared_fps`` shared
@@ -1138,11 +1139,283 @@ def dedup_substring(
     keep) row contract as ``dedup_near_text`` — NULL ids pass through.
 
     This is the doc-level policy over span evidence (drop near-verbatim
-    re-posts); cutting the span itself while keeping both docs is
-    ``dedup_paragraphs``' territory when spans align with paragraphs."""
+    re-posts); ``rewrite=True`` switches to SPAN-LEVEL removal instead —
+    Lee et al. 2021's ExactSubstr behavior: every verified maximal shared
+    byte run >= ``min_len`` is CUT from the pair's later document and both
+    documents are kept (see ``rewrite_shared_spans``; ``min_shared_fps`` /
+    ``keep_by`` / ``checkpoint_dir`` do not apply in that mode)."""
+    if rewrite:
+        return rewrite_shared_spans(df, min_len=min_len, text_col=text_col,
+                                    id_col=id_col, max_fp_docs=max_fp_docs)
     pairs = substring_overlap_pairs(df, min_len=min_len, text_col=text_col,
                                     id_col=id_col, max_fp_docs=max_fp_docs)
     strong = pairs.where(F.col("n_shared_fps") >= min_shared_fps)
     comp = connected_components(strong, "id_a", "id_b",
                                 checkpoint_dir=checkpoint_dir)
     return _keep_canonical(df, id_col, comp, keep_by)
+
+
+def substring_shared_spans(
+    df: DataFrame,
+    min_len: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_fp_docs: int | None = None,
+) -> DataFrame:
+    """VERIFIED maximal shared byte spans per document pair — the span
+    recovery stage of Lee et al. 2021's ExactSubstr
+    (``/root/reference`` has no counterpart; published-algorithm law):
+    returns (id_a, id_b, a_start, b_start, length) with id_a < id_b, one
+    row per maximal byte-equal run of length >= ``min_len`` between the
+    two documents' RAW texts (case-sensitive, byte offsets, 0-based).
+
+    Law (each stage deterministic and DuckDB-re-derivable):
+
+    1. winnowing fingerprints at k = min_len//2, window = min_len-k+1,
+       ``lowercase=False`` (positions must map onto the original bytes);
+       optional ``max_fp_docs`` cap on a fingerprint's distinct-doc count
+       (degenerate boilerplate, as in ``substring_overlap_pairs``).
+    2. matched fingerprints joined per pair; a match at (pos_a, pos_b)
+       lies on diagonal d = pos_b - pos_a. Matches on one diagonal whose
+       gaps are <= G chain together (G below).
+    3. each chain examines one REGION of the pair:
+       [reg_lo, reg_hi) = [max(a_lo - E, 0, -d),
+       min(a_hi + k + E, len_a, len_b - d)) in a-coordinates, with
+       E = 2*(window + k) and G = k + 2E. Winnowing's guarantee (any
+       shared run >= window + k - 1 = min_len contains a shared selected
+       fingerprint, and in-run selected fingerprints sit <= window apart)
+       makes every TRUE maximal run >= min_len lie wholly inside exactly
+       one region: a run poking more than E beyond its chain's ends, or
+       bridging two chains > G apart, would contain shared fingerprints
+       there — contradiction. Regions of distinct chains are disjoint by
+       construction (gap > G = k + 2E), so no span is found twice.
+    4. both regions' bytes are compared position-by-position (exact, no
+       hash trust); maximal equality runs >= min_len are the spans.
+
+    Scale shape: stages 1-3 shuffle only (id, pos, fp) / span-geometry
+    rows; the TEXT is scanned once and joined once — both sides' regions
+    extract from a single join against the (id, binary) projection, and
+    only the extracted regions (bounded by span extent + 2E bytes) flow
+    into the vectorized comparison kernel."""
+    if min_len < 8:
+        raise ValueError(f"min_len must be >= 8, got {min_len}")
+    from pyspark.sql import Window
+
+    from .text import winnowing_fingerprints
+
+    k = min_len // 2
+    window = min_len - k + 1
+    E = 2 * (window + k)
+    G = k + 2 * E
+
+    id_field = df.schema[id_col]
+    base = df.where(F.col(id_col).isNotNull() & F.col(text_col).isNotNull())
+    fps = (winnowing_fingerprints(base, text_col=text_col, id_col=id_col,
+                                  k=k, window=window, lowercase=False)
+           .select(F.col(id_col).alias("_id"), "pos", "fp").dropDuplicates())
+    if max_fp_docs is not None:
+        ok = (fps.select("_id", "fp").dropDuplicates()
+              .groupBy("fp").agg(F.count(F.lit(1)).alias("_n"))
+              .where(F.col("_n") <= max_fp_docs).drop("_n"))
+        fps = fps.join(ok, "fp")
+    a, b = fps.alias("a"), fps.alias("b")
+    m = (a.join(b, (F.col("a.fp") == F.col("b.fp"))
+                & (F.col("a._id") < F.col("b._id")))
+         .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"),
+                 F.col("a.pos").alias("pa"),
+                 (F.col("b.pos") - F.col("a.pos")).alias("diag"))
+         .dropDuplicates(["id_a", "id_b", "pa", "diag"]))
+    # diagonal chains: window over narrow match rows (NOT over documents)
+    wlag = Window.partitionBy("id_a", "id_b", "diag").orderBy("pa")
+    gap = F.col("pa") - F.lag("pa").over(wlag)
+    chained = m.withColumn(
+        "_chain",
+        F.sum(F.when(gap.isNull() | (gap <= G), F.lit(0)).otherwise(F.lit(1)))
+        .over(wlag.rowsBetween(Window.unboundedPreceding, 0)))
+    spans0 = (chained.groupBy("id_a", "id_b", "diag", "_chain")
+              .agg(F.min("pa").alias("a_lo"),
+                   (F.max("pa") + F.lit(k)).alias("a_hi")))
+    lens = base.select(F.col(id_col).alias("_lid"),
+                       F.octet_length(text_col).alias("_bl"))
+    sp = (spans0
+          .join(lens.select(F.col("_lid").alias("id_a"),
+                            F.col("_bl").alias("_bla")), "id_a")
+          .join(lens.select(F.col("_lid").alias("id_b"),
+                            F.col("_bl").alias("_blb")), "id_b")
+          .withColumn("reg_lo",
+                      F.greatest(F.col("a_lo") - F.lit(E), F.lit(0),
+                                 -F.col("diag")))
+          .withColumn("reg_hi",
+                      F.least(F.col("a_hi") + F.lit(E), F.col("_bla"),
+                              F.col("_blb") - F.col("diag")))
+          .where(F.col("reg_hi") - F.col("reg_lo") >= min_len)
+          # distinct chains clamped to the same doc edge collapse here
+          .select("id_a", "id_b", "diag", "reg_lo", "reg_hi")
+          .dropDuplicates(["id_a", "id_b", "diag", "reg_lo", "reg_hi"]))
+    # ONE text scan, ONE text shuffle: both sides' regions come from a
+    # single join against the (id, binary) projection
+    span_cols = ["id_a", "id_b", "diag", "reg_lo", "reg_hi"]
+    sides = (sp.select(F.col("id_a").alias("_tid"), *span_cols,
+                       F.col("reg_lo").alias("_off"),
+                       F.lit(0).alias("_side"))
+             .unionByName(
+                 sp.select(F.col("id_b").alias("_tid"), *span_cols,
+                           (F.col("reg_lo") + F.col("diag")).alias("_off"),
+                           F.lit(1).alias("_side"))))
+    txt = base.select(F.col(id_col).alias("_tid"),
+                      F.col(text_col).cast("binary").alias("_bin"))
+    ext = (sides.join(txt, "_tid")
+           .select(*span_cols, "_side",
+                   F.expr("substring(_bin, _off + 1, reg_hi - reg_lo)")
+                   .alias("_seg")))
+    paired = (ext.groupBy(*span_cols)
+              .agg(F.first(F.when(F.col("_side") == 0, F.col("_seg")),
+                           ignorenulls=True).alias("_sa"),
+                   F.first(F.when(F.col("_side") == 1, F.col("_seg")),
+                           ignorenulls=True).alias("_sb")))
+    out_schema = StructType([
+        StructField("id_a", id_field.dataType),
+        StructField("id_b", id_field.dataType),
+        StructField("a_start", LongType()),
+        StructField("b_start", LongType()),
+        StructField("length", LongType())])
+    mlen = min_len
+
+    def verify(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            n = batch.num_rows
+            if not n:
+                continue
+            diag = batch.column(2).to_numpy()
+            reg_lo = batch.column(3).to_numpy()
+            sa, sb = batch.column(5), batch.column(6)
+            out_idx: list[int] = []
+            out_astart: list[int] = []
+            out_len: list[int] = []
+            for i in range(n):
+                ra, rb = sa[i].as_py(), sb[i].as_py()
+                if ra is None or rb is None:
+                    continue
+                ba = np.frombuffer(ra, dtype=np.uint8)
+                bb = np.frombuffer(rb, dtype=np.uint8)
+                L = min(len(ba), len(bb))
+                if L < mlen:
+                    continue
+                eq = np.concatenate(
+                    ([False], ba[:L] == bb[:L], [False])).astype(np.int8)
+                d = np.diff(eq)
+                for s, e in zip(np.flatnonzero(d == 1),
+                                np.flatnonzero(d == -1)):
+                    if e - s >= mlen:
+                        out_idx.append(i)
+                        out_astart.append(int(reg_lo[i]) + int(s))
+                        out_len.append(int(e - s))
+            if not out_idx:
+                continue
+            idx = pa.array(out_idx, type=pa.int32())
+            astart = np.asarray(out_astart, dtype=np.int64)
+            yield pa.RecordBatch.from_arrays(
+                [batch.column(0).take(idx), batch.column(1).take(idx),
+                 pa.array(astart),
+                 pa.array(astart + diag[np.asarray(out_idx, dtype=np.int64)]),
+                 pa.array(np.asarray(out_len, dtype=np.int64))],
+                names=["id_a", "id_b", "a_start", "b_start", "length"])
+
+    return paired.mapInArrow(verify, out_schema)
+
+
+def rewrite_shared_spans(
+    df: DataFrame,
+    min_len: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_fp_docs: int | None = None,
+) -> DataFrame:
+    """ExactSubstr span REMOVAL (Lee et al. 2021, "Deduplicating Training
+    Data Makes Language Models Better"): every verified maximal shared
+    byte run >= ``min_len`` (``substring_shared_spans``) is CUT from the
+    pair's LATER document (keep-first law — the smaller id keeps its
+    copy, like ``dedup_paragraphs`` at paragraph granularity but at
+    arbitrary byte offsets); both documents survive.
+
+    Returns ``df`` with ``text_col`` rewritten plus ``n_cut_spans`` /
+    ``n_cut_bytes`` (counted AFTER overlapping cuts merge: cuts of one
+    doc against several earlier docs union; intervals merge when
+    start <= previous end). Cut boundaries snap inward to UTF-8 char
+    boundaries so a byte-equal run ending mid-codepoint can never emit
+    invalid text (a no-op for ASCII). NULL-id / NULL-text / untouched
+    rows pass through byte-identical with zero counters.
+
+    Scale shape: span discovery as in ``substring_shared_spans``; the
+    cut list aggregates to ONE row per affected doc and joins back (a
+    small fraction — AQE broadcasts it, the ``dedup_paragraphs``
+    pattern); only affected documents flow through the rewrite kernel,
+    untouched rows never leave the JVM."""
+    spans = substring_shared_spans(df, min_len=min_len, text_col=text_col,
+                                   id_col=id_col, max_fp_docs=max_fp_docs)
+    cuts = (spans.groupBy(F.col("id_b").alias(id_col))
+            .agg(F.sort_array(F.collect_list(
+                F.struct(F.col("b_start").alias("s"),
+                         F.col("length").alias("l")))).alias("_cuts")))
+    untouched = (df.join(cuts.select(id_col), id_col, "left_anti")
+                 .withColumn("n_cut_spans", F.lit(0).cast("long"))
+                 .withColumn("n_cut_bytes", F.lit(0).cast("long")))
+    joined = df.join(cuts, id_col).select(*df.columns, "_cuts")
+    ti = df.columns.index(text_col)
+    out_schema = StructType(list(df.schema.fields)
+                            + [StructField("n_cut_spans", LongType()),
+                               StructField("n_cut_bytes", LongType())])
+
+    def cut_rows(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            n = batch.num_rows
+            if not n:
+                continue
+            tcol = batch.column(ti)
+            ccol = batch.column(batch.num_columns - 1)
+            texts: list[str | None] = []
+            n_spans: list[int] = []
+            n_bytes: list[int] = []
+            for i in range(n):
+                raw = tcol[i].as_py()
+                ivs = ccol[i].as_py()
+                if raw is None or not ivs:
+                    texts.append(raw)
+                    n_spans.append(0)
+                    n_bytes.append(0)
+                    continue
+                b = raw.encode("utf-8")
+                merged: list[list[int]] = []
+                for iv in ivs:  # sorted by (s, l)
+                    s, e = iv["s"], iv["s"] + iv["l"]
+                    if merged and s <= merged[-1][1]:
+                        merged[-1][1] = max(merged[-1][1], e)
+                    else:
+                        merged.append([s, e])
+                out = bytearray()
+                prev = removed = kept = 0
+                for s, e in merged:
+                    s, e = min(s, len(b)), min(e, len(b))
+                    while s < e and (b[s] & 0xC0) == 0x80:
+                        s += 1  # keep the partial char whose start survives
+                    while e > s and e < len(b) and (b[e] & 0xC0) == 0x80:
+                        e -= 1  # cut may not end mid-codepoint
+                    if e <= s:
+                        continue
+                    out += b[prev:s]
+                    prev = e
+                    removed += e - s
+                    kept += 1
+                out += b[prev:]
+                texts.append(out.decode("utf-8"))
+                n_spans.append(kept)
+                n_bytes.append(removed)
+            arrays = [batch.column(j) for j in range(batch.num_columns - 1)]
+            arrays[ti] = pa.array(texts, type=pa.string())
+            yield pa.RecordBatch.from_arrays(
+                arrays + [pa.array(np.asarray(n_spans, dtype=np.int64)),
+                          pa.array(np.asarray(n_bytes, dtype=np.int64))],
+                names=[f.name for f in out_schema.fields])
+
+    rewritten = joined.mapInArrow(cut_rows, out_schema)
+    return untouched.unionByName(rewritten)

@@ -491,6 +491,7 @@ def winnowing_fingerprints(
     id_col: str = "doc_id",
     k: int = 5,
     window: int = 4,
+    lowercase: bool = True,
 ) -> DataFrame:
     """Winnowing document fingerprints (Schleimer et al. 2003): rolling
     polynomial hash over k-grams of UTF-8 bytes, leftmost minimum per
@@ -506,13 +507,19 @@ def winnowing_fingerprints(
     is now the JVM's (v1 used Python ``str.lower()``) — identical for
     ASCII and all common scripts, but a code point whose case mapping
     differs between the JVM's and CPython's Unicode tables (rare,
-    version-skew characters) can fingerprint differently than v1 did."""
+    version-skew characters) can fingerprint differently than v1 did.
+
+    ``lowercase=False`` fingerprints the RAW text — the span-rewrite path
+    (``dedup_substring(rewrite=True)``) needs it so byte positions map
+    onto the original text exactly (lowercasing can change UTF-8 byte
+    lengths) and "verbatim" means verbatim."""
     id_field = df.schema[id_col]
     schema = StructType([id_field, StructField("pos", LongType()),
                          StructField("fp", LongType())])
+    t = F.lower(F.col(text_col)) if lowercase else F.col(text_col)
     pruned = (df.where(F.col(text_col).isNotNull()
                        & (F.length(F.col(text_col)) >= k))
-              .select(id_col, F.lower(F.col(text_col)).alias("_t")))
+              .select(id_col, t.alias("_t")))
     chunk = _WINNOW_CHUNK_BYTES  # captured by value for tests
 
     def run(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
