@@ -1369,6 +1369,86 @@ def test_ivf_index_append(spark, sf001_dir, tmp_path):
         append_to_ivf_index(bad, path)
 
 
+def test_ivf_retrain_recovers_recall(spark, tmp_path):
+    """retrain_ivf_index (r4 verdict #5): after a shifted-distribution
+    append, recall at fixed n_probe decays (appended blobs smear across
+    the stale centroids); retraining over the FULL index recovers it.
+    Generation bookkeeping and the sidecar-as-commit-marker refusal are
+    pinned too."""
+    import pytest as _pytest
+
+    from ddsketchy_spark.pipeline.similarity import (
+        ann_query_ivf, ivf_index, read_ivf_index, retrain_ivf_index,
+        write_ivf_index)
+
+    rng = np.random.default_rng(17)
+    dim, per_blob = 8, 60
+
+    def blob(direction, base_id):
+        d = np.zeros(dim)
+        d[direction % dim] = 1.0 if direction < dim else -1.0
+        pts = d + rng.normal(0, 0.08, size=(per_blob, dim))
+        return [(base_id + i, [float(x) for x in pts[i]])
+                for i in range(per_blob)]
+
+    schema = "vec_id long, embedding array<double>"
+    base = spark.createDataFrame(
+        sum([blob(i, 1000 * i) for i in range(4)], []), schema)
+    idx, cents = ivf_index(base, n_clusters=4, train_rows=500, seed=3)
+    path = str(tmp_path / "ivf_gen1")
+    write_ivf_index(idx, cents, path)
+    assert read_ivf_index(spark, path)[2]["generation"] == 1
+
+    # drifted append: blobs along the NEGATIVE axes (base_id 1e5+)
+    shifted_rows = sum(
+        [blob(dim + i, 100_000 + 1000 * i) for i in range(4)], [])
+    from ddsketchy_spark.pipeline.similarity import append_to_ivf_index
+    append_to_ivf_index(spark.createDataFrame(shifted_rows, schema), path)
+
+    truth = {}  # per shifted blob: its own members are the true top-5
+    queries, qids = [], []
+    for i in range(4):
+        members = [r for r in shifted_rows
+                   if 100_000 + 1000 * i <= r[0] < 100_000 + 1000 * i + per_blob]
+        q = np.asarray(members[0][1])
+        queries.append(q)
+        qids.append(i)
+        v = np.asarray([m[1] for m in members])
+        v = v / np.linalg.norm(v, axis=1, keepdims=True)
+        top = np.argsort(-(v @ (q / np.linalg.norm(q))))[:5]
+        truth[i] = {members[j][0] for j in top}
+
+    def recall(index_path):
+        stored, c, _ = read_ivf_index(spark, index_path)
+        res = ann_query_ivf(stored, c, queries, k=5, n_probe=1,
+                            query_ids=qids)
+        got = {}
+        for r in res.collect():
+            got.setdefault(r["query_id"], set()).add(r["id"])
+        return np.mean([len(got.get(q, set()) & truth[q]) / 5.0
+                        for q in qids])
+
+    before = recall(path)
+    path2 = str(tmp_path / "ivf_gen2")
+    meta2 = retrain_ivf_index(spark, path, path2, n_clusters=8, seed=3,
+                              train_rows=2000)
+    after = recall(path2)
+    assert after >= 0.9, (before, after)
+    assert after > before, (before, after)
+    assert meta2["generation"] == 2 and meta2["retrained_from"] == path
+    assert read_ivf_index(spark, path)[2]["generation"] == 1  # old intact
+    # mid-rewrite refusal: member files without the sidecar commit marker
+    import shutil
+    half = str(tmp_path / "ivf_half")
+    shutil.copytree(path2, half)
+    import os
+    os.remove(os.path.join(half, "_ivf_meta.json"))
+    with _pytest.raises(FileNotFoundError, match="_ivf_meta"):
+        read_ivf_index(spark, half)
+    with _pytest.raises(ValueError, match="NEW generation"):
+        retrain_ivf_index(spark, path2, path2 + "/")
+
+
 def test_word_jaccard_allpairs_randomized(spark):
     """Randomized completeness check of the prefix/size filters: on random
     corpora over a tiny vocabulary (hot tokens, repeated words, single-word
