@@ -1367,6 +1367,83 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["exactsubstr_rewrite_documents"] = exactsubstr_rewrite_documents
 
+    def incremental_crawl_documents(spark, sf):
+        """The composed incremental-crawl recipe (pipeline/recipes.py,
+        r4 verdict #6): TWO crawls through clean -> exact-index dedup ->
+        minhash-index dedup -> split -> pack -> shards -> index append ->
+        rollup, state accumulating in one workdir. The corpus is built
+        from md5-derived 8-word documents (pairwise-disjoint word sets,
+        so the minhash stage provably drops nothing and every stage
+        count is SQL-re-derivable): crawl 2 re-crawls 10 of crawl 1's
+        documents byte-identically under new ids (the exact INDEX must
+        drop them) plus 10 fresh ones. DuckDB re-derives every emitted
+        count — quality, exact-dedup (within-crawl and cross-crawl via
+        the index), split membership (the md5 split law), and packed
+        sequence totals (ceil(sum(n_tok)/seq_len))."""
+        import shutil
+        import tempfile
+
+        from ddsketchy_spark.pipeline.recipes import incremental_crawl_update
+
+        def mdoc(prefix, idcol):
+            parts = [F.substring(
+                F.md5(F.concat(F.lit(prefix + ":"), idcol.cast("string"),
+                               F.lit(f":{j}"))), 1, 8) for j in range(8)]
+            return F.concat_ws(" ", *parts)
+
+        ids = spark.range(40).select(F.col("id"))
+        c1 = ids.select(
+            F.col("id").alias("doc_id"), mdoc("c1", F.col("id")).alias("text"),
+            F.when(F.col("id") % 2 == 1, F.lit("srcA"))
+            .otherwise(F.lit("srcB")).alias("source"),
+            (F.col("id") + 64).alias("n_tok"))
+        dups = (ids.where("id < 6").select(
+            (F.col("id") + 100).alias("doc_id"),
+            mdoc("c1", F.col("id")).alias("text"),
+            F.when(F.col("id") % 2 == 1, F.lit("srcA"))
+            .otherwise(F.lit("srcB")).alias("source"),
+            (F.col("id") + 64).alias("n_tok")))
+        crawl1 = c1.unionByName(dups)
+        recrawl = (ids.where("id < 10").select(
+            (F.col("id") + 1000).alias("doc_id"),
+            mdoc("c1", F.col("id")).alias("text"),
+            F.lit("srcA").alias("source"), F.lit(70).alias("n_tok")))
+        fresh = (ids.where("id < 10").select(
+            (F.col("id") + 3000).alias("doc_id"),
+            mdoc("c2", F.col("id")).alias("text"),
+            F.lit("srcB").alias("source"), F.lit(70).alias("n_tok")))
+        crawl2 = recrawl.unionByName(fresh)
+
+        kw = dict(quality_kw={"min_words": 3, "max_mean_word_len": 100.0},
+                  redact=False, num_perm=64, bands=16,
+                  splits={"train": 0.75, "test": 0.25}, seq_len=128,
+                  n_shards=2)
+        tmpd = tempfile.mkdtemp(prefix="ddsketchy_crawl_contract_")
+        try:
+            rep1 = incremental_crawl_update(crawl1, f"{tmpd}/work", **kw)
+            rep2 = incremental_crawl_update(crawl2, f"{tmpd}/work", **kw)
+            rows = []
+            for tag, rep in (("c1", rep1), ("c2", rep2)):
+                rows += [
+                    (f"{tag}_input", rep["n_input"]),
+                    (f"{tag}_quality", rep["n_after_quality"]),
+                    (f"{tag}_exact", rep["n_after_exact"]),
+                    (f"{tag}_near", rep["n_after_near"]),
+                    (f"{tag}_kept", rep["n_kept"]),
+                    (f"{tag}_seq_train",
+                     rep["sequences_per_split"]["train"]),
+                    (f"{tag}_seq_test", rep["sequences_per_split"]["test"]),
+                    (f"{tag}_rollup_version", rep["rollup_version"]),
+                ]
+            rows.append(("c2_drift_sources", len(rep2["drift"])))
+            return (spark.createDataFrame(rows, "metric string, value long")
+                    .orderBy("metric"))
+        finally:
+            shutil.rmtree(tmpd, ignore_errors=True)
+
+    q["incremental_crawl_documents"] = incremental_crawl_documents
+
+
 
     # -- relational coverage: classic aggregations + broadcast joins --------
 
@@ -2278,6 +2355,77 @@ SELECT m.doc_id, coalesce(m.corpus_match, -1) AS corpus_match,
        (m.corpus_match IS NULL AND m.doc_id = k.kid) AS keep
 FROM m LEFT JOIN keepmin k USING (fp)
 ORDER BY m.doc_id
+"""
+
+
+    o["incremental_crawl_documents"] = """
+WITH ids AS (SELECT unnest(generate_series(0, 39)) AS i),
+c1 AS (
+  SELECT i AS doc_id, substr(md5('c1:' || CAST(i AS VARCHAR) || ':0'), 1, 8) || ' ' || substr(md5('c1:' || CAST(i AS VARCHAR) || ':1'), 1, 8) || ' ' || substr(md5('c1:' || CAST(i AS VARCHAR) || ':2'), 1, 8) || ' ' || substr(md5('c1:' || CAST(i AS VARCHAR) || ':3'), 1, 8) || ' ' || substr(md5('c1:' || CAST(i AS VARCHAR) || ':4'), 1, 8) || ' ' || substr(md5('c1:' || CAST(i AS VARCHAR) || ':5'), 1, 8) || ' ' || substr(md5('c1:' || CAST(i AS VARCHAR) || ':6'), 1, 8) || ' ' || substr(md5('c1:' || CAST(i AS VARCHAR) || ':7'), 1, 8) AS text,
+         CASE WHEN i % 2 = 1 THEN 'srcA' ELSE 'srcB' END AS source,
+         i + 64 AS n_tok
+  FROM ids
+  UNION ALL
+  SELECT i + 100, substr(md5('c1:' || CAST(i AS VARCHAR) || ':0'), 1, 8) || ' ' || substr(md5('c1:' || CAST(i AS VARCHAR) || ':1'), 1, 8) || ' ' || substr(md5('c1:' || CAST(i AS VARCHAR) || ':2'), 1, 8) || ' ' || substr(md5('c1:' || CAST(i AS VARCHAR) || ':3'), 1, 8) || ' ' || substr(md5('c1:' || CAST(i AS VARCHAR) || ':4'), 1, 8) || ' ' || substr(md5('c1:' || CAST(i AS VARCHAR) || ':5'), 1, 8) || ' ' || substr(md5('c1:' || CAST(i AS VARCHAR) || ':6'), 1, 8) || ' ' || substr(md5('c1:' || CAST(i AS VARCHAR) || ':7'), 1, 8),
+         CASE WHEN i % 2 = 1 THEN 'srcA' ELSE 'srcB' END, i + 64
+  FROM ids WHERE i < 6
+),
+c2 AS (
+  SELECT i + 1000 AS doc_id, substr(md5('c1:' || CAST(i AS VARCHAR) || ':0'), 1, 8) || ' ' || substr(md5('c1:' || CAST(i AS VARCHAR) || ':1'), 1, 8) || ' ' || substr(md5('c1:' || CAST(i AS VARCHAR) || ':2'), 1, 8) || ' ' || substr(md5('c1:' || CAST(i AS VARCHAR) || ':3'), 1, 8) || ' ' || substr(md5('c1:' || CAST(i AS VARCHAR) || ':4'), 1, 8) || ' ' || substr(md5('c1:' || CAST(i AS VARCHAR) || ':5'), 1, 8) || ' ' || substr(md5('c1:' || CAST(i AS VARCHAR) || ':6'), 1, 8) || ' ' || substr(md5('c1:' || CAST(i AS VARCHAR) || ':7'), 1, 8) AS text,
+         'srcA' AS source, 70 AS n_tok FROM ids WHERE i < 10
+  UNION ALL
+  SELECT i + 3000, substr(md5('c2:' || CAST(i AS VARCHAR) || ':0'), 1, 8) || ' ' || substr(md5('c2:' || CAST(i AS VARCHAR) || ':1'), 1, 8) || ' ' || substr(md5('c2:' || CAST(i AS VARCHAR) || ':2'), 1, 8) || ' ' || substr(md5('c2:' || CAST(i AS VARCHAR) || ':3'), 1, 8) || ' ' || substr(md5('c2:' || CAST(i AS VARCHAR) || ':4'), 1, 8) || ' ' || substr(md5('c2:' || CAST(i AS VARCHAR) || ':5'), 1, 8) || ' ' || substr(md5('c2:' || CAST(i AS VARCHAR) || ':6'), 1, 8) || ' ' || substr(md5('c2:' || CAST(i AS VARCHAR) || ':7'), 1, 8), 'srcB', 70 FROM ids WHERE i < 10
+),
+-- exact dedup within crawl 1 (min id per text); the 8-word md5 docs are
+-- pairwise word-disjoint, so quality and near stages drop nothing
+k1 AS (
+  SELECT min(doc_id) AS doc_id, any_value(n_tok) AS n_tok FROM c1
+  GROUP BY text
+),
+-- crawl 2 vs the index (crawl-1 survivor texts), then within-crawl
+k2 AS (
+  SELECT min(doc_id) AS doc_id, any_value(n_tok) AS n_tok FROM c2
+  WHERE text NOT IN (SELECT text FROM c1)
+  GROUP BY text
+),
+-- the split law: md5 52-bit uniform of 'id:0', train < 0.75
+s1 AS (
+  SELECT *, CASE WHEN CAST(('0x' || substring(
+           md5(CAST(doc_id AS VARCHAR) || ':0'), 1, 13)) AS BIGINT)
+           / (16.0 ^ 13) < 0.75 THEN 'train' ELSE 'test' END AS split
+  FROM k1
+),
+s2 AS (
+  SELECT *, CASE WHEN CAST(('0x' || substring(
+           md5(CAST(doc_id AS VARCHAR) || ':0'), 1, 13)) AS BIGINT)
+           / (16.0 ^ 13) < 0.75 THEN 'train' ELSE 'test' END AS split
+  FROM k2
+)
+SELECT metric, CAST(value AS BIGINT) AS value FROM (
+  SELECT 'c1_input' AS metric, (SELECT count(*) FROM c1) AS value
+  UNION ALL SELECT 'c1_quality', (SELECT count(*) FROM c1)
+  UNION ALL SELECT 'c1_exact', (SELECT count(*) FROM k1)
+  UNION ALL SELECT 'c1_near', (SELECT count(*) FROM k1)
+  UNION ALL SELECT 'c1_kept', (SELECT count(*) FROM k1)
+  UNION ALL SELECT 'c1_seq_train',
+    (SELECT ceil(sum(n_tok) / 128.0) FROM s1 WHERE split = 'train')
+  UNION ALL SELECT 'c1_seq_test',
+    (SELECT ceil(sum(n_tok) / 128.0) FROM s1 WHERE split = 'test')
+  UNION ALL SELECT 'c1_rollup_version', 0
+  UNION ALL SELECT 'c2_input', (SELECT count(*) FROM c2)
+  UNION ALL SELECT 'c2_quality', (SELECT count(*) FROM c2)
+  UNION ALL SELECT 'c2_exact', (SELECT count(*) FROM k2)
+  UNION ALL SELECT 'c2_near', (SELECT count(*) FROM k2)
+  UNION ALL SELECT 'c2_kept', (SELECT count(*) FROM k2)
+  UNION ALL SELECT 'c2_seq_train',
+    (SELECT coalesce(ceil(sum(n_tok) / 128.0), 0) FROM s2
+     WHERE split = 'train')
+  UNION ALL SELECT 'c2_seq_test',
+    (SELECT coalesce(ceil(sum(n_tok) / 128.0), 0) FROM s2
+     WHERE split = 'test')
+  UNION ALL SELECT 'c2_rollup_version', 1
+  UNION ALL SELECT 'c2_drift_sources', 2
+) ORDER BY metric
 """
 
     _K, _W, _ML = 20, 21, 40

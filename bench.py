@@ -30,6 +30,20 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
 ALPHA = 0.01
+# Load discipline (r4 verdict #2): the scan control's documented quiet
+# band is 174-239 M tokens/s at local[32] (BENCH/BASELINE.md); when a
+# run's control lands >1.5x below the band floor, the recording is
+# load-contaminated and bench.py now ACTS on it (bounded re-runs) instead
+# of leaving the correction to prose. Scaling pairs additionally carry a
+# "valid" flag: a pair whose 1-minute load at start exceeds
+# SPARK_GRAFT_BENCH_LOAD_MAX (default 0.75*CPUS — egregious external
+# saturation; the suite's own decaying self-load stays under it) or whose
+# efficiency exceeds 1.2 (physically meaningless: the narrow probe ate a
+# burst) never becomes the reported number.
+QUIET_CONTROL_TPS_FLOOR = 174e6 * (CPUS / 32.0)
+LOAD_1M_MAX = float(os.environ.get("SPARK_GRAFT_BENCH_LOAD_MAX",
+                                   str(0.75 * CPUS)))
+RETRY_BUDGET = int(os.environ.get("SPARK_GRAFT_BENCH_RETRIES", "5"))
 TOKEN_ROWS = int(os.environ.get("SPARK_GRAFT_BENCH_TOKEN_ROWS", "800000"))
 TOKEN_DIR = f"/tmp/ddsketchy_bench/tokens_{TOKEN_ROWS}"
 
@@ -144,11 +158,17 @@ def main() -> None:
         "q4_lineitem_extendedprice_global": ("dds_lineitem_extendedprice_global",),
     }
     entry_queries = entrymod.queries()
+    retry_pool: dict[str, object] = {}  # name -> zero-arg re-run thunk
+
+    def _mk_entry_thunk(key):
+        return lambda: entry_queries[key](spark, SF_DIR).collect()
+
     for name, (key,) in qdefs.items():
         t0 = time.perf_counter()
         df = entry_queries[key](spark, SF_DIR)
         df.collect()
         queries[name] = round(time.perf_counter() - t0, 3)
+        retry_pool[name] = _mk_entry_thunk(key)
 
     # q5: token-table sketch build (n_tok global + per-source) on this session
     tdf = spark.read.parquet(TOKEN_DIR)
@@ -158,6 +178,11 @@ def main() -> None:
     ddsketch_quantiles(tdf, "n_tok", by=["source"], alpha=ALPHA,
                        quantiles=(0.5, 0.99)).collect()
     queries["q5_tokens_ntok_global_and_by_source"] = round(time.perf_counter() - t0, 3)
+    retry_pool["q5_tokens_ntok_global_and_by_source"] = lambda: (
+        ddsketch_quantiles(tdf, "n_tok", alpha=ALPHA,
+                           quantiles=(0.5, 0.9, 0.99, 0.999)),
+        ddsketch_quantiles(tdf, "n_tok", by=["source"], alpha=ALPHA,
+                           quantiles=(0.5, 0.99)).collect())
 
     # q7: native HLL distinct tokens on the token table (JVM hashing + rho)
     from ddsketchy_spark.spark.companions import hll_distinct
@@ -240,6 +265,9 @@ def main() -> None:
                                   alpha=ALPHA, quantiles=(0.5, 0.99)).count()
     queries["q11_grouped_highcard_orderkeys"] = round(time.perf_counter() - t0, 3)
     queries["q11_group_count"] = n_groups
+    retry_pool["q11_grouped_highcard_orderkeys"] = lambda: ddsketch_quantiles(
+        li, "l_extendedprice", by=["l_orderkey"], alpha=ALPHA,
+        quantiles=(0.5, 0.99)).count()
 
     # q12: the same high-cardinality grouping through the GENERIC arrow
     # harness (t-digest), strategy="shuffle": keys ~ rows here (avg group
@@ -280,6 +308,9 @@ def main() -> None:
               .where("keep").count())
     queries["q14_dedup_near_text_local"] = round(time.perf_counter() - t0, 3)
     queries["q14_docs_kept"] = n_kept
+    retry_pool["q14_dedup_near_text_local"] = lambda: (
+        dedup_near_text(dupdocs, threshold=0.8, num_perm=128, bands=32,
+                        verify="local").where("keep").count())
 
     # q15: prefix-filtered exact Jaccard join (the no-cartesian engine) on
     # the same planted-duplicate corpus. threshold=0.95: the synthetic docs
@@ -297,6 +328,8 @@ def main() -> None:
                                method="allpairs").count()
     queries["q15_word_jaccard_allpairs"] = round(time.perf_counter() - t0, 3)
     queries["q15_pairs"] = n_jac
+    retry_pool["q15_word_jaccard_allpairs"] = lambda: word_jaccard_pairs(
+        dupdocs, threshold=0.95, method="allpairs").count()
 
     # q16/q17: the verify='local' engines — the 100-TB path — MEASURED, not
     # just parity-tested (r2 verdict item #2), against the broadcast engine
@@ -531,6 +564,36 @@ def main() -> None:
     finally:
         shutil.rmtree(tmpd, ignore_errors=True)
 
+    # Load-discipline pass (r4 verdict #2): if this run's scan control
+    # deviated >1.5x below its documented quiet band, re-probe the control
+    # once — if the box has gone quiet, re-run the slowest single-trial
+    # queries (bounded by RETRY_BUDGET) and keep each best; if it is STILL
+    # loaded, re-running would burn time for more garbage, so just flag
+    # the recording. The JSON then reads without footnotes either way.
+    control_tps = queries["q10_scan_control_tokens_per_sec"]
+    # the band is calibrated for the default 800k-row token table; tiny
+    # smoke tables read low on a quiet box (fixed overheads dominate), so
+    # the discipline only arms at >= half the calibration size
+    if (TOKEN_ROWS >= 400_000
+            and control_tps < QUIET_CONTROL_TPS_FLOOR / 1.5):
+        queries["load_contaminated_first_pass"] = True
+        t0 = time.perf_counter()
+        re_tokens = _scan_only_tokens(spark, TOKEN_DIR)
+        re_tps = re_tokens / (time.perf_counter() - t0)
+        queries["q10_scan_control_tokens_per_sec_recheck"] = round(re_tps)
+        if re_tps >= QUIET_CONTROL_TPS_FLOOR / 1.5:
+            retried = []
+            by_cost = sorted(retry_pool, key=lambda n: -queries[n])
+            for name in by_cost[:RETRY_BUDGET]:
+                t0 = time.perf_counter()
+                retry_pool[name]()
+                dt = round(time.perf_counter() - t0, 3)
+                queries[name] = min(queries[name], dt)
+                retried.append(name)
+            queries["load_retried"] = retried
+        else:
+            queries["box_still_loaded"] = True
+
     # accuracy: max relative error of the n_tok estimates vs exact quantiles
     import duckdb
 
@@ -573,14 +636,21 @@ def main() -> None:
 
         pairs = []
         best_hi = 0.0
-        # 2 paired rounds normally; if background load sank BOTH below the
-        # 0.8 criterion, spend up to 4 extra rounds — a single quiet pair
-        # is the capability number, noisy pairs are not. The 1-minute load
-        # average rides in each pair so the recorded artifact shows WHY a
-        # low pair was low (the box's external load hits wide 32-thread
-        # jobs disproportionately; the lo probe barely moves).
+        # 2 paired rounds normally; if no VALID pair reached the 0.8
+        # criterion, spend up to 4 extra rounds — a single quiet pair is
+        # the capability number, noisy pairs are not. Validity (r4 verdict
+        # #2): a pair is invalid when the 1-minute load at its start
+        # exceeded LOAD_1M_MAX (egregious external saturation) or its
+        # efficiency exceeds 1.2 (physically meaningless — the narrow
+        # probe ate a burst). Invalid pairs stay in the JSON for the
+        # record but can never become the reported efficiency.
+
+        def _valid_effs():
+            return [p["efficiency"] for p in pairs if p["valid"]]
+
         rnd = 0
-        while rnd < 2 or (rnd < 6 and max(p["efficiency"] for p in pairs) < 0.8):
+        while rnd < 2 or (rnd < 6
+                          and max(_valid_effs(), default=0.0) < 0.8):
             t0 = time.perf_counter()
             load_1m = round(os.getloadavg()[0], 2)
             lo = probe(lo_c)
@@ -588,6 +658,7 @@ def main() -> None:
             # 32-thread jobs disproportionately; the lo probe barely moves):
             # 5 ~2 s trials buy more chances at a quiet window far cheaper
             # than another ~100 s JVM-restart round
+            load_1m_hi = round(os.getloadavg()[0], 2)
             hi = probe(hi_c, n_trials=5)
             queries[f"q6_scaling_pair_round{rnd}"] = round(time.perf_counter() - t0, 3)
             eff = (hi["tokens_per_sec"] / lo["tokens_per_sec"]) / (hi_c / lo_c)
@@ -599,12 +670,19 @@ def main() -> None:
                     "thru_hi": round(hi["tokens_per_sec"]),
                     "efficiency": round(eff, 3),
                     "load_1m_at_start": load_1m,
+                    "load_1m_before_hi": load_1m_hi,
+                    "valid": bool(max(load_1m, load_1m_hi) <= LOAD_1M_MAX
+                                  and eff <= 1.2),
                 }
             )
             rnd += 1
         tokens_per_sec = best_hi
+        valid = _valid_effs()
         scaling = {"pairs": pairs,
-                   "efficiency": max(p["efficiency"] for p in pairs)}
+                   # best VALID pair, or null when every pair was invalid
+                   # (sustained saturation) — never a >1.2 artifact
+                   "efficiency": max(valid) if valid else None,
+                   "n_valid_pairs": len(valid)}
 
     total = round(time.perf_counter() - t_suite, 3)
     out = {

@@ -1,0 +1,112 @@
+"""Incremental-crawl recipe (pipeline/recipes.py): two crawls through the
+full composed pipeline — clean -> exact-index dedup -> minhash-index
+dedup -> decontaminate -> split -> pack -> shards -> index append ->
+rollup drift — with the persistent state accumulating under one workdir."""
+
+import math
+
+import numpy as np
+import pytest
+
+from pyspark.sql import functions as F
+
+SCHEMA = "doc_id long, text string, source string, n_tok long"
+QKW = {"min_words": 3, "max_mean_word_len": 100.0}
+
+
+def _doc(i, salt, words=8):
+    import hashlib
+
+    toks = [hashlib.md5(f"{salt}:{i}:{j}".encode()).hexdigest()[:8]
+            for j in range(words)]
+    return " ".join(toks)
+
+
+def _crawl1_rows():
+    rows = [(i, _doc(i, "c1"), "srcA" if i % 2 else "srcB", 64 + i)
+            for i in range(40)]
+    rows += [(100 + i, rows[i][1], rows[i][2], rows[i][3])
+             for i in range(6)]        # exact dups within crawl 1
+    rows += [(None, _doc(999, "c1"), "srcA", 64)]  # NULL id passes through
+    return rows
+
+
+def test_incremental_crawl_two_rounds(spark, tmp_path):
+    from ddsketchy_spark.pipeline.novelty import write_ngram_bloom_index
+    from ddsketchy_spark.pipeline.recipes import incremental_crawl_update
+    from ddsketchy_spark.pipeline.shards import read_training_shards
+
+    work = str(tmp_path / "crawlwork")
+    bench = spark.createDataFrame(
+        [(90_000 + i, _doc(i, "bench"), "b", 64) for i in range(5)], SCHEMA)
+    bench_idx = str(tmp_path / "bench_bloom")
+    write_ngram_bloom_index(bench, bench_idx, n=3)
+
+    c1 = spark.createDataFrame(_crawl1_rows(), SCHEMA)
+    rep1 = incremental_crawl_update(
+        c1, work, quality_kw=QKW, redact=False, num_perm=64, bands=16,
+        benchmark_index=bench_idx, splits={"train": 0.75, "test": 0.25},
+        seq_len=128, n_shards=2)
+    assert rep1["n_input"] == 47
+    assert rep1["n_after_quality"] == 47       # all pass the relaxed bar
+    assert rep1["n_after_exact"] == 41         # 6 within-crawl exact dups
+    assert rep1["n_after_near"] == 41          # md5-word docs: no near dups
+    assert rep1["n_after_decontam"] == 41      # crawl shares nothing w/bench
+    assert rep1["n_kept"] == 41
+    assert rep1["rollup_version"] == 0 and "drift" not in rep1
+    # shards hold every kept NON-NULL-id row; sequences cover all tokens
+    got, _manifest = read_training_shards(spark, rep1["shards_path"])
+    assert got.count() == 40
+    tok_by_split = {r["split"]: r["s"] for r in
+                    got.groupBy("split").agg(F.sum("n_tok").alias("s"))
+                    .collect()}
+    # NULL-id row packs (it has tokens) but cannot shard — account for it
+    null_tok = 64
+    for name, n in rep1["sequences_per_split"].items():
+        expect_tokens = tok_by_split.get(name, 0)
+        # the NULL-id doc went to SOME split's pack (split=NULL actually:
+        # NULL-key rows get NULL split, excluded from both named packs)
+        assert n == math.ceil(expect_tokens / 128), (name, n, expect_tokens)
+
+    # crawl 2: 10 byte-copies of crawl-1 docs (exact index must drop),
+    # 5 near-dups (one word changed of 8 -> est J ~ 0.78 at the 0.7
+    # threshold of... use threshold 0.6 to catch), 10 fresh, 2 bench-
+    # contaminated docs (decontamination must drop)
+    c1_texts = {r[0]: r[1] for r in _crawl1_rows() if r[0] is not None}
+    rows2 = [(1000 + i, c1_texts[i], "srcA", 70) for i in range(10)]
+    rows2 += [(2000 + i,
+               c1_texts[i].rsplit(" ", 1)[0] + " changedword" + str(i),
+               "srcB", 70) for i in range(5)]
+    rows2 += [(3000 + i, _doc(i, "c2fresh"), "srcA", 70) for i in range(10)]
+    rows2 += [(4000 + i, _doc(i, "bench"), "srcB", 70) for i in range(2)]
+    c2 = spark.createDataFrame(rows2, SCHEMA)
+    rep2 = incremental_crawl_update(
+        c2, work, quality_kw=QKW, redact=False, num_perm=64, bands=16,
+        near_threshold=0.6, benchmark_index=bench_idx,
+        splits={"train": 0.75, "test": 0.25}, seq_len=128, n_shards=2)
+    assert rep2["n_input"] == 27
+    assert rep2["n_after_exact"] == 17         # 10 corpus byte-copies drop
+    assert rep2["n_after_near"] == 12          # 5 near-dups drop vs index
+    assert rep2["n_after_decontam"] == 10      # 2 contaminated drop
+    assert rep2["rollup_version"] == 1
+    drift = {d["source"]: d for d in rep2["drift"]}
+    assert set(drift) == {"srcA", "srcB"}
+    assert all(d["status"] == "both" for d in drift.values())
+    assert all(d["delta_count"] < 0 or d["delta_count"] > -100
+               for d in drift.values())
+    # crawl-2 shards live in their own generation dir
+    assert rep2["shards_path"].endswith("crawl=1")
+    assert read_training_shards(spark, rep2["shards_path"])[0].count() == 10
+
+    # crawl 3 = crawl 2's fresh docs re-crawled under NEW ids (the same
+    # id never matches itself in the index): the steady-state
+    # all-duplicate increment — everything drops at the exact index
+    c3 = (c2.where("doc_id < 3010 AND doc_id >= 3000")
+          .withColumn("doc_id", F.col("doc_id") + 5000))
+    rep3 = incremental_crawl_update(
+        c3, work,
+        quality_kw=QKW, redact=False, num_perm=64, bands=16,
+        near_threshold=0.6, seq_len=128, n_shards=2)
+    assert rep3["n_after_exact"] == 0
+    assert rep3["n_kept"] == 0
+    assert rep3["rollup_version"] == 2

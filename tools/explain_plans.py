@@ -332,6 +332,52 @@ def main() -> None:
                 r"(MapInArrow|PythonMapInArrow)"],
     )
 
+    # ExactSubstr span rewrite (r5): spans shuffle narrow (id, pos, fp)
+    # and span-geometry rows; the document TEXT is scanned + joined ONCE
+    # (both sides' regions come out of a single join against the binary
+    # projection), and the rewrite joins only the tiny per-doc cut list
+    # back. The Window runs over narrow match rows (diagonal chains),
+    # never over documents. Verified structurally: at most ONE Exchange
+    # node carries the binary text column.
+    from ddsketchy_spark.pipeline.dedup import rewrite_shared_spans
+
+    rsp = rewrite_shared_spans(docs.select("doc_id", "text"), min_len=40)
+    ok_rsp = audit(
+        "exactsubstr_rewrite", rsp,
+        want=[r"(MapInArrow|PythonMapInArrow)",
+              r"(ShuffledHashJoin|SortMergeJoin|BroadcastHashJoin)"],
+        reject=[r"CartesianProduct", r"BroadcastNestedLoopJoin",
+                r"BatchEvalPython", r"ArrowEvalPython",
+                r"FlatMapGroupsInPandas"],
+    )
+    # structural text-shuffle claims, audited where they bind:
+    # (1) span DISCOVERY with broadcast OFF (a 100-TB corpus cannot
+    #     broadcast either side) — the binary text column crosses EXACTLY
+    #     one Exchange (the union-side single extraction join);
+    # (2) the full rewrite under normal planning — the per-doc cut list
+    #     is tiny, so it broadcasts and text crosses at most one Exchange.
+    from ddsketchy_spark.pipeline.dedup import substring_shared_spans
+
+    def _bin_exchanges(plan: str) -> int:
+        return len([m for m in re.findall(
+            r"\(\d+\) Exchange[\s\S]*?Input \[\d+\]: \[([^\]]*)\]",
+            plan) if "_bin" in m])
+
+    prev_thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        n_spans_ex = _bin_exchanges(plan_of(
+            substring_shared_spans(docs.select("doc_id", "text"),
+                                   min_len=40)))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_thr)
+    n_rw_ex = _bin_exchanges(plan_of(rsp))
+    ok_counts = n_spans_ex == 1 and n_rw_ex <= 1
+    print(f"  discovery text exchanges (broadcast off): {n_spans_ex} "
+          f"(want exactly 1); rewrite (default planning): {n_rw_ex} "
+          f"(want <= 1) -> {'OK' if ok_counts else 'FAIL'}")
+    results["exactsubstr_rewrite"] = ok_rsp and ok_counts
+
     # incremental dedup index probe: the corpus bands/sigs tables must
     # only be SCANNED and joined via broadcast (increment side broadcast,
     # no corpus shuffle before the bucket filter, no cartesian). The
