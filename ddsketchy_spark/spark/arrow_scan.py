@@ -157,9 +157,9 @@ def build_partials_direct_checkpointed(
     import json
     import time
 
-    from .checkpoint import _atomic_write
+    from ..pipeline import fsio
 
-    os.makedirs(ckpt_dir, exist_ok=True)
+    fsio.fs_mkdirs(ckpt_dir)
     needed = list(agg.value_cols)
     out_schema = StructType([StructField("state", BinaryType())])
 
@@ -189,18 +189,17 @@ def build_partials_direct_checkpointed(
                 stat = os.stat(fname)
                 file_id = [stat.st_size, int(stat.st_mtime_ns)]
                 key = split_key(fname, rg)
-                bpath = os.path.join(ckpt_dir, key + ".bin")
-                mpath = os.path.join(ckpt_dir, key + ".json")
-                if os.path.exists(mpath) and os.path.exists(bpath):
-                    manifest = json.load(open(mpath))
+                bpath = ckpt_dir.rstrip("/") + "/" + key + ".bin"
+                mpath = ckpt_dir.rstrip("/") + "/" + key + ".json"
+                if fsio.fs_exists(mpath) and fsio.fs_exists(bpath):
+                    manifest = json.loads(fsio.fs_read_bytes(mpath))
                     if manifest.get("agg_fp") != agg_fp or \
                             manifest.get("file_id") != file_id:
                         raise RuntimeError(
                             f"checkpoint lineage mismatch for split {key}: "
                             f"input file or aggregator config changed since "
                             f"the checkpoint; delete {ckpt_dir} to rebuild")
-                    with open(bpath, "rb") as f:
-                        blob = f.read()
+                    blob = fsio.fs_read_bytes(bpath)
                 else:
                     t0 = time.perf_counter()
                     if open_file is None or open_file[0] != fname:
@@ -209,7 +208,7 @@ def build_partials_direct_checkpointed(
                     tbl = open_file[1].read_row_group(rg, columns=needed)
                     agg.add_arrow(st, tbl)
                     blob = agg.state_bytes(st)
-                    _atomic_write(bpath, blob)
+                    fsio.fs_write_atomic(bpath, blob)
                     manifest = {
                         "file": fname, "row_group": rg, "file_id": file_id,
                         "agg_fp": agg_fp,
@@ -218,7 +217,7 @@ def build_partials_direct_checkpointed(
                         "build_seconds": round(time.perf_counter() - t0, 4),
                         "completed_at": time.time(),
                     }
-                    _atomic_write(mpath, json.dumps(manifest).encode())
+                    fsio.fs_write_atomic(mpath, json.dumps(manifest).encode())
                 yield pa.RecordBatch.from_arrays(
                     [pa.array([blob], type=pa.binary())], names=["state"])
 

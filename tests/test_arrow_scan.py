@@ -134,3 +134,31 @@ def test_direct_checkpoint_resume(spark, token_table_path, tmp_path):
         assert json.load(open(m))["completed_at"] == t, m
     # dropped splits were rebuilt
     assert len(glob.glob(os.path.join(ckpt, "*.json"))) == len(manifests)
+
+
+def test_direct_checkpoint_file_uri(spark, token_table_path, tmp_path):
+    """The direct-scan checkpoint goes through fsio (pyarrow.fs), not
+    os.*/open(): drive it with a ``file:`` URI — which POSIX calls would
+    reject as a literal path — and resume from it."""
+    import json
+
+    from ddsketchy_spark.pipeline import fsio
+    from ddsketchy_spark.spark.arrow_scan import sketch_aggregate_parquet
+
+    ckpt = "file://" + str(tmp_path / "direct_ckpt_uri")
+    agg = DDSketchAggregator("n_tok", quantiles=QS)
+    first = sketch_aggregate_parquet(spark, token_table_path, agg, ckpt_dir=ckpt)
+    names = fsio.fs_list_names(ckpt)
+    manifests = [n for n in names if n.endswith(".json")]
+    assert len(manifests) == len(parquet_splits(token_table_path))
+    times = {m: json.loads(fsio.fs_read_bytes(ckpt + "/" + m))["completed_at"]
+             for m in manifests}
+
+    # resume: every split reused (timestamps unchanged), estimates identical
+    second = sketch_aggregate_parquet(spark, token_table_path, agg, ckpt_dir=ckpt)
+    for q in QS:
+        assert second[quantile_label(q)] == first[quantile_label(q)], q
+    assert second["count"] == first["count"]
+    for m, t in times.items():
+        assert json.loads(
+            fsio.fs_read_bytes(ckpt + "/" + m))["completed_at"] == t, m
