@@ -400,6 +400,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["quality_filter_documents"] = quality_filter_documents
 
+    def clean_lines_documents(spark, sf):
+        """C4-style LINE-level cleaning (Raffel et al. 2020 §2.2) over a
+        deterministic multi-line derivation of the documents table (three
+        substring lines; line 2 gets terminal punctuation only on even
+        doc_ids, docs under 81 chars collapse to too_few_lines): every
+        line rule, page rule, and the rewritten text itself (md5) are
+        hash-matched row-for-row against a DuckDB list_filter
+        re-derivation of the same law."""
+        from ddsketchy_spark.pipeline.text import clean_lines
+
+        synth = _load(spark, sf, "documents").withColumn(
+            "text",
+            F.concat(
+                F.substring("text", 1, 40), F.lit(".\n"),
+                F.substring("text", 41, 40),
+                F.when(F.col("doc_id") % 2 == 0, F.lit(".")).otherwise(
+                    F.lit("")),
+                F.lit("\n"),
+                F.expr("substring(text, 81)"), F.lit(" end.")))
+        return (clean_lines(synth, min_kept_lines=2)
+                .select("doc_id", "n_lines", "n_kept_lines", "drop_reason",
+                        "keep", F.md5("clean_text").alias("clean_md5"))
+                .orderBy("doc_id"))
+
+    q["clean_lines_documents"] = clean_lines_documents
+
     def top_bigrams_documents(spark, sf):
         """Top-20 corpus bigrams (codegen n-gram construction + map-side
         combining count + deterministic TakeOrdered), hash-matched against
@@ -2033,6 +2059,39 @@ SELECT doc_id,
        {_qf_case} AS drop_reason,
        ({_qf_case}) = 'kept' AS keep
 FROM feat ORDER BY doc_id
+"""
+    _cl_case = """CASE
+            WHEN text IS NULL THEN 'null_text'
+            WHEN contains(lower(text), 'lorem ipsum')
+                 THEN 'page_blocklist:lorem ipsum'
+            WHEN contains(lower(text), '{') THEN 'page_blocklist:{'
+            WHEN coalesce(len(kept), 0) < 2 THEN 'too_few_lines'
+            ELSE 'kept' END"""
+    o["clean_lines_documents"] = f"""
+WITH synth AS (
+  SELECT doc_id,
+         substr(text, 1, 40) || '.' || chr(10) ||
+         substr(text, 41, 40) ||
+         (CASE WHEN doc_id % 2 = 0 THEN '.' ELSE '' END) || chr(10) ||
+         substr(text, 81) || ' end.' AS text
+  FROM documents
+),
+base AS (
+  SELECT doc_id, text,
+         string_split(text, chr(10)) AS lines,
+         list_filter(string_split(text, chr(10)),
+           l -> regexp_matches(rtrim(l), '[.!?"]$')
+                AND len(regexp_split_to_array(trim(l), ' +')) >= 5
+                AND NOT contains(lower(l), 'javascript')) AS kept
+  FROM synth
+)
+SELECT doc_id,
+       coalesce(len(lines), 0) AS n_lines,
+       coalesce(len(kept), 0) AS n_kept_lines,
+       {_cl_case} AS drop_reason,
+       ({_cl_case}) = 'kept' AS keep,
+       md5(coalesce(array_to_string(kept, chr(10)), '')) AS clean_md5
+FROM base ORDER BY doc_id
 """
     langs = list(LANG_MARKERS)
     hits_sql = ",\n  ".join(

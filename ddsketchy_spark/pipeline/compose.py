@@ -27,6 +27,7 @@ def clean_corpus(
     id_col: str = "doc_id",
     benchmark: DataFrame | None = None,
     redact: bool = True,
+    line_clean_kw: dict | None = None,
     quality_kw: dict | None = None,
     para_dedup_kw: dict | None = None,
     near_dedup_kw: dict | None = None,
@@ -42,6 +43,14 @@ def clean_corpus(
     Stages (each skippable):
     1. ``redact_pii`` — emails/IPs/phones -> placeholder tokens (pure
        projection; NULL text passes through).
+    1b. OPTIONAL C4 line-level cleaning — pass ``line_clean_kw`` (e.g.
+       ``{}`` or ``{"min_line_words": 3}``) to run ``clean_lines`` on the
+       redacted text BEFORE the doc-level filter: bad lines are cut and
+       ``text_col`` replaced by the rejoined survivors, pages tripping
+       the C4 page rules (blocklist phrase / too few surviving lines)
+       drop. Off by default (None) — the synthetic testdata corpus is
+       single-line, but real crawl text is where C4's line rules do the
+       heavy lifting.
     2. ``quality_filter`` — Gopher/C4-style keep/drop on the redacted
        text (``quality_kw`` forwards thresholds). Drops NULL-text rows
        (``null_text`` is a drop reason).
@@ -91,6 +100,15 @@ def clean_corpus(
         keep_cols = [c for c in df.columns if c != text_col]
         out = (redact_pii(out, text_col)
                .select(*keep_cols, F.col("text_redacted").alias(text_col)))
+    if line_clean_kw is not None:
+        from .text import clean_lines
+
+        keep_cols = [c for c in df.columns if c != text_col]
+        lc = dict(line_clean_kw)
+        oc = lc.setdefault("out_col", "clean_text")
+        out = (clean_lines(out, text_col, **lc)
+               .where("keep")
+               .select(*keep_cols, F.col(oc).alias(text_col)))
     out = (quality_filter(out, text_col, **quality_kw)
            .where("keep").select(*df.columns))
     if para_dedup_kw is not None:

@@ -7,7 +7,7 @@ drift — each independently tested and oracled. This module is the
 PRODUCT: the composition a 100-TB corpus operator actually runs when a
 new crawl lands:
 
-    clean (redact -> quality) ->
+    clean (redact -> [C4 line clean] -> quality) ->
     dedup against the persistent exact index -> against the MinHash
     index -> [decontaminate against the benchmark Bloom index] ->
     [per-domain quality cut] -> [token-budget mixture] ->
@@ -56,6 +56,7 @@ def incremental_crawl_update(
     source_col: str = "source",
     token_col: str = "n_tok",
     redact: bool = True,
+    line_clean_kw: dict | None = None,
     quality_kw: dict | None = None,
     near_threshold: float = 0.8,
     num_perm: int = 128,
@@ -79,6 +80,9 @@ def incremental_crawl_update(
     stage order); returns a report dict with per-stage surviving counts,
     the shard manifest, packed-sequence totals per split, the new rollup
     version, and the per-source drift rows vs the previous crawl.
+
+    ``line_clean_kw`` activates C4 line-level cleaning between redaction
+    and the doc-level quality filter (``clean_corpus`` stage 1b).
 
     ``crawl_df`` needs (id_col, text_col, source_col, token_col) at
     minimum; all other columns ride along into the shards. Stage knobs
@@ -123,7 +127,8 @@ def incremental_crawl_update(
     # incrementally against the whole accumulated corpus, not just this
     # crawl)
     cur = clean_corpus(crawl_df, text_col=text_col, id_col=id_col,
-                       redact=redact, quality_kw=quality_kw,
+                       redact=redact, line_clean_kw=line_clean_kw,
+                       quality_kw=quality_kw,
                        near_dedup_kw={"skip": True})
     cur = _persist(cur)
     report["n_after_quality"] = cur.count()

@@ -150,6 +150,86 @@ def quality_filter(
             .withColumn("keep", F.col("drop_reason") == "kept"))
 
 
+def clean_lines(
+    df: DataFrame,
+    text_col: str = "text",
+    line_sep: str = "\n",
+    min_line_words: int = 5,
+    require_terminal_punct: bool = True,
+    line_blocklist: tuple[str, ...] = ("javascript",),
+    min_kept_lines: int = 3,
+    page_blocklist: tuple[str, ...] = ("lorem ipsum", "{"),
+    out_col: str = "clean_text",
+) -> DataFrame:
+    """C4-style LINE-level cleaning (Raffel et al. 2020 §2.2): rewrite each
+    document by dropping bad lines, then drop pages that no longer have
+    enough substance — the published cleaning stage between raw crawl text
+    and the doc-level ``quality_filter``.
+
+    Line rules (a line survives only if ALL hold):
+
+    - ends in a terminal punctuation mark (``. ! ? "`` after right-trim)
+      when ``require_terminal_punct``;
+    - has at least ``min_line_words`` words under the package-wide
+      split-on-spaces law (``trim`` then split on space runs);
+    - contains no ``line_blocklist`` phrase (case-insensitive — C4 drops
+      any line with the word "javascript").
+
+    Page rules (fixed precedence for ``drop_reason``): ``null_text`` >
+    ``page_blocklist:<phrase>`` (case-insensitive substring of the
+    ORIGINAL text — C4 drops pages containing "lorem ipsum" or "{") >
+    ``too_few_lines`` (< ``min_kept_lines`` surviving lines — C4's
+    three-sentence floor applied to kept lines) > ``kept``.
+
+    Appends ``out_col`` (the surviving lines re-joined with ``line_sep``;
+    empty string for NULL text — never a NULL string next to ``keep``),
+    ``n_lines``, ``n_kept_lines``, ``drop_reason``, ``keep``. A pure
+    row-wise projection — no shuffle, no Python. The line predicate is a
+    ``filter`` HOF whose lambda references only its own variable and
+    literals, the form that is safe on later self-joining frames
+    (CLAUDE.md HOF law); it evaluates interpreted per LINE, which is fine
+    in a per-row projection (lines/doc is small and bounded, unlike the
+    per-candidate-pair HOFs dedup avoids). Expressible identically in
+    ANSI SQL (``list_filter`` + the same regexes) for oracle parity.
+    """
+    import re as _re
+
+    lines = F.split(F.col(text_col), _re.escape(line_sep))
+
+    def line_ok(x):
+        conds = []
+        if require_terminal_punct:
+            conds.append(F.rtrim(x).rlike('[.!?"]\\z'))
+        conds.append(
+            F.size(F.split(F.trim(x), " +")) >= F.lit(min_line_words))
+        for phrase in line_blocklist:
+            conds.append(~F.lower(x).contains(phrase.lower()))
+        out = conds[0]
+        for c in conds[1:]:
+            out = out & c
+        return out
+
+    kept = F.filter(lines, line_ok)
+    n_kept = F.coalesce(F.size(kept), F.lit(0))
+
+    reason = F.when(F.col(text_col).isNull(), "null_text")
+    for phrase in page_blocklist:
+        reason = reason.when(
+            F.lower(F.col(text_col)).contains(phrase.lower()),
+            f"page_blocklist:{phrase}")
+    reason = (reason.when(n_kept < min_kept_lines, "too_few_lines")
+              .otherwise("kept"))
+    return df.withColumns(
+        {
+            out_col: F.coalesce(F.array_join(kept, line_sep), F.lit("")),
+            "n_lines": F.coalesce(F.size(lines), F.lit(0)),
+            "n_kept_lines": n_kept,
+            "drop_reason": reason,
+            "keep": reason == "kept",
+        }
+    )
+
+
 def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Marker-word language ID: count hits per language, fixed-precedence
     argmax (en > de > es > fr > zh on ties). Deterministic and expressible

@@ -661,6 +661,44 @@ def test_clean_corpus_with_paragraph_stage(spark):
     assert all(P in t for t in got2.values())
 
 
+def test_clean_corpus_with_line_clean_stage(spark):
+    """clean_corpus's optional C4 line-clean stage (1b) cuts bad lines
+    BEFORE the doc filter and composes with the downstream near-dedup
+    self-joins (the HOF-on-self-joining-frame trap — clean_lines' lambda
+    is the safe own-variable-only form); pages tripping C4 page rules
+    drop entirely."""
+    from ddsketchy_spark.pipeline.compose import clean_corpus
+
+    good = ("This is a perfectly fine training sentence number {i} of the "
+            "corpus body.")
+    rows = [(i, "\n".join([good.format(i=i) + f" unique{i}a the of and.",
+                           "no terminal punctuation on this line",
+                           good.format(i=i) + f" unique{i}b it is to in.",
+                           "short.",
+                           good.format(i=i) + f" unique{i}c and the of."]),
+             "t") for i in range(12)]
+    rows.append((100, "A page with lorem ipsum inside it stays banned.\n"
+                 + "\n".join([good.format(i=100) + " the of and to."] * 4),
+                 "t"))
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = clean_corpus(df, quality_kw={"min_words": 3},
+                       line_clean_kw={"min_kept_lines": 3},
+                       near_dedup_kw={"verify": "local", "num_perm": 32,
+                                      "bands": 8, "threshold": 0.95})
+    got = {r["doc_id"]: r["text"] for r in out.collect()}
+    assert 100 not in got                      # page blocklist
+    assert set(got) == set(range(12))
+    for i, t in got.items():
+        lines = t.split("\n")
+        assert len(lines) == 3                 # 2 bad lines cut
+        assert all(ln.rstrip().endswith(".") for ln in lines)
+    # default (None) leaves text untouched
+    out2 = clean_corpus(df.where("doc_id < 12"),
+                        quality_kw={"min_words": 3},
+                        near_dedup_kw={"skip": True})
+    assert all(len(r["text"].split("\n")) == 5 for r in out2.collect())
+
+
 def test_clean_corpus_paragraph_stage_plus_benchmark(spark):
     """para_dedup_kw AND benchmark together at broadcast size (ADVICE r3):
     decontaminate builds n-grams from the paragraph stage's rewritten text
@@ -907,6 +945,65 @@ def test_quality_filter_reasons(spark):
     assert out[4]["drop_reason"] in ("short_words", "high_punct", "low_stopword")
     assert out[5]["drop_reason"] == "kept" and out[5]["keep"]
     assert not any(out[i]["keep"] for i in (1, 2, 3, 4))
+
+
+def test_clean_lines_c4_rules(spark):
+    """C4 line-level cleaning: each line rule (terminal punct, min words,
+    blocklist phrase) drops exactly its lines; page rules fire in fixed
+    precedence on the ORIGINAL text; regex-metachar line_sep is literal."""
+    from ddsketchy_spark.pipeline.text import clean_lines
+
+    rows = [
+        (0, "Good line with five words here.\nshort.\n"
+            "Another decent line that qualifies fine!\n"
+            "this one has no terminal punct\n"
+            "Final qualifying line ends properly."),
+        (1, "Contains JavaScript so this line dies.\n"
+            "A perfectly good line stays right here.\n"
+            "Another perfectly good line stays right here.\n"
+            "Yet another good line is here today."),
+        (2, "Has Lorem Ipsum filler somewhere inside it.\n"
+            "Good line one stays right here now.\n"
+            "Good line two stays right here now.\n"
+            "Good line three stays right here now."),
+        (3, None),
+        (4, "Only one good line survives in this doc.\nbad\nworse"),
+    ]
+    out = {r["doc_id"]: r for r in clean_lines(
+        spark.createDataFrame(rows, "doc_id long, text string")).collect()}
+
+    # line rules: doc 0 loses the <5-word and no-terminal-punct lines
+    assert out[0]["drop_reason"] == "kept" and out[0]["keep"]
+    assert out[0]["clean_text"].split("\n") == [
+        "Good line with five words here.",
+        "Another decent line that qualifies fine!",
+        "Final qualifying line ends properly."]
+    assert (out[0]["n_lines"], out[0]["n_kept_lines"]) == (5, 3)
+    # blocklist is case-insensitive and kills only its line
+    assert out[1]["n_kept_lines"] == 3 and out[1]["keep"]
+    assert "JavaScript" not in out[1]["clean_text"]
+    # page blocklist wins over line survival (all 4 lines qualify)
+    assert out[2]["drop_reason"] == "page_blocklist:lorem ipsum"
+    assert out[2]["n_kept_lines"] == 4 and not out[2]["keep"]
+    # NULL text: its own reason, empty (never NULL) clean_text
+    assert out[3]["drop_reason"] == "null_text"
+    assert out[3]["clean_text"] == "" and out[3]["n_lines"] == 0
+    # too_few_lines after line filtering
+    assert out[4]["drop_reason"] == "too_few_lines"
+    assert out[4]["n_kept_lines"] == 1
+
+    # a regex-metachar separator splits literally (the repetition_scores
+    # escape law) and survives into the rejoined text
+    pipe = clean_lines(
+        spark.createDataFrame(
+            [(0, "First good line ends with period.|second short.|"
+                 "Second good line ends with period.|"
+                 "Third good line ends with period.")],
+            "doc_id long, text string"),
+        line_sep="|")
+    r = pipe.collect()[0]
+    assert r["n_lines"] == 4 and r["n_kept_lines"] == 3 and r["keep"]
+    assert r["clean_text"].count("|") == 2
 
 
 def test_sample_to_token_budget(spark):

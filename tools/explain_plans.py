@@ -192,6 +192,20 @@ def main() -> None:
                 r"FlatMapGroupsInPandas"],
     )
 
+    # clean_lines (C4 line-level cleaning): pure row-wise projection —
+    # the filter() HOF over split lines stays a projection expression
+    # (interpreted per LINE, fine per-row), never an exchange or Python
+    from ddsketchy_spark.pipeline.text import clean_lines
+
+    cl = clean_lines(docs.select("doc_id", "text")).select(
+        "doc_id", "n_kept_lines", "drop_reason", "keep")
+    results["clean_lines"] = audit(
+        "clean_lines", cl,
+        want=[r"ReadSchema: struct<doc_id:bigint,text:string>"],
+        reject=[r"Exchange", r"BatchEvalPython", r"ArrowEvalPython",
+                r"FlatMapGroupsInPandas"],
+    )
+
     # ngram counting: map-side-combining hash aggregate, TakeOrdered (no
     # global sort), no Python
     ng = ngram_counts(docs, n=2, top_k=20)
