@@ -426,6 +426,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["clean_lines_documents"] = clean_lines_documents
 
+    def url_domain_filter_documents(spark, sf):
+        """URL gating (the C4/RefinedWeb first stage) over deterministic
+        synthetic URLs derived from doc_id (www. on evens, .co.uk on
+        multiples of 3, 13 rotating sites): host extraction,
+        public-suffix registrable-domain reduction, and a blocklist
+        keep/drop — hash-matched row-for-row against a DuckDB
+        re-derivation of the same regex + label-slice law."""
+        from ddsketchy_spark.pipeline.urls import filter_by_domain
+
+        d = F.col("doc_id")
+        synth = _load(spark, sf, "documents").select(
+            "doc_id",
+            F.concat(
+                F.lit("https://"),
+                F.when(d % 2 == 0, F.lit("www.")).otherwise(F.lit("")),
+                F.lit("site"), (d % 13).cast("string"),
+                F.when(d % 3 == 0, F.lit(".co.uk")).otherwise(F.lit(".com")),
+                F.lit("/page?id="), d.cast("string")).alias("url"))
+        out = filter_by_domain(synth, ["site3.com", "site5.co.uk"])
+        from ddsketchy_spark.pipeline.urls import url_host
+
+        return (out.withColumn("host", url_host("url"))
+                .select("doc_id", "host", "domain", "keep")
+                .orderBy("doc_id"))
+
+    q["url_domain_filter_documents"] = url_domain_filter_documents
+
     def top_bigrams_documents(spark, sf):
         """Top-20 corpus bigrams (codegen n-gram construction + map-side
         combining count + deterministic TakeOrdered), hash-matched against
@@ -2092,6 +2119,44 @@ SELECT doc_id,
        ({_cl_case}) = 'kept' AS keep,
        md5(coalesce(array_to_string(kept, chr(10)), '')) AS clean_md5
 FROM base ORDER BY doc_id
+"""
+    _url_multi = ("'co.uk','org.uk','ac.uk','gov.uk','com.au','net.au',"
+                  "'org.au','co.jp','ne.jp','or.jp','com.br','com.cn',"
+                  "'com.mx','co.in','co.nz','co.za','com.ar','com.tr',"
+                  "'com.tw','com.sg'")
+    o["url_domain_filter_documents"] = f"""
+WITH synth AS (
+  SELECT doc_id,
+         'https://' || (CASE WHEN doc_id % 2 = 0 THEN 'www.' ELSE '' END)
+         || 'site' || (doc_id % 13)
+         || (CASE WHEN doc_id % 3 = 0 THEN '.co.uk' ELSE '.com' END)
+         || '/page?id=' || doc_id AS url
+  FROM documents
+),
+h AS (
+  SELECT doc_id, lower(coalesce(regexp_extract(url,
+    '^(?:[a-zA-Z][a-zA-Z0-9+.-]*://)?(?:[^/@?#]*@)?([^/:?#]+)', 1), ''))
+    AS host
+  FROM synth
+),
+d AS (
+  SELECT doc_id, host, string_split(host, '.') AS labels,
+         len(string_split(host, '.')) AS n
+  FROM h
+),
+dom AS (
+  SELECT doc_id, host,
+         CASE WHEN n <= 2 THEN host
+              WHEN array_to_string(labels[greatest(n-1,1):], '.')
+                   IN ({_url_multi}) AND n >= 3
+                   THEN array_to_string(labels[greatest(n-2,1):], '.')
+              ELSE array_to_string(labels[greatest(n-1,1):], '.') END
+           AS domain
+  FROM d
+)
+SELECT doc_id, host, domain,
+       domain NOT IN ('site3.com', 'site5.co.uk') AS keep
+FROM dom ORDER BY doc_id
 """
     langs = list(LANG_MARKERS)
     hits_sql = ",\n  ".join(

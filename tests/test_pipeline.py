@@ -699,6 +699,55 @@ def test_clean_corpus_with_line_clean_stage(spark):
     assert all(len(r["text"].split("\n")) == 5 for r in out2.collect())
 
 
+def test_url_domain_operators(spark):
+    """URL gating laws: host extraction (scheme/userinfo/port/scheme-less/
+    NULL), public-suffix registrable-domain reduction, block vs allow
+    modes, and list-vs-broadcast-DataFrame blocklist equivalence."""
+    from ddsketchy_spark.pipeline.urls import filter_by_domain, url_domains
+
+    rows = [
+        (0, "https://www.example.co.uk/path?q=1"),
+        (1, "http://sub.deep.site3.com:8080/a/b"),
+        (2, "ftp://user:pw@files.example.com/x"),
+        (3, "example.com/no-scheme"),
+        (4, "https://localhost/admin"),
+        (5, "HTTPS://WWW.UPPER.COM/Y"),
+        (6, None),
+        (7, "https://ads.tracker.co.uk/pixel"),
+        (8, "co.uk"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    got = {r["doc_id"]: (r["host"], r["domain"])
+           for r in url_domains(df).collect()}
+    assert got[0] == ("www.example.co.uk", "example.co.uk")  # multi-suffix
+    assert got[1] == ("sub.deep.site3.com", "site3.com")     # port stripped
+    assert got[2] == ("files.example.com", "example.com")    # userinfo
+    assert got[3] == ("example.com", "example.com")          # scheme-less
+    assert got[4] == ("localhost", "localhost")              # single label
+    assert got[5] == ("www.upper.com", "upper.com")          # lowercased
+    assert got[6] == ("", "")                                # NULL -> ''
+    assert got[8] == ("co.uk", "co.uk")                      # bare suffix
+
+    blocked = ["site3.com", "TRACKER.co.uk"]
+    lab = {r["doc_id"]: r["keep"]
+           for r in filter_by_domain(df, blocked).collect()}
+    assert not lab[1] and not lab[7]
+    assert all(lab[i] for i in (0, 2, 3, 4, 5, 6, 8))
+    # DataFrame blocklist (the broadcast path) decides identically
+    bdf = spark.createDataFrame([(d,) for d in blocked], "d string")
+    lab2 = {r["doc_id"]: r["keep"]
+            for r in filter_by_domain(df, bdf).collect()}
+    assert lab2 == lab
+    # allow mode inverts; ''-domain rows drop under allow
+    allow = {r["doc_id"]: r["keep"]
+             for r in filter_by_domain(df, ["example.co.uk"],
+                                       mode="allow").collect()}
+    assert allow[0] and not allow[6] and sum(allow.values()) == 1
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        filter_by_domain(df, [], mode="nope")
+
+
 def test_clean_corpus_paragraph_stage_plus_benchmark(spark):
     """para_dedup_kw AND benchmark together at broadcast size (ADVICE r3):
     decontaminate builds n-grams from the paragraph stage's rewritten text

@@ -206,6 +206,31 @@ def main() -> None:
                 r"FlatMapGroupsInPandas"],
     )
 
+    # URL domain gate: literal blocklist stays a pure codegen projection;
+    # DataFrame blocklist must broadcast (corpus never shuffles)
+    from ddsketchy_spark.pipeline.urls import filter_by_domain
+
+    urls = docs.select(
+        "doc_id",
+        F.concat(F.lit("https://site"),
+                 (F.col("doc_id") % 13).cast("string"),
+                 F.lit(".com/p")).alias("url"))
+    ud1 = filter_by_domain(urls, ["site3.com"]).select("doc_id", "keep")
+    results["url_filter_literal"] = audit(
+        "url_filter_literal", ud1,
+        want=[],
+        reject=[r"Exchange", r"BatchEvalPython", r"ArrowEvalPython",
+                r"FlatMapGroupsInPandas"],
+    )
+    bl = spark.createDataFrame([("site3.com",)], "d string")
+    ud2 = filter_by_domain(urls, bl).select("doc_id", "keep")
+    results["url_filter_broadcast"] = audit(
+        "url_filter_broadcast", ud2,
+        want=[r"BroadcastHashJoin"],
+        reject=[r"SortMergeJoin", r"CartesianProduct", r"BatchEvalPython",
+                r"ArrowEvalPython"],
+    )
+
     # ngram counting: map-side-combining hash aggregate, TakeOrdered (no
     # global sort), no Python
     ng = ngram_counts(docs, n=2, top_k=20)
