@@ -59,8 +59,52 @@ def _is_hidden(path: str, root: str) -> bool:
     return any(part.startswith(("_", ".")) for part in rel.split(os.sep))
 
 
+def _open_parquet(fname: str) -> pq.ParquetFile:
+    """Open a parquet file by plain path or scheme URI (hdfs://, s3://,
+    file:/) — the portable twin of ``pq.ParquetFile(local_path)``, via the
+    same ``pyarrow.fs`` resolution the checkpoint blobs use (fsio)."""
+    if "://" not in fname:
+        return pq.ParquetFile(fname)
+    from ..pipeline.fsio import executor_fs
+
+    fs, p = executor_fs(fname)
+    return pq.ParquetFile(fs.open_input_file(p))
+
+
 def parquet_files(path: str) -> list[str]:
-    """Parquet data files under ``path`` (a directory, file, or glob)."""
+    """Parquet data files under ``path`` (a directory, file, or — local
+    only — a glob). Scheme URIs (``hdfs://``, ``s3://``/``s3a://``,
+    ``file:/``) list through ``pyarrow.fs`` with the same hidden-file
+    rule, and the returned names keep their scheme so the worker-side
+    opens resolve the same filesystem."""
+    if "://" in path:
+        # one code path for EVERY scheme URI (file:// included, so the
+        # remote branch is exercised by local tests): list via pyarrow.fs,
+        # keep the scheme+authority on the returned names
+        from pyarrow import fs as pafs
+
+        from ..pipeline.fsio import executor_fs
+
+        base = path.rstrip("/")
+        fs, root = executor_fs(base)
+        # URI prefix that maps an fs-local path back to a full URI with
+        # its authority intact (hdfs://nn:8020/data -> root '/data',
+        # prefix 'hdfs://nn:8020'; s3://bucket/k -> root 'bucket/k',
+        # prefix 's3://')
+        prefix = (base[:-len(root)] if root and base.endswith(root)
+                  else base.split("://", 1)[0] + "://")
+        info = fs.get_file_info(root)
+        if info.type == pafs.FileType.File:
+            return [path]
+        sel = pafs.FileSelector(root, recursive=True)
+        files = sorted(
+            f.path for f in fs.get_file_info(sel)
+            if f.type == pafs.FileType.File and f.path.endswith(".parquet"))
+        return [prefix + f for f in files
+                if not any(part.startswith(("_", "."))
+                           for part in f[len(root):].split("/"))]
+    if path.startswith("file:"):  # file:/x (no //) — normalize to a path
+        path = "/" + path.split(":", 1)[1].lstrip("/")
     if os.path.isdir(path):
         files = sorted(glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True))
         return [f for f in files if not _is_hidden(f, path)]
@@ -80,7 +124,7 @@ def parquet_splits(path: str) -> list[tuple[str, int]]:
     matter how large the table is."""
     splits: list[tuple[str, int]] = []
     for f in parquet_files(path):
-        md = pq.ParquetFile(f).metadata
+        md = _open_parquet(f).metadata
         splits.extend((f, rg) for rg in range(md.num_row_groups))
     return splits
 
@@ -89,7 +133,7 @@ def _arrow_schema_for(path: str, columns: Sequence[str]) -> pa.Schema:
     files = parquet_files(path)
     if not files:
         raise FileNotFoundError(f"no parquet files under {path!r}")
-    full = pq.ParquetFile(files[0]).schema_arrow
+    full = _open_parquet(files[0]).schema_arrow
     return pa.schema([full.field(c) for c in columns])
 
 
@@ -127,7 +171,7 @@ def build_partials_direct(
                     # re-opening re-parses the footer (a round trip on
                     # object storage) once per row group otherwise
                     if open_file is None or open_file[0] != fname:
-                        open_file = (fname, pq.ParquetFile(fname))
+                        open_file = (fname, _open_parquet(fname))
                     tbl = open_file[1].read_row_group(rgrow.as_py(), columns=list(needed))
                     yield from tbl.to_batches()
 
@@ -203,7 +247,7 @@ def build_partials_direct_checkpointed(
                 else:
                     t0 = time.perf_counter()
                     if open_file is None or open_file[0] != fname:
-                        open_file = (fname, pq.ParquetFile(fname))
+                        open_file = (fname, _open_parquet(fname))
                     st = agg.make()
                     tbl = open_file[1].read_row_group(rg, columns=needed)
                     agg.add_arrow(st, tbl)

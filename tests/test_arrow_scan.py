@@ -162,3 +162,23 @@ def test_direct_checkpoint_file_uri(spark, token_table_path, tmp_path):
     for m, t in times.items():
         assert json.loads(
             fsio.fs_read_bytes(ckpt + "/" + m))["completed_at"] == t, m
+
+
+def test_direct_scan_uri_input(spark, token_table_path):
+    """The direct scan itself accepts scheme URIs end to end: listing,
+    splits, and worker-side opens all resolve through pyarrow.fs when the
+    INPUT table is addressed as ``file://`` (the SAME pyarrow.fs branch
+    hdfs:// and s3:// take, scheme prefix kept on every name) — estimates
+    match the plain-path run exactly."""
+    from ddsketchy_spark.spark.arrow_scan import (
+        parquet_files, sketch_aggregate_parquet)
+
+    uri = "file://" + token_table_path
+    plain_files = parquet_files(token_table_path)
+    uri_files = parquet_files(uri)
+    assert plain_files and uri_files == ["file://" + f for f in plain_files]
+
+    agg = DDSketchAggregator("n_tok", quantiles=QS)
+    via_uri = sketch_aggregate_parquet(spark, uri, agg)
+    via_path = sketch_aggregate_parquet(spark, token_table_path, agg)
+    assert via_uri == via_path
