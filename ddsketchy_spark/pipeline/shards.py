@@ -89,6 +89,7 @@ def write_training_shards(
     seed: int = 0,
     write_mode: str = "overwrite",
     boundaries: list[float] | None = None,
+    shuffle_seed: int | None = None,
 ) -> dict:
     """Write ``df`` as ``n_shards`` deterministic shards under ``path``
     (``shard=<i>/part-*.parquet``, exactly one data file per shard) plus a
@@ -125,7 +126,18 @@ def write_training_shards(
     # lands in the same task (collisions may co-locate two shards in one
     # task — harmless), so partitionBy writes exactly one file per shard
     out = out.repartition(n_shards, "shard")
-    out = out.sortWithinPartitions(*(sort_within or [id_col]))
+    # the partitioned write REQUIRES ordering by the partition column and
+    # silently re-sorts (discarding any other order) when it isn't the
+    # ordering prefix — so 'shard' must LEAD the within-partition sort
+    # for sort_within/shuffle order to actually reach the file bytes
+    if shuffle_seed is not None:
+        from .mix import unit_uniform
+
+        out = out.sortWithinPartitions(
+            "shard", unit_uniform(F.col(id_col), shuffle_seed),
+            F.col(id_col))
+    else:
+        out = out.sortWithinPartitions("shard", *(sort_within or [id_col]))
     out.write.partitionBy("shard").mode(write_mode).parquet(path)
 
     spark = df.sparkSession
@@ -150,7 +162,11 @@ def write_training_shards(
         "id_col": id_col,
         "range_col": range_col,
         "seed": int(seed),
-        "sort_within": list(sort_within or [id_col]),
+        "sort_within": (list(sort_within or [id_col])
+                        if shuffle_seed is None
+                        else [f"md5_shuffle(seed={shuffle_seed})", id_col]),
+        "shuffle_seed": (int(shuffle_seed)
+                         if shuffle_seed is not None else None),
         "columns": [c for c in df.columns],
         "boundaries": ([float(b) for b in boundaries]
                        if boundaries is not None else None),
