@@ -91,31 +91,77 @@ def fs_exists(path: str) -> bool:
     return fs.get_file_info(p).type != pafs.FileType.NotFound
 
 
+def hadoop_exists(spark, path: str) -> bool:
+    """Driver-side existence probe through the JVM Hadoop ``FileSystem`` —
+    the counterpart of ``fs_exists`` for DRIVER code, which must see the
+    full ``spark.hadoop.*`` configuration (s3a credentials, HDFS HA
+    nameservices) the same way ``write_json_sidecar``/``read_json_sidecar``
+    do. ``fs_exists`` (pyarrow.fs) is the executor-side fallback and can
+    mis-resolve such paths on the driver."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return bool(fs.exists(hpath))
+
+
+def fs_stat(path: str) -> tuple[int, int]:
+    """``(size_bytes, mtime_ns)`` of ``path`` via ``pyarrow.fs`` —
+    scheme-portable replacement for ``os.stat`` in executor code (file
+    identity for checkpoint lineage). Raises FileNotFoundError when
+    absent. ``mtime_ns`` is 0 on stores that report no mtime."""
+    from pyarrow import fs as pafs
+
+    fs, p = executor_fs(path)
+    info = fs.get_file_info(p)
+    if info.type == pafs.FileType.NotFound:
+        raise FileNotFoundError(path)
+    mtime_ns = info.mtime_ns if info.mtime_ns is not None else 0
+    return int(info.size), int(mtime_ns)
+
+
 def fs_read_bytes(path: str) -> bytes:
     fs, p = executor_fs(path)
     with fs.open_input_stream(p) as f:
         return f.read()
 
 
-def fs_write_atomic(path: str, data: bytes) -> bool:
+def fs_write_atomic(path: str, data: bytes, overwrite: bool = False) -> bool:
     """Write ``data`` to ``path`` via tmp-file + rename. Returns True if
     this call produced the file, False if a concurrent writer (another task
     attempt) won the race — in which case the winner's complete file is
-    left untouched. Never leaves a truncated file at ``path``."""
+    left untouched. Never leaves a truncated file at ``path``.
+
+    ``overwrite=True`` is for callers whose commit marker is a SEPARATE
+    file written after this one (checkpoint blob-then-manifest): an
+    existing destination with no marker is a crash-orphaned leftover —
+    possibly from a run with DIFFERENT lineage — and keeping it while the
+    caller commits a fresh marker would silently pair stale state with a
+    new manifest. HDFS refuses rename-over, so overwrite deletes the
+    leftover and retries; concurrent attempts of the same task write
+    identical bytes, so the delete+rename window is benign there."""
     fs, p = executor_fs(path)
     tmp = f"{p}.tmp-{time.time_ns()}"
     with fs.open_output_stream(tmp) as f:
         f.write(data)
-    try:
-        fs.move(tmp, p)
-        return True
-    except OSError:
-        # HDFS rename refuses an existing destination: a concurrent attempt
-        # committed first. Its file is complete (it, too, renamed); drop ours.
-        if fs_exists(path):
-            fs.delete_file(tmp)
-            return False
-        raise
+    for attempt in range(3):
+        try:
+            fs.move(tmp, p)
+            return True
+        except OSError:
+            # HDFS rename refuses an existing destination: either a
+            # concurrent attempt committed first (its file is complete —
+            # it, too, renamed) or a previous run crashed before its marker.
+            if not fs_exists(path):
+                raise
+            if not overwrite:
+                fs.delete_file(tmp)
+                return False
+            try:
+                fs.delete_file(p)
+            except OSError:
+                pass  # another overwriter got there first; retry the move
+    fs.delete_file(tmp)
+    return False
 
 
 def fs_list_names(path: str) -> list[str]:

@@ -135,7 +135,11 @@ def incremental_crawl_update(
 
     # 2. exact dedup: against the persistent digest index when it exists
     # (pushed-IN scan pruning; corpus side streams), else batch bootstrap
-    have_exact = fsio.fs_exists(f"{exact_path}/{_EXACT_SIDECAR}")
+    # driver-side sidecar probes go through the JVM Hadoop gateway (sees
+    # spark.hadoop.* — s3a credentials, HDFS HA), matching how the
+    # sidecars themselves are read/written; fsio.fs_exists (pyarrow.fs)
+    # is the EXECUTOR-side layer and can mis-resolve such URIs here
+    have_exact = fsio.hadoop_exists(spark, f"{exact_path}/{_EXACT_SIDECAR}")
     if have_exact:
         labels = dedup_against_exact_index(cur, exact_path,
                                            text_col=text_col)
@@ -154,7 +158,7 @@ def incremental_crawl_update(
     # 3. near dedup: against the persistent MinHash index (increment
     # buckets broadcast, corpus bands stream) or batch bootstrap — the
     # same signature law either way (the index sidecar pins it)
-    have_minhash = fsio.fs_exists(f"{minhash_path}/{_SIDECAR}")
+    have_minhash = fsio.hadoop_exists(spark, f"{minhash_path}/{_SIDECAR}")
     if have_minhash:
         labels = dedup_against_index(cur, minhash_path,
                                      threshold=near_threshold,

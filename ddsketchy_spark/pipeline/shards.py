@@ -102,9 +102,19 @@ def write_training_shards(
     sink must not lose rows. ``boundaries`` (quantile_range only)
     overrides the sketch pass with explicit boundaries — the consistency
     handle for incremental appends; quantile ties can collapse
-    boundaries, so fewer than ``n_shards`` shard dirs may appear."""
+    boundaries, so fewer than ``n_shards`` shard dirs may appear.
+
+    ``shuffle_seed`` replaces ``sort_within`` with a seeded deterministic
+    within-shard SHUFFLE (the md5 unit-uniform of ``id_col``, tie-broken
+    by ``id_col``) — training-order randomization that reproduces
+    byte-for-byte under the same seed. The two orderings are mutually
+    exclusive; passing both raises rather than silently ignoring one."""
     if n_shards <= 0:
         raise ValueError(f"n_shards must be positive, got {n_shards}")
+    if shuffle_seed is not None and sort_within is not None:
+        raise ValueError(
+            "sort_within and shuffle_seed are mutually exclusive orderings "
+            "(a seeded shuffle IS the within-shard order); pass one")
     key = range_col if mode in ("range", "quantile_range") else id_col
     if mode == "quantile_range":
         if not range_col:

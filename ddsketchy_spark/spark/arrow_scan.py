@@ -230,8 +230,10 @@ def build_partials_direct_checkpointed(
         for b in batches:
             for frow, rgrow in zip(b.column(0), b.column(1)):
                 fname, rg = frow.as_py(), rgrow.as_py()
-                stat = os.stat(fname)
-                file_id = [stat.st_size, int(stat.st_mtime_ns)]
+                # scheme-portable stat: parquet_splits may hand back
+                # hdfs://, s3://, or file:// URIs — os.stat would crash
+                size, mtime_ns = fsio.fs_stat(fname)
+                file_id = [size, mtime_ns]
                 key = split_key(fname, rg)
                 bpath = ckpt_dir.rstrip("/") + "/" + key + ".bin"
                 mpath = ckpt_dir.rstrip("/") + "/" + key + ".json"
@@ -252,7 +254,10 @@ def build_partials_direct_checkpointed(
                     tbl = open_file[1].read_row_group(rg, columns=needed)
                     agg.add_arrow(st, tbl)
                     blob = agg.state_bytes(st)
-                    fsio.fs_write_atomic(bpath, blob)
+                    # overwrite: an existing blob here has no manifest
+                    # (checked above), i.e. a crash-orphaned leftover whose
+                    # lineage may differ — it must not outlive this commit
+                    fsio.fs_write_atomic(bpath, blob, overwrite=True)
                     manifest = {
                         "file": fname, "row_group": rg, "file_id": file_id,
                         "agg_fp": agg_fp,
@@ -261,7 +266,8 @@ def build_partials_direct_checkpointed(
                         "build_seconds": round(time.perf_counter() - t0, 4),
                         "completed_at": time.time(),
                     }
-                    fsio.fs_write_atomic(mpath, json.dumps(manifest).encode())
+                    fsio.fs_write_atomic(mpath, json.dumps(manifest).encode(),
+                                         overwrite=True)
                 yield pa.RecordBatch.from_arrays(
                     [pa.array([blob], type=pa.binary())], names=["state"])
 

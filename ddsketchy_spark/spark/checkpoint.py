@@ -102,10 +102,12 @@ def build_partials_checkpointed(
             checksum = (checksum + int(_batch_checksum(batch))) % (1 << 61)
             agg.add_arrow(state, pa.Table.from_batches([batch]))
         blob = agg.state_bytes(state)
-        # blob first, manifest last: a manifest is the commit record, so a
-        # crash between the two writes leaves a harmless orphan blob that
-        # the rerun simply overwrites
-        fsio.fs_write_atomic(bpath, blob)
+        # blob first, manifest last: a manifest is the commit record. A
+        # crash between the two writes leaves an orphan blob — possibly
+        # with DIFFERENT lineage than this rerun — so the rerun must
+        # actually replace it (HDFS rename refuses existing destinations;
+        # overwrite=True deletes the uncommitted leftover first)
+        fsio.fs_write_atomic(bpath, blob, overwrite=True)
         manifest = {
             "partition": pid,
             "rows": rows,
@@ -115,7 +117,8 @@ def build_partials_checkpointed(
             "completed_at": time.time(),
             "recomputed": True,
         }
-        fsio.fs_write_atomic(mpath, json.dumps(manifest).encode())
+        fsio.fs_write_atomic(mpath, json.dumps(manifest).encode(),
+                             overwrite=True)
         yield pa.RecordBatch.from_arrays(
             [pa.array([blob], type=pa.binary())], names=["state"])
 

@@ -54,9 +54,17 @@ class StreamingSketch:
     def _load(self) -> tuple[bytes | None, int]:
         gens = self._generation_names()
         if not gens:
-            return None, -1
-        # zero-padded batch ids make lexicographic max the numeric max
-        raw = fsio.fs_read_bytes(f"{self.state_dir}/{max(gens)}")
+            # legacy single-file layout (pre-generation ``state.bin``,
+            # same 8-byte-header payload): load it rather than silently
+            # restarting an upgraded stream from batch -1; the first new
+            # commit supersedes it and GCs the legacy file
+            if fsio.fs_exists(f"{self.state_dir}/state.bin"):
+                raw = fsio.fs_read_bytes(f"{self.state_dir}/state.bin")
+            else:
+                return None, -1
+        else:
+            # zero-padded batch ids make lexicographic max the numeric max
+            raw = fsio.fs_read_bytes(f"{self.state_dir}/{max(gens)}")
         last_batch = int.from_bytes(raw[: self._HDR_LEN], "little", signed=True)
         return raw[self._HDR_LEN:], last_batch
 
@@ -72,12 +80,14 @@ class StreamingSketch:
         payload = (int(batch_id).to_bytes(self._HDR_LEN, "little", signed=True)
                    + merged)
         fsio.fs_write_atomic(f"{self.state_dir}/{name}", payload)
-        for g in self._generation_names():  # GC superseded generations
-            if g < name:
-                try:
-                    fsio.fs_delete_file(f"{self.state_dir}/{g}")
-                except OSError:
-                    pass  # best-effort; a leftover older gen is never loaded
+        gc = [g for g in self._generation_names() if g < name]
+        if fsio.fs_exists(f"{self.state_dir}/state.bin"):
+            gc.append("state.bin")  # migrated legacy file, now superseded
+        for g in gc:  # GC superseded generations (best-effort; a leftover
+            try:      # older gen is never loaded)
+                fsio.fs_delete_file(f"{self.state_dir}/{g}")
+            except OSError:
+                pass
 
     def current_blob(self) -> bytes | None:
         return self._load()[0]

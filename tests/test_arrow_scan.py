@@ -164,6 +164,33 @@ def test_direct_checkpoint_file_uri(spark, token_table_path, tmp_path):
             fsio.fs_read_bytes(ckpt + "/" + m))["completed_at"] == t, m
 
 
+def test_direct_checkpoint_uri_input_combo(spark, token_table_path, tmp_path):
+    """URI INPUT combined with a checkpoint dir — the split-identity stat
+    must resolve through pyarrow.fs (``os.stat('file://...')`` crashes), so
+    this is the one combination the separate URI-input and URI-ckpt tests
+    missed. Estimates match the plain run; resume reuses every split."""
+    import json
+
+    from ddsketchy_spark.pipeline import fsio
+    from ddsketchy_spark.spark.arrow_scan import sketch_aggregate_parquet
+
+    uri = "file://" + token_table_path
+    ckpt = "file://" + str(tmp_path / "uri_combo_ckpt")
+    agg = DDSketchAggregator("n_tok", quantiles=QS)
+    first = sketch_aggregate_parquet(spark, uri, agg, ckpt_dir=ckpt)
+    plain = sketch_aggregate_parquet(spark, token_table_path, agg)
+    assert first == plain
+    manifests = [n for n in fsio.fs_list_names(ckpt) if n.endswith(".json")]
+    assert len(manifests) == len(parquet_splits(token_table_path))
+    times = {m: json.loads(fsio.fs_read_bytes(ckpt + "/" + m))["completed_at"]
+             for m in manifests}
+    second = sketch_aggregate_parquet(spark, uri, agg, ckpt_dir=ckpt)
+    assert second == first
+    for m, t in times.items():  # resume reused every split
+        assert json.loads(
+            fsio.fs_read_bytes(ckpt + "/" + m))["completed_at"] == t, m
+
+
 def test_direct_scan_uri_input(spark, token_table_path):
     """The direct scan itself accepts scheme URIs end to end: listing,
     splits, and worker-side opens all resolve through pyarrow.fs when the

@@ -864,3 +864,33 @@ def test_streaming_state_file_uri_and_generations(spark, token_table_path, tmp_p
     assert sk2.current_blob() == blob
     sk2.process_batch(df, 2)
     assert DDSketch.from_bytes(sk2.current_blob()).count == 1500
+
+
+def test_streaming_state_legacy_single_file_migration(spark, token_table_path,
+                                                      tmp_path):
+    """A stream upgraded from the pre-generation layout (single overwritten
+    ``state.bin``, same 8-byte batch-id header) must RESUME from it — not
+    silently restart from batch -1 — and the first new commit supersedes
+    and GCs the legacy file."""
+    from ddsketchy_spark.streaming import StreamingSketch
+
+    sdir = tmp_path / "legacy_state"
+    sdir.mkdir()
+    agg = DDSketchAggregator("n_tok", alpha=0.01, quantiles=())
+    df = read_tokens(spark, token_table_path).limit(500)
+
+    # fabricate the legacy layout: state.bin at batch 5 holding 500 values
+    tmp_sk = StreamingSketch(agg, str(tmp_path / "legacy_builder"))
+    tmp_sk.process_batch(df, 5)
+    legacy_payload = ((5).to_bytes(8, "little", signed=True)
+                      + tmp_sk.current_blob())
+    (sdir / "state.bin").write_bytes(legacy_payload)
+
+    sk = StreamingSketch(agg, str(sdir))
+    assert DDSketch.from_bytes(sk.current_blob()).count == 500
+    sk.process_batch(df, 5)  # replay of the legacy batch: idempotent no-op
+    assert DDSketch.from_bytes(sk.current_blob()).count == 500
+    sk.process_batch(df, 6)  # new batch merges INTO the migrated state
+    assert DDSketch.from_bytes(sk.current_blob()).count == 1000
+    names = sorted(f.name for f in sdir.iterdir())
+    assert names == ["state-%020d.bin" % 6]  # legacy file GC'd

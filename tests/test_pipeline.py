@@ -1324,6 +1324,11 @@ def test_write_training_shards(spark, tmp_path):
         write_training_shards(df, str(tmp_path / "bad2"), 2, mode="range")
     with pytest.raises(ValueError, match="n_shards"):
         write_training_shards(df, str(tmp_path / "bad3"), 0)
+    # sort_within + shuffle_seed are mutually exclusive orderings: raise
+    # loudly instead of silently discarding the caller's sort_within
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        write_training_shards(df, str(tmp_path / "bad4"), 2,
+                              sort_within=["start_seq"], shuffle_seed=7)
 
 
 def test_unigram_logprob_scores(spark):
