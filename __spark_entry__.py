@@ -426,6 +426,67 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["clean_lines_documents"] = clean_lines_documents
 
+    def boilerplate_lines_documents(spark, sf):
+        """Corpus-frequency boilerplate removal (pipeline/text.py
+        remove_boilerplate_lines — the RefinedWeb/CCNet line-dedup
+        stage) over a deterministic multi-line derivation of documents:
+        a cookie banner on EVERY doc, a per-(doc_id%7) footer on ~1/7 of
+        docs (both >= min_docs=30 distinct docs -> removed everywhere), a
+        pair marker shared by exactly 2 docs and a unique body line
+        (below threshold -> kept), plus a 'xx' line under min_chars
+        (never a candidate). Removal counts and the rewritten text (md5)
+        hash-matched row-for-row against a DuckDB re-derivation of the
+        full law."""
+        from ddsketchy_spark.pipeline.text import remove_boilerplate_lines
+
+        d = F.col("doc_id")
+        synth = _load(spark, sf, "documents").select(
+            "doc_id",
+            F.concat(
+                F.lit("Cookie notice: this site uses cookies\n"),
+                F.substring("text", 1, 50), F.lit("\nxx\n"),
+                F.lit("Copyright footer site"),
+                (d % 7).cast("string"), F.lit("\n"),
+                F.lit("pair marker "),
+                F.floor(d / 2).cast("string")).alias("text"))
+        out = remove_boilerplate_lines(synth, min_docs=30, min_chars=5)
+        return (out.select(
+            "doc_id",
+            F.col("n_boiler_removed").cast("long").alias("n_boiler_removed"),
+            F.coalesce(F.md5("text"), F.lit("n/a")).alias("text_md5"))
+            .orderBy("doc_id"))
+
+    q["boilerplate_lines_documents"] = boilerplate_lines_documents
+
+    def theta_source_overlap_documents(spark, sf):
+        """Cross-source duplication matrix (spark/companions.py
+        theta_group_overlap): per-source Theta sketches of the documents
+        word sets (split-on-single-space law), then all C(20,2)=190
+        pairwise union/intersection/jaccard/containment reports from the
+        20 state blobs alone. k=65536 keeps every sketch (and every
+        pairwise union) in exact mode at this scale, so DuckDB re-derives
+        each estimate as an exact distinct count."""
+        from ddsketchy_spark.spark.companions import theta_group_overlap
+
+        docs = _load(spark, sf, "documents").where(
+            "text IS NOT NULL AND source IS NOT NULL")
+        words = docs.select(
+            "source", F.explode(F.split("text", " ")).alias("w"))
+        m = theta_group_overlap(words, "w", "source", k=65536)
+        return (m.select(
+            "group_a", "group_b",
+            _r6(F.col("est_a")).alias("est_a"),
+            _r6(F.col("est_b")).alias("est_b"),
+            _r6(F.col("est_union")).alias("est_union"),
+            _r6(F.col("est_intersection")).alias("est_intersection"),
+            _r6(F.col("jaccard")).alias("jaccard"),
+            _r6(F.col("containment_a_in_b")).alias("containment_a_in_b"),
+            _r6(F.col("containment_b_in_a")).alias("containment_b_in_a"),
+            "exact_mode")
+            .orderBy("group_a", "group_b"))
+
+    q["theta_source_overlap_documents"] = theta_source_overlap_documents
+
     def url_domain_filter_documents(spark, sf):
         """URL gating (the C4/RefinedWeb first stage) over deterministic
         synthetic URLs derived from doc_id (www. on evens, .co.uk on
@@ -2119,6 +2180,63 @@ SELECT doc_id,
        ({_cl_case}) = 'kept' AS keep,
        md5(coalesce(array_to_string(kept, chr(10)), '')) AS clean_md5
 FROM base ORDER BY doc_id
+"""
+    o["boilerplate_lines_documents"] = """
+WITH corpus AS (
+  SELECT doc_id,
+         'Cookie notice: this site uses cookies' || chr(10) ||
+         substr(text, 1, 50) || chr(10) || 'xx' || chr(10) ||
+         'Copyright footer site' || CAST(doc_id % 7 AS VARCHAR) || chr(10)
+         || 'pair marker ' || CAST(doc_id // 2 AS VARCHAR) AS text
+  FROM documents
+),
+parts AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM corpus
+          WHERE text IS NOT NULL AND doc_id IS NOT NULL),
+lines AS (SELECT doc_id, t.p AS p, ls[t.p] AS l
+          FROM parts, unnest(generate_series(1, len(ls))) AS t(p)),
+elig AS (SELECT doc_id, p, md5(lower(trim(l))) AS h FROM lines
+         WHERE length(trim(l)) >= 5),
+boiler AS (SELECT h FROM (SELECT h, count(DISTINCT doc_id) AS c
+                          FROM elig GROUP BY 1) WHERE c >= 30),
+rem AS (SELECT e.doc_id, e.p FROM elig e JOIN boiler USING (h)),
+nrem AS (SELECT doc_id, count(*) AS n FROM rem GROUP BY 1),
+keptl AS (SELECT li.doc_id, li.p, li.l FROM lines li
+          LEFT JOIN rem ON li.doc_id = rem.doc_id AND li.p = rem.p
+          WHERE rem.doc_id IS NULL),
+newtext AS (SELECT doc_id, string_agg(l, chr(10) ORDER BY p) AS t
+            FROM keptl GROUP BY 1)
+SELECT c.doc_id AS doc_id,
+       CAST(coalesce(nrem.n, 0) AS BIGINT) AS n_boiler_removed,
+       CASE WHEN c.text IS NULL THEN 'n/a'
+            ELSE md5(coalesce(newtext.t, '')) END AS text_md5
+FROM corpus c
+LEFT JOIN nrem USING (doc_id)
+LEFT JOIN newtext USING (doc_id)
+ORDER BY doc_id
+"""
+    o["theta_source_overlap_documents"] = """
+WITH g AS (SELECT DISTINCT source AS grp, u.w AS v
+           FROM documents, unnest(string_split(text, ' ')) AS u(w)
+           WHERE source IS NOT NULL AND text IS NOT NULL),
+c AS (SELECT grp, count(*) AS cnt FROM g GROUP BY 1),
+pairs AS (SELECT a.grp AS ga, a.cnt AS na, b.grp AS gb, b.cnt AS nb
+          FROM c a JOIN c b ON a.grp < b.grp),
+i AS (SELECT x.grp AS ga, y.grp AS gb, count(*) AS inter
+      FROM g x JOIN g y ON x.v = y.v AND x.grp < y.grp GROUP BY 1, 2)
+SELECT pairs.ga AS group_a, pairs.gb AS group_b,
+       round(CAST(na AS DOUBLE), 6) AS est_a,
+       round(CAST(nb AS DOUBLE), 6) AS est_b,
+       round(CAST(na + nb - coalesce(inter, 0) AS DOUBLE), 6) AS est_union,
+       round(CAST(coalesce(inter, 0) AS DOUBLE), 6) AS est_intersection,
+       round(CAST(coalesce(inter, 0) AS DOUBLE)
+             / (na + nb - coalesce(inter, 0)), 6) AS jaccard,
+       round(CAST(coalesce(inter, 0) AS DOUBLE) / na, 6)
+         AS containment_a_in_b,
+       round(CAST(coalesce(inter, 0) AS DOUBLE) / nb, 6)
+         AS containment_b_in_a,
+       TRUE AS exact_mode
+FROM pairs LEFT JOIN i ON pairs.ga = i.ga AND pairs.gb = i.gb
+ORDER BY group_a, group_b
 """
     _url_multi = ("'co.uk','org.uk','ac.uk','gov.uk','com.au','net.au',"
                   "'org.au','co.jp','ne.jp','or.jp','com.br','com.cn',"

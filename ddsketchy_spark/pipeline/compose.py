@@ -29,6 +29,7 @@ def clean_corpus(
     redact: bool = True,
     line_clean_kw: dict | None = None,
     quality_kw: dict | None = None,
+    boilerplate_kw: dict | None = None,
     para_dedup_kw: dict | None = None,
     near_dedup_kw: dict | None = None,
     decontam_n: int = 13,
@@ -54,6 +55,15 @@ def clean_corpus(
     2. ``quality_filter`` — Gopher/C4-style keep/drop on the redacted
        text (``quality_kw`` forwards thresholds). Drops NULL-text rows
        (``null_text`` is a drop reason).
+    2a. OPTIONAL corpus-frequency boilerplate removal — pass
+       ``boilerplate_kw`` (e.g. ``{"min_docs": 50}``) to cut every line
+       that appears in >= ``min_docs`` distinct surviving documents
+       (``remove_boilerplate_lines`` — the RefinedWeb/CCNet line-dedup
+       stage: cookie banners / nav / footers repeated across a site).
+       Runs AFTER the quality filter (frequencies are counted over
+       surviving docs only) and before paragraph dedup, whose keep-first
+       law would otherwise preserve one copy of each banner. Off by
+       default (None).
     2b. OPTIONAL paragraph dedup — pass ``para_dedup_kw`` (e.g. ``{}`` or
        ``{"min_chars": 30}``) to cut corpus-wide duplicate paragraphs
        (``dedup_paragraphs``) from the surviving text BEFORE document
@@ -111,6 +121,12 @@ def clean_corpus(
                .select(*keep_cols, F.col(oc).alias(text_col)))
     out = (quality_filter(out, text_col, **quality_kw)
            .where("keep").select(*df.columns))
+    if boilerplate_kw is not None:
+        from .text import remove_boilerplate_lines
+
+        out = (remove_boilerplate_lines(out, text_col=text_col,
+                                        id_col=id_col, **boilerplate_kw)
+               .select(*df.columns))
     if para_dedup_kw is not None:
         from .dedup import dedup_paragraphs
 

@@ -230,6 +230,75 @@ def clean_lines(
     )
 
 
+def remove_boilerplate_lines(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    line_sep: str = "\n",
+    min_docs: int = 10,
+    min_chars: int = 5,
+) -> DataFrame:
+    """Corpus-FREQUENCY boilerplate removal (the RefinedWeb/CCNet
+    line-dedup stage): any line that appears in >= ``min_docs`` DISTINCT
+    documents (matched on ``md5(lower(trim(line)))``) is treated as
+    navigation/cookie/footer boilerplate and EVERY occurrence is removed
+    from every document — unlike ``dedup.dedup_paragraphs``, whose
+    keep-first law preserves one copy of duplicated CONTENT. Lines
+    shorter than ``min_chars`` trimmed characters are never candidates
+    (blank/spacing lines survive). ``line_sep`` is a literal (regex-
+    escaped). Requires ``min_docs >= 2`` — a threshold of 1 would delete
+    every eligible line.
+
+    Returns ``df`` with ``text_col`` rewritten (surviving lines re-joined
+    with ``line_sep``; a doc whose every line was boilerplate becomes "")
+    plus ``n_boiler_removed``. NULL-text and NULL-id rows pass through
+    untouched.
+
+    Scale shape — the document TEXT never shuffles: only (hash, doc_id,
+    pos) rows (~28 B each) explode; the per-hash document frequency is
+    distinct-then-count (both map-side combining — ``countDistinct`` per
+    group or a window would pin a billion-occurrence cookie banner's hash
+    partition to one task); boilerplate hashes are a tiny fraction of
+    distinct lines, so the positions-to-remove frame that joins back is
+    one small (doc_id, positions[]) row per affected doc (AQE broadcasts
+    it). The rewrite is a native per-doc array filter in the projection —
+    a HOF lambda referencing the joined loser array, so do not SELF-JOIN
+    the returned frame directly (the DeduplicateRelations/HOF binding
+    trap, CLAUDE.md); materialize or localCheckpoint first."""
+    import re as _re
+
+    if min_docs < 2:
+        raise ValueError(f"min_docs must be >= 2, got {min_docs} — "
+                         "1 would remove every eligible line")
+    sep_re = _re.escape(line_sep)
+    eligible = F.col(text_col).isNotNull() & F.col(id_col).isNotNull()
+    lines = (df.where(eligible)
+             .select(id_col,
+                     F.posexplode(F.split(F.col(text_col), sep_re))
+                     .alias("_pos", "_l"))
+             .where(F.length(F.trim(F.col("_l"))) >= min_chars)
+             .select(id_col, "_pos",
+                     F.md5(F.lower(F.trim(F.col("_l")))).alias("_h")))
+    boiler = (lines.select("_h", id_col).distinct()
+              .groupBy("_h").agg(F.count(F.lit(1)).alias("_docs"))
+              .where(F.col("_docs") >= min_docs)
+              .select("_h"))
+    losers = (lines.join(boiler, "_h")
+              .groupBy(id_col)
+              .agg(F.collect_set("_pos").alias("_boiler_pos")))
+    joined = df.join(losers, id_col, "left")
+    parts = F.split(F.col(text_col), sep_re)
+    pos_arr = F.col("_boiler_pos")
+    kept = F.filter(parts, lambda x, i: ~F.array_contains(pos_arr, i))
+    new_text = (F.when(pos_arr.isNull() | ~eligible, F.col(text_col))
+                .otherwise(F.array_join(kept, line_sep)))
+    return (joined
+            .withColumn("n_boiler_removed",
+                        F.coalesce(F.size("_boiler_pos"), F.lit(0)))
+            .withColumn(text_col, new_text)
+            .drop("_boiler_pos"))
+
+
 def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Marker-word language ID: count hits per language, fixed-precedence
     argmax (en > de > es > fr > zh on ties). Deterministic and expressible

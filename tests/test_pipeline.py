@@ -699,6 +699,35 @@ def test_clean_corpus_with_line_clean_stage(spark):
     assert all(len(r["text"].split("\n")) == 5 for r in out2.collect())
 
 
+def test_clean_corpus_with_boilerplate_stage(spark):
+    """clean_corpus's optional corpus-frequency boilerplate stage (2a)
+    cuts repeated banner lines from every surviving doc and composes
+    with the downstream near-dedup SELF-joins at broadcast size — the
+    rewrite is a HOF referencing a joined loser array, the exact
+    DeduplicateRelations shape the paragraph-dedup stage already
+    exercises."""
+    from ddsketchy_spark.pipeline.compose import clean_corpus
+
+    banner = "Subscribe to our newsletter for updates and offers today."
+    body = ("This is a perfectly fine training sentence number {i} of the "
+            "corpus body with unique{i} the of and to it is.")
+    rows = [(i, banner + "\n" + body.format(i=i), "t") for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = clean_corpus(df, quality_kw={"min_words": 3},
+                       boilerplate_kw={"min_docs": 5},
+                       near_dedup_kw={"verify": "local", "num_perm": 32,
+                                      "bands": 8, "threshold": 0.95})
+    got = {r["doc_id"]: r["text"] for r in out.collect()}
+    assert set(got) == set(range(10))
+    for i, t in got.items():
+        assert banner not in t and t == body.format(i=i)
+    # threshold not met -> untouched
+    out2 = clean_corpus(df, quality_kw={"min_words": 3},
+                        boilerplate_kw={"min_docs": 50},
+                        near_dedup_kw={"skip": True})
+    assert all(banner in r["text"] for r in out2.collect())
+
+
 def test_url_domain_operators(spark):
     """URL gating laws: host extraction (scheme/userinfo/port/scheme-less/
     NULL), public-suffix registrable-domain reduction, block vs allow
@@ -1053,6 +1082,67 @@ def test_clean_lines_c4_rules(spark):
     r = pipe.collect()[0]
     assert r["n_lines"] == 4 and r["n_kept_lines"] == 3 and r["keep"]
     assert r["clean_text"].count("|") == 2
+
+
+def test_remove_boilerplate_lines(spark):
+    """Corpus-frequency boilerplate law: lines in >= min_docs DISTINCT
+    docs are removed EVERYWHERE (no keep-first); within-doc repeats count
+    one doc toward the threshold but every occurrence goes once the line
+    qualifies; short lines are never candidates; NULL text/id pass
+    through; thresholds validated."""
+    from ddsketchy_spark.pipeline.text import remove_boilerplate_lines
+
+    cookie = "Accept cookies to continue"
+    rows = []
+    for i in range(6):
+        # cookie in all 6 docs; 'twice' repeats within doc 0 only (1 doc);
+        # 'pair' in docs 0-2 (3 docs); 'xx' is below min_chars everywhere
+        body = f"unique body line {i}\nxx"
+        extra = "\npair boiler line" if i < 3 else ""
+        twice = "\ntwice in one doc\ntwice in one doc" if i == 0 else ""
+        rows.append((i, f"{cookie}\n{body}{extra}{twice}"))
+    rows += [(None, cookie), (99, None)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    out = {r["doc_id"]: r for r in
+           remove_boilerplate_lines(df, min_docs=3, min_chars=5).collect()}
+    # cookie (6 docs) and pair (3 docs) are boiler; 'twice' (1 doc) and
+    # unique lines are not; 'xx' survives via min_chars
+    assert out[0]["text"] == ("unique body line 0\nxx\n"
+                              "twice in one doc\ntwice in one doc")
+    assert out[0]["n_boiler_removed"] == 2  # cookie + pair
+    assert out[4]["text"] == "unique body line 4\nxx"
+    assert out[4]["n_boiler_removed"] == 1  # cookie only
+    assert out[99]["text"] is None and out[99]["n_boiler_removed"] == 0
+    null_id = [r for r in
+               remove_boilerplate_lines(df, min_docs=3).collect()
+               if r["doc_id"] is None][0]
+    assert null_id["text"] == cookie  # NULL id: passes through untouched
+
+    # threshold boundary: min_docs=4 leaves 'pair' (3 docs) alone
+    out4 = {r["doc_id"]: r for r in
+            remove_boilerplate_lines(df, min_docs=4).collect()}
+    assert "pair boiler line" in out4[1]["text"]
+    assert out4[1]["n_boiler_removed"] == 1
+
+    # every-occurrence removal: make 'twice...' qualify via a second doc
+    df2 = spark.createDataFrame(
+        rows + [(7, "twice in one doc\nfiller line seven")],
+        "doc_id long, text string")
+    out2 = {r["doc_id"]: r for r in
+            remove_boilerplate_lines(df2, min_docs=2, min_chars=5).collect()}
+    assert out2[0]["n_boiler_removed"] == 4  # cookie + pair + BOTH repeats
+    assert "twice in one doc" not in out2[0]["text"]
+
+    # a doc that is all boilerplate becomes "" (not NULL)
+    df3 = spark.createDataFrame(
+        [(i, "only boiler here") for i in range(3)],
+        "doc_id long, text string")
+    r3 = remove_boilerplate_lines(df3, min_docs=2).collect()[0]
+    assert r3["text"] == "" and r3["n_boiler_removed"] == 1
+
+    with pytest.raises(ValueError, match="min_docs"):
+        remove_boilerplate_lines(df, min_docs=1)
 
 
 def test_sample_to_token_budget(spark):

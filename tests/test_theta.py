@@ -170,3 +170,40 @@ def test_spark_cross_source_overlap(spark, token_table_path):
                         .select(F.explode("tokens").alias("t"))).count())
     tol = 5.0 / np.sqrt(4096 - 1)
     assert abs(est - exact) <= max(tol * exact, 1.0), (est, exact)
+
+
+def test_theta_group_overlap_matrix(spark):
+    """Pairwise overlap matrix vs exact Python sets: constructed groups
+    with known partial/zero/full overlaps, exact mode at this scale, all
+    C(G,2) pairs present (including a zero-intersection pair), NULL
+    groups excluded, max_groups guard."""
+    from ddsketchy_spark.spark.companions import theta_group_overlap
+
+    sets = {
+        "a": set(range(0, 100)),        # a ^ b = 50..99 (50)
+        "b": set(range(50, 150)),       # b ^ c = 140..149 (10)
+        "c": set(range(140, 180)),      # a ^ c = {} (zero-overlap pair)
+        "d": set(range(0, 100)),        # d == a (full overlap)
+    }
+    rows = [(g, v) for g, vs in sets.items() for v in vs]
+    rows += [(None, 0), (None, 999_999)]  # NULL group: excluded
+    df = spark.createDataFrame(rows, "grp string, v long")
+    out = theta_group_overlap(df, "v", "grp", k=4096)
+    got = {(r["group_a"], r["group_b"]): r for r in out.collect()}
+    assert len(got) == 6  # C(4,2), zero-overlap pair included
+    for (ga, gb), r in got.items():
+        assert ga < gb
+        A, B = sets[ga], sets[gb]
+        assert r["exact_mode"] is True
+        assert r["est_a"] == len(A) and r["est_b"] == len(B)
+        assert r["est_union"] == len(A | B)
+        assert r["est_intersection"] == len(A & B)
+        assert r["jaccard"] == pytest.approx(len(A & B) / len(A | B))
+        assert r["containment_a_in_b"] == pytest.approx(len(A & B) / len(A))
+        assert r["containment_b_in_a"] == pytest.approx(len(A & B) / len(B))
+    assert got[("a", "c")]["est_intersection"] == 0.0
+    assert got[("a", "d")]["jaccard"] == 1.0
+
+    with pytest.raises(ValueError, match="max_groups"):
+        theta_group_overlap(df.where("grp is not null"), "v", "grp",
+                            max_groups=3)

@@ -256,6 +256,21 @@ def main() -> None:
                 r"(MapInArrow|PythonMapInArrow)"],
     )
 
+    # boilerplate removal: frequency law via distinct-then-count (two
+    # map-side-combining aggregates, never countDistinct-per-group or a
+    # window — a billion-occurrence cookie banner must stay splittable);
+    # text rewrite is a native projection, no Python anywhere
+    from ddsketchy_spark.pipeline.text import remove_boilerplate_lines
+
+    bp = remove_boilerplate_lines(docs, min_docs=5)
+    results["remove_boilerplate_lines"] = audit(
+        "remove_boilerplate_lines", bp,
+        want=[r"HashAggregate[\s\S]*Exchange[\s\S]*HashAggregate"],
+        reject=[r"Window", r"CartesianProduct", r"BatchEvalPython",
+                r"ArrowEvalPython", r"FlatMapGroupsInPandas",
+                r"(MapInArrow|PythonMapInArrow)"],
+    )
+
     # winnowing: pruned scan feeding one mapInArrow pass — no shuffle, no
     # per-row Python, the char-length guard is a pushable filter
     from ddsketchy_spark.pipeline.text import winnowing_fingerprints
