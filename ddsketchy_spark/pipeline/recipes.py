@@ -57,6 +57,7 @@ def incremental_crawl_update(
     token_col: str = "n_tok",
     redact: bool = True,
     line_clean_kw: dict | None = None,
+    boilerplate_kw: dict | None = None,
     quality_kw: dict | None = None,
     near_threshold: float = 0.8,
     num_perm: int = 128,
@@ -82,7 +83,12 @@ def incremental_crawl_update(
     version, and the per-source drift rows vs the previous crawl.
 
     ``line_clean_kw`` activates C4 line-level cleaning between redaction
-    and the doc-level quality filter (``clean_corpus`` stage 1b).
+    and the doc-level quality filter (``clean_corpus`` stage 1b);
+    ``boilerplate_kw`` activates corpus-frequency boilerplate line
+    removal after it (stage 2a — pass ``group_col=<source_col>`` for the
+    RefinedWeb per-site frequency law). Both count frequencies within
+    THIS crawl only; cross-crawl repetition is what the persistent
+    indexes below catch at document granularity.
 
     ``crawl_df`` needs (id_col, text_col, source_col, token_col) at
     minimum; all other columns ride along into the shards. Stage knobs
@@ -128,6 +134,7 @@ def incremental_crawl_update(
     # crawl)
     cur = clean_corpus(crawl_df, text_col=text_col, id_col=id_col,
                        redact=redact, line_clean_kw=line_clean_kw,
+                       boilerplate_kw=boilerplate_kw,
                        quality_kw=quality_kw,
                        near_dedup_kw={"skip": True})
     cur = _persist(cur)

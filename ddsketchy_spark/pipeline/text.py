@@ -237,6 +237,7 @@ def remove_boilerplate_lines(
     line_sep: str = "\n",
     min_docs: int = 10,
     min_chars: int = 5,
+    group_col: str | None = None,
 ) -> DataFrame:
     """Corpus-FREQUENCY boilerplate removal (the RefinedWeb/CCNet
     line-dedup stage): any line that appears in >= ``min_docs`` DISTINCT
@@ -248,6 +249,14 @@ def remove_boilerplate_lines(
     (blank/spacing lines survive). ``line_sep`` is a literal (regex-
     escaped). Requires ``min_docs >= 2`` — a threshold of 1 would delete
     every eligible line.
+
+    ``group_col`` scopes the frequency count WITHIN each group — the
+    RefinedWeb formulation, where a line repeated across one SITE
+    (domain) is boilerplate but the same sentence appearing on unrelated
+    sites may be legitimate content: a line is removed from a document
+    only when it reaches ``min_docs`` distinct documents in that
+    document's own group. Rows with a NULL group can never reach a
+    within-group threshold and pass through untouched.
 
     Returns ``df`` with ``text_col`` rewritten (surviving lines re-joined
     with ``line_sep``; a doc whose every line was boilerplate becomes "")
@@ -272,18 +281,22 @@ def remove_boilerplate_lines(
                          "1 would remove every eligible line")
     sep_re = _re.escape(line_sep)
     eligible = F.col(text_col).isNotNull() & F.col(id_col).isNotNull()
+    gcols = [group_col] if group_col else []
+    if group_col:
+        eligible = eligible & F.col(group_col).isNotNull()
     lines = (df.where(eligible)
-             .select(id_col,
+             .select(id_col, *gcols,
                      F.posexplode(F.split(F.col(text_col), sep_re))
                      .alias("_pos", "_l"))
              .where(F.length(F.trim(F.col("_l"))) >= min_chars)
-             .select(id_col, "_pos",
+             .select(id_col, *gcols, "_pos",
                      F.md5(F.lower(F.trim(F.col("_l")))).alias("_h")))
-    boiler = (lines.select("_h", id_col).distinct()
-              .groupBy("_h").agg(F.count(F.lit(1)).alias("_docs"))
+    boiler = (lines.select("_h", *gcols, id_col).distinct()
+              .groupBy("_h", *gcols)
+              .agg(F.count(F.lit(1)).alias("_docs"))
               .where(F.col("_docs") >= min_docs)
-              .select("_h"))
-    losers = (lines.join(boiler, "_h")
+              .select("_h", *gcols))
+    losers = (lines.join(boiler, ["_h", *gcols])
               .groupBy(id_col)
               .agg(F.collect_set("_pos").alias("_boiler_pos")))
     joined = df.join(losers, id_col, "left")

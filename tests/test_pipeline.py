@@ -1145,6 +1145,35 @@ def test_remove_boilerplate_lines(spark):
         remove_boilerplate_lines(df, min_docs=1)
 
 
+def test_remove_boilerplate_lines_grouped(spark):
+    """RefinedWeb per-site frequency law (group_col): a line repeated
+    within one domain is boilerplate THERE, while the same line below
+    threshold in another domain survives; NULL-group rows pass through."""
+    from ddsketchy_spark.pipeline.text import remove_boilerplate_lines
+
+    banner = "Subscribe to the site newsletter"
+    rows = ([(i, f"{banner}\nsite-a body {i} words", "a.com")
+             for i in range(4)]            # 4 docs on a.com: boiler there
+            + [(10, f"{banner}\nsite-b body ten words", "b.com")]  # 1 doc
+            + [(20, f"{banner}\nno domain body words", None)])
+    df = spark.createDataFrame(rows, "doc_id long, text string, dom string")
+
+    out = {r["doc_id"]: r for r in remove_boilerplate_lines(
+        df, min_docs=3, group_col="dom").collect()}
+    for i in range(4):
+        assert banner not in out[i]["text"]
+        assert out[i]["n_boiler_removed"] == 1
+    assert banner in out[10]["text"]     # below threshold on b.com
+    assert out[10]["n_boiler_removed"] == 0
+    assert out[20]["text"].startswith(banner)  # NULL group: untouched
+    assert out[20]["n_boiler_removed"] == 0
+
+    # global law over the same frame WOULD remove it everywhere (5 docs)
+    gout = {r["doc_id"]: r for r in remove_boilerplate_lines(
+        df, min_docs=3).collect()}
+    assert banner not in gout[10]["text"]
+
+
 def test_sample_to_token_budget(spark):
     """Mixture sampling law re-derived in pure Python (hashlib.md5):
     exact kept-set + copy counts, downsample AND upsample, absent-source
