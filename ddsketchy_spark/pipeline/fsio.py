@@ -16,10 +16,12 @@ on a POSIX mount:
   (the Hadoop native client, present on cluster nodes), ``s3://``/``s3a://``
   to Arrow's native S3. Atomicity contract: ``fs_write_atomic`` writes a
   tmp file and renames — atomic on local/HDFS; on S3 the final PUT of the
-  copy is atomic per object, which is the strongest S3 offers. Callers that
-  need crash-safe OVERWRITE semantics (streaming state) must therefore use
-  unique generation filenames instead of rename-over (see
-  ``streaming/stream_agg.py``).
+  copy is atomic per object, which is the strongest S3 offers. There is
+  deliberately NO overwrite mode: rename-over is not atomic on HDFS, so
+  callers that must supersede earlier state use unique filenames plus a
+  single commit record — generation files in ``streaming/stream_agg.py``,
+  nonce-suffixed blobs referenced by the manifest in
+  ``spark/checkpoint.py`` / ``spark/arrow_scan.py``.
 """
 
 from __future__ import annotations
@@ -28,11 +30,17 @@ import json
 import time
 
 
+def _hadoop_path_fs(spark, path: str):
+    """Resolve ``path`` through the JVM Hadoop ``FileSystem`` (sees the
+    full ``spark.hadoop.*`` configuration). Returns ``(hpath, fs)`` —
+    the one shared resolution for every driver-side Hadoop call here."""
+    hpath = spark._jvm.org.apache.hadoop.fs.Path(path)
+    return hpath, hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+
+
 def write_json_sidecar(spark, dir_path: str, name: str, obj: dict) -> None:
     """Write ``obj`` as ``<dir_path>/<name>`` (overwriting)."""
-    jvm = spark._jvm
-    hpath = jvm.org.apache.hadoop.fs.Path(dir_path.rstrip("/") + "/" + name)
-    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    hpath, fs = _hadoop_path_fs(spark, dir_path.rstrip("/") + "/" + name)
     out = fs.create(hpath, True)
     try:
         out.write(bytearray(json.dumps(obj).encode("utf-8")))
@@ -45,16 +53,15 @@ def read_json_sidecar(spark, dir_path: str, name: str,
     """Read ``<dir_path>/<name>`` as a dict; FileNotFoundError (with
     ``missing_hint`` appended) when absent — a loud signal that the
     directory is not the expected artifact."""
-    jvm = spark._jvm
-    hpath = jvm.org.apache.hadoop.fs.Path(dir_path.rstrip("/") + "/" + name)
-    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    hpath, fs = _hadoop_path_fs(spark, dir_path.rstrip("/") + "/" + name)
     if not fs.exists(hpath):
         raise FileNotFoundError(
             f"no {name} under {dir_path!r}" +
             (f" — {missing_hint}" if missing_hint else ""))
     stream = fs.open(hpath)
     try:
-        raw = jvm.org.apache.commons.io.IOUtils.toString(stream, "UTF-8")
+        raw = spark._jvm.org.apache.commons.io.IOUtils.toString(
+            stream, "UTF-8")
     finally:
         stream.close()
     return json.loads(raw)
@@ -98,9 +105,7 @@ def hadoop_exists(spark, path: str) -> bool:
     nameservices) the same way ``write_json_sidecar``/``read_json_sidecar``
     do. ``fs_exists`` (pyarrow.fs) is the executor-side fallback and can
     mis-resolve such paths on the driver."""
-    jvm = spark._jvm
-    hpath = jvm.org.apache.hadoop.fs.Path(path)
-    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    hpath, fs = _hadoop_path_fs(spark, path)
     return bool(fs.exists(hpath))
 
 
@@ -125,43 +130,32 @@ def fs_read_bytes(path: str) -> bytes:
         return f.read()
 
 
-def fs_write_atomic(path: str, data: bytes, overwrite: bool = False) -> bool:
+def fs_write_atomic(path: str, data: bytes) -> bool:
     """Write ``data`` to ``path`` via tmp-file + rename. Returns True if
     this call produced the file, False if a concurrent writer (another task
     attempt) won the race — in which case the winner's complete file is
-    left untouched. Never leaves a truncated file at ``path``.
+    left untouched. Never leaves a truncated file at ``path``, and never
+    deletes a committed file.
 
-    ``overwrite=True`` is for callers whose commit marker is a SEPARATE
-    file written after this one (checkpoint blob-then-manifest): an
-    existing destination with no marker is a crash-orphaned leftover —
-    possibly from a run with DIFFERENT lineage — and keeping it while the
-    caller commits a fresh marker would silently pair stale state with a
-    new manifest. HDFS refuses rename-over, so overwrite deletes the
-    leftover and retries; concurrent attempts of the same task write
-    identical bytes, so the delete+rename window is benign there."""
+    There is deliberately no overwrite mode (rename-over is not atomic on
+    HDFS, and delete-then-rename can destroy a racing winner's commit):
+    callers that must supersede earlier state write unique filenames and
+    flip a single commit record — see the module docstring."""
     fs, p = executor_fs(path)
     tmp = f"{p}.tmp-{time.time_ns()}"
     with fs.open_output_stream(tmp) as f:
         f.write(data)
-    for attempt in range(3):
-        try:
-            fs.move(tmp, p)
-            return True
-        except OSError:
-            # HDFS rename refuses an existing destination: either a
-            # concurrent attempt committed first (its file is complete —
-            # it, too, renamed) or a previous run crashed before its marker.
-            if not fs_exists(path):
-                raise
-            if not overwrite:
-                fs.delete_file(tmp)
-                return False
-            try:
-                fs.delete_file(p)
-            except OSError:
-                pass  # another overwriter got there first; retry the move
-    fs.delete_file(tmp)
-    return False
+    try:
+        fs.move(tmp, p)
+        return True
+    except OSError:
+        # HDFS rename refuses an existing destination: a concurrent
+        # attempt committed first and its file is complete (it, too,
+        # renamed). Anything else is a real error — re-raise it.
+        if not fs_exists(path):
+            raise
+        fs.delete_file(tmp)
+        return False
 
 
 def fs_list_names(path: str) -> list[str]:

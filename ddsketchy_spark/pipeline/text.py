@@ -238,6 +238,8 @@ def remove_boilerplate_lines(
     min_docs: int = 10,
     min_chars: int = 5,
     group_col: str | None = None,
+    engine: str = "auto",
+    max_broadcast_lines: int = 500_000,
 ) -> DataFrame:
     """Corpus-FREQUENCY boilerplate removal (the RefinedWeb/CCNet
     line-dedup stage): any line that appears in >= ``min_docs`` DISTINCT
@@ -263,22 +265,46 @@ def remove_boilerplate_lines(
     plus ``n_boiler_removed``. NULL-text and NULL-id rows pass through
     untouched.
 
-    Scale shape — the document TEXT never shuffles: only (hash, doc_id,
-    pos) rows (~28 B each) explode; the per-hash document frequency is
-    distinct-then-count (both map-side combining — ``countDistinct`` per
-    group or a window would pin a billion-occurrence cookie banner's hash
-    partition to one task); boilerplate hashes are a tiny fraction of
-    distinct lines, so the positions-to-remove frame that joins back is
-    one small (doc_id, positions[]) row per affected doc (AQE broadcasts
-    it). The rewrite is a native per-doc array filter in the projection —
-    a HOF lambda referencing the joined loser array, so do not SELF-JOIN
-    the returned frame directly (the DeduplicateRelations/HOF binding
-    trap, CLAUDE.md); materialize or localCheckpoint first."""
+    Scale shape — the document TEXT never shuffles in either engine: only
+    (hash, doc_id, pos) rows (~28 B each) explode; the per-hash document
+    frequency is distinct-then-count (both map-side combining —
+    ``countDistinct`` per group or a window would pin a
+    billion-occurrence cookie banner's hash partition to one task).
+
+    ``engine`` picks how removals reach the text:
+
+    - ``"broadcast"`` (what ``"auto"`` picks when the boiler-LINE count
+      is <= ``max_broadcast_lines``): the distinct boilerplate hashes —
+      small by construction, bounded by total_lines/min_docs and in
+      practice a few thousand banners — are collected once and broadcast
+      as a plain set; the rewrite is one mapInArrow projection over
+      ``df`` that re-hashes each doc's lines locally. NO join, NO
+      shuffle, NO HOF — the returned frame is a single narrow map stage,
+      safe to self-join. This is the 100-TB shape: a banner on every one
+      of 1B docs is still just one broadcast hash.
+    - ``"join"``: positions-to-remove are joined back per doc. Correct
+      at any boiler-set size, but when boilerplate is PERVASIVE the
+      losers frame is one row per affected doc — corpus-cardinality —
+      and the join back plans as a sort-merge that shuffles the text.
+      Use only when the boiler set itself exceeds driver memory. The
+      rewrite is a HOF lambda over the joined loser array, so do not
+      SELF-JOIN the returned frame directly (the DeduplicateRelations/
+      HOF binding trap, CLAUDE.md); materialize or localCheckpoint
+      first.
+    - ``"auto"``: bounded probe (``limit(max_broadcast_lines+1)``) on
+      the boiler frame, then broadcast if it fits, else join (the probe
+      is one extra small aggregate in that rare fallback).
+
+    Both engines implement the identical law bit-for-bit (md5 of
+    space-trimmed, lowercased UTF-8 lines; parity is fuzz-tested)."""
     import re as _re
 
     if min_docs < 2:
         raise ValueError(f"min_docs must be >= 2, got {min_docs} — "
                          "1 would remove every eligible line")
+    if engine not in ("auto", "broadcast", "join"):
+        raise ValueError(f"unknown engine {engine!r}: "
+                         "expected 'auto', 'broadcast', or 'join'")
     sep_re = _re.escape(line_sep)
     eligible = F.col(text_col).isNotNull() & F.col(id_col).isNotNull()
     gcols = [group_col] if group_col else []
@@ -296,6 +322,18 @@ def remove_boilerplate_lines(
               .agg(F.count(F.lit(1)).alias("_docs"))
               .where(F.col("_docs") >= min_docs)
               .select("_h", *gcols))
+
+    if engine != "join":
+        probe = boiler.limit(max_broadcast_lines + 1).collect()
+        if len(probe) <= max_broadcast_lines:
+            return _boiler_broadcast_rewrite(
+                df, probe, text_col, id_col, group_col, line_sep, min_chars)
+        if engine == "broadcast":
+            raise ValueError(
+                f"remove_boilerplate_lines: boiler-line count exceeds "
+                f"max_broadcast_lines={max_broadcast_lines}; raise the cap "
+                "or use engine='join'")
+
     losers = (lines.join(boiler, ["_h", *gcols])
               .groupBy(id_col)
               .agg(F.collect_set("_pos").alias("_boiler_pos")))
@@ -307,9 +345,86 @@ def remove_boilerplate_lines(
                 .otherwise(F.array_join(kept, line_sep)))
     return (joined
             .withColumn("n_boiler_removed",
-                        F.coalesce(F.size("_boiler_pos"), F.lit(0)))
+                        F.coalesce(F.size("_boiler_pos"),
+                                   F.lit(0)).cast("long"))
             .withColumn(text_col, new_text)
-            .drop("_boiler_pos"))
+            .drop("_boiler_pos")
+            .select(*df.columns, "n_boiler_removed"))
+
+
+def _boiler_broadcast_rewrite(
+    df: DataFrame,
+    boiler_rows,
+    text_col: str,
+    id_col: str,
+    group_col: str | None,
+    line_sep: str,
+    min_chars: int,
+) -> DataFrame:
+    """Broadcast-set rewrite engine for ``remove_boilerplate_lines``: the
+    collected boiler rows (``_h`` [, group]) become a broadcast frozenset
+    and the rewrite is ONE mapInArrow projection over ``df`` — the text
+    is re-split and re-hashed locally per task, so nothing ever shuffles
+    and the result frame is self-join-safe (no HOF, no join).
+
+    The Python-side normalization reproduces the JVM law exactly:
+    Spark ``trim`` strips 0x20 spaces only -> ``str.strip(' ')``;
+    ``lower``/``length``/``md5(utf-8)`` agree between Java and Python on
+    Unicode default case conversion (parity fuzz-tested alongside the
+    join engine)."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    if group_col:
+        bset = frozenset((r[1], r[0]) for r in boiler_rows)
+    else:
+        bset = frozenset(r[0] for r in boiler_rows)
+    bc = df.sparkSession.sparkContext.broadcast(bset)
+    names = df.columns
+    out_schema = StructType(list(df.schema.fields)
+                            + [StructField("n_boiler_removed", LongType())])
+    ti = names.index(text_col)
+    ii = names.index(id_col)
+    gi = names.index(group_col) if group_col else None
+    sep, mc, grouped = line_sep, min_chars, group_col is not None
+
+    def rewrite(batches):
+        import hashlib
+
+        import pyarrow as pa
+
+        bs = bc.value
+        for batch in batches:
+            texts = batch.column(ti).to_pylist()
+            ids_null = batch.column(ii).is_null().to_pylist()
+            groups = batch.column(gi).to_pylist() if grouped else None
+            new_texts = []
+            removed = []
+            for i, t in enumerate(texts):
+                g = groups[i] if grouped else None
+                if t is None or ids_null[i] or (grouped and g is None):
+                    new_texts.append(t)
+                    removed.append(0)
+                    continue
+                kept = []
+                n_rm = 0
+                for line in t.split(sep):
+                    s = line.strip(" ")
+                    if len(s) >= mc:
+                        h = hashlib.md5(
+                            s.lower().encode("utf-8")).hexdigest()
+                        if ((g, h) if grouped else h) in bs:
+                            n_rm += 1
+                            continue
+                    kept.append(line)
+                new_texts.append(sep.join(kept) if n_rm else t)
+                removed.append(n_rm)
+            arrs = list(batch.columns)
+            arrs[ti] = pa.array(new_texts, type=batch.column(ti).type)
+            arrs.append(pa.array(removed, type=pa.int64()))
+            yield pa.RecordBatch.from_arrays(
+                arrs, names=names + ["n_boiler_removed"])
+
+    return df.mapInArrow(rewrite, out_schema)
 
 
 def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:

@@ -235,17 +235,28 @@ def build_partials_direct_checkpointed(
                 size, mtime_ns = fsio.fs_stat(fname)
                 file_id = [size, mtime_ns]
                 key = split_key(fname, rg)
-                bpath = ckpt_dir.rstrip("/") + "/" + key + ".bin"
                 mpath = ckpt_dir.rstrip("/") + "/" + key + ".json"
-                if fsio.fs_exists(mpath) and fsio.fs_exists(bpath):
-                    manifest = json.loads(fsio.fs_read_bytes(mpath))
+
+                def committed_blob(manifest: dict) -> bytes:
+                    # the blob the manifest's own attempt wrote (pre-r5
+                    # manifests fall back to the legacy fixed name)
+                    bname = manifest.get("blob", key + ".bin")
+                    bp = ckpt_dir.rstrip("/") + "/" + bname
                     if manifest.get("agg_fp") != agg_fp or \
                             manifest.get("file_id") != file_id:
                         raise RuntimeError(
                             f"checkpoint lineage mismatch for split {key}: "
                             f"input file or aggregator config changed since "
                             f"the checkpoint; delete {ckpt_dir} to rebuild")
-                    blob = fsio.fs_read_bytes(bpath)
+                    if not fsio.fs_exists(bp):
+                        raise RuntimeError(
+                            f"checkpoint corrupted for split {key}: "
+                            f"manifest present but its blob {bname!r} is "
+                            f"missing; delete {ckpt_dir} to rebuild")
+                    return fsio.fs_read_bytes(bp)
+
+                if fsio.fs_exists(mpath):
+                    blob = committed_blob(json.loads(fsio.fs_read_bytes(mpath)))
                 else:
                     t0 = time.perf_counter()
                     if open_file is None or open_file[0] != fname:
@@ -254,20 +265,31 @@ def build_partials_direct_checkpointed(
                     tbl = open_file[1].read_row_group(rg, columns=needed)
                     agg.add_arrow(st, tbl)
                     blob = agg.state_bytes(st)
-                    # overwrite: an existing blob here has no manifest
-                    # (checked above), i.e. a crash-orphaned leftover whose
-                    # lineage may differ — it must not outlive this commit
-                    fsio.fs_write_atomic(bpath, blob, overwrite=True)
+                    # unique-nonce blob first, then the manifest naming
+                    # it: the manifest rename is the single commit point
+                    # (same protocol as spark/checkpoint.py — a mixed
+                    # blob/manifest pairing is unrepresentable). Losing
+                    # the manifest race adopts the winner's pair.
+                    bname = f"{key}-{time.time_ns():x}.bin"
+                    fsio.fs_write_atomic(
+                        ckpt_dir.rstrip("/") + "/" + bname, blob)
                     manifest = {
                         "file": fname, "row_group": rg, "file_id": file_id,
-                        "agg_fp": agg_fp,
+                        "agg_fp": agg_fp, "blob": bname,
                         "rows": tbl.num_rows, "input_bytes": tbl.nbytes,
                         "blob_bytes": len(blob),
                         "build_seconds": round(time.perf_counter() - t0, 4),
                         "completed_at": time.time(),
                     }
-                    fsio.fs_write_atomic(mpath, json.dumps(manifest).encode(),
-                                         overwrite=True)
+                    if not fsio.fs_write_atomic(
+                            mpath, json.dumps(manifest).encode()):
+                        try:
+                            fsio.fs_delete_file(
+                                ckpt_dir.rstrip("/") + "/" + bname)
+                        except OSError:
+                            pass
+                        blob = committed_blob(
+                            json.loads(fsio.fs_read_bytes(mpath)))
                 yield pa.RecordBatch.from_arrays(
                     [pa.array([blob], type=pa.binary())], names=["state"])
 

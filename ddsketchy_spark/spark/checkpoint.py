@@ -4,15 +4,22 @@ resumable stage-1.
 Mirrors the reference's serialize -> restore -> continue lifecycle
 (`/root/reference/src/serde_tests.rs:166-218`) at the job level:
 
-- Stage 1 writes one file per input partition to the checkpoint dir:
-  a versioned state blob plus a JSON lineage manifest
-  (partition id, rows consumed, value count, a deterministic input
-  checksum, build seconds, blob bytes, attempt timestamp).
-- Writes are ATOMIC (tmp file + rename), so a killed job never leaves a
-  truncated blob; rerunning skips partitions whose manifest is already
-  present and recomputes only the missing ones — the executor checks
-  before consuming its input iterator, so skipped partitions do almost
-  no I/O (the columnar scan is lazy).
+- Stage 1 writes one nonce-suffixed state blob per input partition to
+  the checkpoint dir plus a JSON lineage manifest (partition id, blob
+  filename, rows consumed, a deterministic input checksum, build
+  seconds, blob bytes, attempt timestamp).
+- The MANIFEST rename is the single commit point: the blob's filename
+  is unique per attempt and recorded IN the manifest, so a committed
+  manifest can only ever pair with the exact blob its own attempt
+  wrote — concurrent or zombie attempts (even with different lineage
+  over a nondeterministic upstream) can never persist a mixed
+  blob/manifest pair, and a crash between the two writes leaves only
+  an unreferenced orphan blob that no resume will read. Writes are
+  ATOMIC (tmp file + rename), so a killed job never leaves a truncated
+  file; rerunning skips partitions whose manifest is already present
+  and recomputes only the missing ones — the executor checks before
+  consuming its input iterator, so skipped partitions do almost no I/O
+  (the columnar scan is lazy).
 - The merge stage reads blobs from the checkpoint dir, so a resumed job
   produces estimates bit-identical to an uninterrupted run (merge order
   independence makes the recompute/reuse mix irrelevant).
@@ -45,8 +52,27 @@ def _manifest_path(ckpt_dir: str, pid: int) -> str:
     return ckpt_dir.rstrip("/") + f"/part-{pid:05d}.json"
 
 
-def _blob_path(ckpt_dir: str, pid: int) -> str:
-    return ckpt_dir.rstrip("/") + f"/part-{pid:05d}.bin"
+def _attempt_nonce() -> str:
+    """Unique-per-attempt blob suffix: task attempt id when running under
+    Spark (unique across all attempts of all tasks in an app) plus a
+    timestamp (unique across app restarts)."""
+    ctx = TaskContext.get()
+    aid = ctx.taskAttemptId() if ctx is not None else 0
+    return f"{aid}-{time.time_ns():x}"
+
+
+def _committed_blob(ckpt_dir: str, manifest: dict, pid: int) -> bytes:
+    """The blob a committed manifest references (``blob`` filename;
+    pre-r5 manifests fall back to the legacy fixed name). A missing blob
+    means the directory was externally modified — fail loudly."""
+    bname = manifest.get("blob", f"part-{pid:05d}.bin")
+    bpath = ckpt_dir.rstrip("/") + "/" + bname
+    if not fsio.fs_exists(bpath):
+        raise RuntimeError(
+            f"checkpoint corrupted for partition {pid}: manifest present "
+            f"but its blob {bname!r} is missing; delete {ckpt_dir} to "
+            "rebuild")
+    return fsio.fs_read_bytes(bpath)
 
 
 def build_partials_checkpointed(
@@ -66,12 +92,12 @@ def build_partials_checkpointed(
         ctx = TaskContext.get()
         pid = ctx.partitionId() if ctx is not None else 0
         mpath = _manifest_path(ckpt_dir, pid)
-        bpath = _blob_path(ckpt_dir, pid)
-        if fsio.fs_exists(mpath) and fsio.fs_exists(bpath):
+        if fsio.fs_exists(mpath):
             # resume: reuse the completed partition's state without
-            # consuming (decoding) the input
-            blob = fsio.fs_read_bytes(bpath)
+            # consuming (decoding) the input. The manifest is the commit
+            # record; it names the exact blob its attempt wrote.
             manifest = json.loads(fsio.fs_read_bytes(mpath))
+            blob = _committed_blob(ckpt_dir, manifest, pid)
             if not validate:
                 yield pa.RecordBatch.from_arrays(
                     [pa.array([blob], type=pa.binary())], names=["state"])
@@ -102,14 +128,17 @@ def build_partials_checkpointed(
             checksum = (checksum + int(_batch_checksum(batch))) % (1 << 61)
             agg.add_arrow(state, pa.Table.from_batches([batch]))
         blob = agg.state_bytes(state)
-        # blob first, manifest last: a manifest is the commit record. A
-        # crash between the two writes leaves an orphan blob — possibly
-        # with DIFFERENT lineage than this rerun — so the rerun must
-        # actually replace it (HDFS rename refuses existing destinations;
-        # overwrite=True deletes the uncommitted leftover first)
-        fsio.fs_write_atomic(bpath, blob, overwrite=True)
+        # blob first (unique nonce name — rename cannot collide), then
+        # the manifest naming it: the manifest rename is the single
+        # commit point. Losing the manifest race means another attempt
+        # committed a complete (blob, manifest) pair of its own — adopt
+        # the winner's blob and drop ours, so what this task yields is
+        # exactly what a later resume will serve.
+        bname = f"part-{pid:05d}-{_attempt_nonce()}.bin"
+        fsio.fs_write_atomic(ckpt_dir.rstrip("/") + "/" + bname, blob)
         manifest = {
             "partition": pid,
+            "blob": bname,
             "rows": rows,
             "checksum": checksum,
             "blob_bytes": len(blob),
@@ -117,8 +146,13 @@ def build_partials_checkpointed(
             "completed_at": time.time(),
             "recomputed": True,
         }
-        fsio.fs_write_atomic(mpath, json.dumps(manifest).encode(),
-                             overwrite=True)
+        if not fsio.fs_write_atomic(mpath, json.dumps(manifest).encode()):
+            try:
+                fsio.fs_delete_file(ckpt_dir.rstrip("/") + "/" + bname)
+            except OSError:
+                pass
+            winner = json.loads(fsio.fs_read_bytes(mpath))
+            blob = _committed_blob(ckpt_dir, winner, pid)
         yield pa.RecordBatch.from_arrays(
             [pa.array([blob], type=pa.binary())], names=["state"])
 

@@ -718,8 +718,12 @@ def theta_group_overlap(
     100 TB the matrix over 20 sources is 20 sketch blobs and 190 NumPy
     set operations. Raises when the group count exceeds ``max_groups``
     (the matrix is quadratic in G and the blobs land on the driver;
-    pre-filter or bucket high-cardinality group columns first). NULL
-    groups are excluded — NULL is a missing label, not a source.
+    pre-filter or bucket high-cardinality group columns first) — checked
+    with a cheap bounded ``distinct().limit()`` probe on the group
+    column BEFORE the sketch aggregate runs or any blob is collected, so
+    a mistaken high-cardinality column (5M URLs) fails fast instead of
+    OOM-ing the driver. NULL groups are excluded — NULL is a missing
+    label, not a source.
 
     Output, one row per unordered pair (``group_a < group_b``): ``est_a``
     / ``est_b`` / ``est_union`` / ``est_intersection`` / ``jaccard`` /
@@ -731,15 +735,21 @@ def theta_group_overlap(
     from pyspark.sql import functions as F
     from pyspark.sql.types import BooleanType, DoubleType, StructType
 
+    labelled = df.where(F.col(group_col).isNotNull())
+    # bounded cardinality probe FIRST — one column, map-side-combining
+    # distinct, stops at max_groups+1 rows — so the guard fires before
+    # the expensive grouped aggregate runs or any blob hits the driver
+    n_probe = labelled.select(group_col).distinct().limit(max_groups + 1).count()
+    if n_probe > max_groups:
+        raise ValueError(
+            f"theta_group_overlap: more than max_groups={max_groups} "
+            "groups — the pairwise matrix is quadratic and the blobs land "
+            "on the driver; pre-filter or bucket the group column, or "
+            "raise max_groups")
     states = theta_state(
-        df.where(F.col(group_col).isNotNull()), value_col,
+        labelled, value_col,
         by=[group_col], k=k, seed=seed, hash_kind=hash_kind, engine=engine)
     rows = states.select(group_col, "state").collect()
-    if len(rows) > max_groups:
-        raise ValueError(
-            f"theta_group_overlap: {len(rows)} groups exceeds "
-            f"max_groups={max_groups} — the pairwise matrix is quadratic; "
-            "pre-filter or bucket the group column, or raise max_groups")
     sks = sorted(((r[0], ThetaSketch.from_bytes(bytes(r[1])))
                   for r in rows), key=lambda t: t[0])
     out_rows = []

@@ -36,6 +36,11 @@ class StreamingSketch:
     def __init__(self, agg: SketchAggregator, state_dir: str) -> None:
         self.agg = agg
         self.state_dir = state_dir.rstrip("/")
+        # one-time legacy-layout migration probe (see process_batch): a
+        # pre-generation ``state.bin`` can only predate the first commit,
+        # so once seen absent the per-commit exists() RPC is skipped for
+        # the stream's whole lifetime
+        self._legacy_gone = False
         fsio.fs_mkdirs(state_dir)
 
     # batch_id and blob live in ONE file whose NAME is the generation
@@ -81,8 +86,10 @@ class StreamingSketch:
                    + merged)
         fsio.fs_write_atomic(f"{self.state_dir}/{name}", payload)
         gc = [g for g in self._generation_names() if g < name]
-        if fsio.fs_exists(f"{self.state_dir}/state.bin"):
-            gc.append("state.bin")  # migrated legacy file, now superseded
+        if not self._legacy_gone:
+            if fsio.fs_exists(f"{self.state_dir}/state.bin"):
+                gc.append("state.bin")  # migrated legacy file, superseded
+            self._legacy_gone = True  # one-time probe, never re-paid
         for g in gc:  # GC superseded generations (best-effort; a leftover
             try:      # older gen is never loaded)
                 fsio.fs_delete_file(f"{self.state_dir}/{g}")

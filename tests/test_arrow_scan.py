@@ -117,11 +117,12 @@ def test_direct_checkpoint_resume(spark, token_table_path, tmp_path):
     total_rows = sum(json.load(open(m))["rows"] for m in manifests)
     assert total_rows == 20_000
 
-    # simulate a killed job: drop 3 completed splits
+    # simulate a killed job: drop 3 completed splits (blob + manifest)
     kept_times = {}
     for m in manifests[:3]:
+        blob = json.load(open(m))["blob"]
+        os.remove(os.path.join(ckpt, blob))
         os.remove(m)
-        os.remove(m.replace(".json", ".bin"))
     for m in manifests[3:]:
         kept_times[m] = json.load(open(m))["completed_at"]
 

@@ -51,11 +51,13 @@ def test_checkpoint_partial_resume(spark, token_table_path, tmp_path):
     df = read_tokens(spark, token_table_path)
     full = checkpointed_sketch_aggregate(df, agg, ckpt)
 
-    files = sorted(f for f in os.listdir(ckpt) if f.endswith(".bin"))
-    assert len(files) >= 2
-    for f in files[::2]:  # kill half the partitions
+    import json as _json
+    manifests = sorted(f for f in os.listdir(ckpt) if f.endswith(".json"))
+    assert len(manifests) >= 2
+    for f in manifests[::2]:  # kill half the partitions (blob + manifest)
+        blob = _json.load(open(os.path.join(ckpt, f)))["blob"]
+        os.remove(os.path.join(ckpt, blob))
         os.remove(os.path.join(ckpt, f))
-        os.remove(os.path.join(ckpt, f.replace(".bin", ".json")))
 
     resumed = checkpointed_sketch_aggregate(df, agg, ckpt)
     assert resumed["count"] == full["count"]
@@ -71,6 +73,51 @@ def test_checkpoint_validate_detects_input_change(spark, token_table_path, tmp_p
     other = df.withColumn("n_tok", F.col("n_tok") + 1)
     with pytest.raises(Exception, match="lineage mismatch|input changed"):
         checkpointed_sketch_aggregate(other, agg, ckpt, validate=True)
+
+
+def test_checkpoint_orphan_blob_cannot_poison_resume(
+        spark, token_table_path, tmp_path):
+    """Commit-protocol gate: the manifest names the exact blob its own
+    attempt wrote, so a crash-orphaned blob — legacy fixed name or
+    nonce-style, possibly from a run with DIFFERENT lineage — is simply
+    never referenced. A fresh run over a dir pre-seeded with garbage
+    orphans must produce the same state as a clean run, and every
+    committed manifest's blob must exist and not be an orphan."""
+    clean = str(tmp_path / "clean")
+    dirty = str(tmp_path / "dirty")
+    os.makedirs(dirty)
+    orphans = {"part-00000.bin", "part-00000-dead-beef.bin"}
+    for name in orphans:
+        with open(os.path.join(dirty, name), "wb") as f:
+            f.write(b"stale-lineage-garbage")
+
+    agg = DDSketchAggregator("n_tok", alpha=0.01, quantiles=(0.5, 0.99))
+    df = read_tokens(spark, token_table_path)
+    ref = checkpointed_sketch_aggregate(df, agg, clean)
+    out = checkpointed_sketch_aggregate(df, agg, dirty)
+    assert out["state"] == ref["state"] and out["p50"] == ref["p50"]
+    for m in (f for f in os.listdir(dirty) if f.endswith(".json")):
+        blob = json.load(open(os.path.join(dirty, m)))["blob"]
+        assert blob not in orphans
+        assert os.path.exists(os.path.join(dirty, blob)), blob
+    # resume over the still-dirty dir reuses the committed pairs
+    out2 = checkpointed_sketch_aggregate(df, agg, dirty)
+    assert out2["state"] == ref["state"]
+
+
+def test_checkpoint_manifest_without_blob_fails_loudly(
+        spark, token_table_path, tmp_path):
+    """A committed manifest whose blob is gone means the directory was
+    externally modified — resume must fail with a clear message, never
+    silently recompute against a half-deleted checkpoint."""
+    ckpt = str(tmp_path / "ckpt_noblob")
+    agg = DDSketchAggregator("n_tok", alpha=0.01, quantiles=())
+    df = read_tokens(spark, token_table_path)
+    checkpointed_sketch_aggregate(df, agg, ckpt)
+    m = sorted(f for f in os.listdir(ckpt) if f.endswith(".json"))[0]
+    os.remove(os.path.join(ckpt, json.load(open(os.path.join(ckpt, m)))["blob"]))
+    with pytest.raises(Exception, match="checkpoint corrupted"):
+        checkpointed_sketch_aggregate(df, agg, ckpt)
 
 
 def test_skew_histogram_and_salting(spark, token_table_path):

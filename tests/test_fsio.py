@@ -4,10 +4,11 @@ accident.
 Local rename silently overwrites, so ``fs_write_atomic``'s HDFS behavior
 (rename REFUSES an existing destination) is simulated with a wrapper
 filesystem that enforces HDFS rename semantics over the real local store.
-Gate: without ``overwrite`` a crash-orphaned destination survives (the
-concurrent-winner contract); with ``overwrite=True`` it is replaced (the
-checkpoint blob-then-manifest contract — a leftover blob with no manifest
-may carry DIFFERENT lineage and must not outlive the rerun's commit)."""
+Gate: an existing destination is a complete concurrent winner — the loser
+returns False, the winner's bytes survive untouched, and no tmp litter is
+left. There is deliberately no overwrite mode (callers that supersede
+state use unique filenames + a single commit record — see fsio's module
+docstring); a rename failure with NO existing destination re-raises."""
 
 import os
 
@@ -34,7 +35,7 @@ class _HdfsLikeFS:
         return getattr(self._inner, name)
 
 
-def test_fs_write_atomic_overwrite_semantics(tmp_path, monkeypatch):
+def test_fs_write_atomic_loser_semantics(tmp_path, monkeypatch):
     real_executor_fs = fsio.executor_fs
     monkeypatch.setattr(
         fsio, "executor_fs",
@@ -42,19 +43,31 @@ def test_fs_write_atomic_overwrite_semantics(tmp_path, monkeypatch):
             real_executor_fs(path)))
 
     p = str(tmp_path / "blob.bin")
-    assert fsio.fs_write_atomic(p, b"stale-lineage") is True
+    assert fsio.fs_write_atomic(p, b"winner") is True
 
-    # default: existing destination is a complete concurrent winner — kept
-    assert fsio.fs_write_atomic(p, b"fresh") is False
-    assert fsio.fs_read_bytes(p) == b"stale-lineage"
-
-    # overwrite: the leftover is uncommitted garbage — replaced
-    assert fsio.fs_write_atomic(p, b"fresh", overwrite=True) is True
-    assert fsio.fs_read_bytes(p) == b"fresh"
-
-    # no tmp litter either way
+    # existing destination is a complete concurrent winner — kept, loser
+    # reports False and cleans up after itself
+    assert fsio.fs_write_atomic(p, b"loser") is False
+    assert fsio.fs_read_bytes(p) == b"winner"
     leftovers = [n for n in os.listdir(tmp_path) if ".tmp-" in n]
     assert leftovers == []
+
+
+def test_fs_write_atomic_reraises_non_race_failures(tmp_path, monkeypatch):
+    """A rename failure with NO file at the destination is a real error
+    (permissions, connectivity), not a lost race — it must surface."""
+    real_executor_fs = fsio.executor_fs
+
+    class _BrokenRenameFS(_HdfsLikeFS):
+        def move(self, src, dst):
+            raise OSError("rename RPC failed")
+
+    monkeypatch.setattr(
+        fsio, "executor_fs",
+        lambda path: (lambda fp: (_BrokenRenameFS(fp[0]), fp[1]))(
+            real_executor_fs(path)))
+    with pytest.raises(OSError, match="rename RPC failed"):
+        fsio.fs_write_atomic(str(tmp_path / "x.bin"), b"data")
 
 
 def test_fs_stat_matches_os_stat_and_takes_uris(tmp_path):

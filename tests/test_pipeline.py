@@ -1174,6 +1174,61 @@ def test_remove_boilerplate_lines_grouped(spark):
     assert banner not in gout[10]["text"]
 
 
+def test_remove_boilerplate_engines_parity(spark):
+    """The broadcast-set mapInArrow engine and the join engine implement
+    the identical law bit-for-bit — randomized corpus with unicode case
+    folding, space-padded near-misses, within-doc repeats, NULL text/id/
+    group, grouped and ungrouped, plus the auto fallback and the
+    broadcast cap guard."""
+    import random
+
+    from ddsketchy_spark.pipeline.text import remove_boilerplate_lines
+
+    rng = random.Random(42)
+    banners = ["  Accept Cookies To Continue  ", "ABONNEZ-VOUS · ICI →",
+               "über uns — impressum", "short"]
+    rows = []
+    for i in range(60):
+        dom = f"site-{i % 3}.com" if i % 7 else None
+        parts = [f"unique {i} body line with words {rng.random():.6f}"]
+        for b in banners:
+            if rng.random() < 0.6:
+                # vary case/padding: must still hash equal after
+                # trim+lower, in BOTH engines
+                v = b.upper() if rng.random() < 0.5 else b.lower()
+                parts.append((" " * rng.randrange(3)) + v)
+        if rng.random() < 0.2:
+            parts.append(parts[-1])  # within-doc repeat
+        rng.shuffle(parts)
+        rows.append((i, "\n".join(parts), dom))
+    rows += [(None, "Accept cookies to continue", "site-0.com"),
+             (998, None, "site-1.com")]
+    df = spark.createDataFrame(rows, "doc_id long, text string, dom string")
+
+    for kw in ({}, {"group_col": "dom"}):
+        a = remove_boilerplate_lines(df, min_docs=5, engine="broadcast",
+                                     **kw).collect()
+        b = remove_boilerplate_lines(df, min_docs=5, engine="join",
+                                     **kw).collect()
+        key = lambda r: (r["doc_id"] is None, r["doc_id"])
+        for ra, rb in zip(sorted(a, key=key), sorted(b, key=key)):
+            assert ra.asDict() == rb.asDict(), (kw, ra, rb)
+        assert sum(r["n_boiler_removed"] for r in a) > 0, kw
+
+    # auto falls back to the join engine when the boiler set exceeds the
+    # cap; results stay identical
+    fb = remove_boilerplate_lines(df, min_docs=5, engine="auto",
+                                  max_broadcast_lines=0).collect()
+    jn = remove_boilerplate_lines(df, min_docs=5, engine="join").collect()
+    assert sorted(map(str, fb)) == sorted(map(str, jn))
+    # explicit broadcast over the cap refuses loudly
+    with pytest.raises(ValueError, match="max_broadcast_lines"):
+        remove_boilerplate_lines(df, min_docs=5, engine="broadcast",
+                                 max_broadcast_lines=0)
+    with pytest.raises(ValueError, match="engine"):
+        remove_boilerplate_lines(df, min_docs=5, engine="bogus")
+
+
 def test_sample_to_token_budget(spark):
     """Mixture sampling law re-derived in pure Python (hashlib.md5):
     exact kept-set + copy counts, downsample AND upsample, absent-source

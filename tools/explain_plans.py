@@ -262,13 +262,25 @@ def main() -> None:
     # text rewrite is a native projection, no Python anywhere
     from ddsketchy_spark.pipeline.text import remove_boilerplate_lines
 
-    bp = remove_boilerplate_lines(docs, min_docs=5)
+    bp = remove_boilerplate_lines(docs, min_docs=5, engine="join")
     results["remove_boilerplate_lines"] = audit(
         "remove_boilerplate_lines", bp,
         want=[r"HashAggregate[\s\S]*Exchange[\s\S]*HashAggregate"],
         reject=[r"Window", r"CartesianProduct", r"BatchEvalPython",
                 r"ArrowEvalPython", r"FlatMapGroupsInPandas",
                 r"(MapInArrow|PythonMapInArrow)"],
+    )
+
+    # broadcast engine (the auto default at real boiler-set sizes): the
+    # returned frame is ONE mapInArrow projection over the input — no
+    # join, no shuffle, no HOF; the text column never moves. (The boiler
+    # set itself was collected by a separate bounded probe action.)
+    bpb = remove_boilerplate_lines(docs, min_docs=5, engine="broadcast")
+    results["remove_boilerplate_broadcast"] = audit(
+        "remove_boilerplate_broadcast", bpb,
+        want=[r"(MapInArrow|PythonMapInArrow)"],
+        reject=[r"Exchange", r"Join", r"Window", r"BatchEvalPython",
+                r"ArrowEvalPython", r"FlatMapGroupsInPandas"],
     )
 
     # winnowing: pruned scan feeding one mapInArrow pass — no shuffle, no
