@@ -543,6 +543,50 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["sample_by_group_documents"] = sample_by_group_documents
 
+    def distinct_sample_orders(spark, sf):
+        """KMV-with-payload uniform distinct sample (new r5,
+        spark/sampling.py): bottom-50 distinct o_custkey by the md5-52-bit
+        cross-engine hash — a mergeable sample of distinct KEYS a
+        10^12-row table can't produce via ORDER BY random(). The native
+        engine is pure codegen (distinct + TakeOrderedAndProject); DuckDB
+        re-derives the IDENTICAL keys and hash values."""
+        from ddsketchy_spark.spark.sampling import kmv_sample_native
+
+        return (kmv_sample_native(_load(spark, sf, "orders"), "o_custkey",
+                                  k=50, seed=0)
+                .select("key", "u"))
+
+    q["distinct_sample_orders"] = distinct_sample_orders
+
+    def distinct_sample_by_status_orders(spark, sf):
+        """Grouped KMV sample: bottom-20 distinct custkeys per order
+        status — one hash shuffle over pre-reduced distinct rows, window
+        top-k per group (never a per-group full sort of raw rows)."""
+        from ddsketchy_spark.spark.sampling import kmv_sample_native
+
+        return (kmv_sample_native(_load(spark, sf, "orders"), "o_custkey",
+                                  by=["o_orderstatus"], k=20, seed=3)
+                .select("o_orderstatus", "key", "u"))
+
+    q["distinct_sample_by_status_orders"] = distinct_sample_by_status_orders
+
+    def weighted_sample_documents(spark, sf):
+        """Efraimidis-Spirakis weighted sample (new r5): 40 documents
+        without replacement, inclusion probability ~ n_chars — rank =
+        -ln(md5-uniform)/weight is a pure function of (doc_id, seed,
+        n_chars), so any partitioning, the blob aggregator, and the DuckDB
+        oracle select the IDENTICAL docs (ranks rounded to 6 dp per the
+        float convention; selection compares full doubles, where the only
+        cross-engine wiggle is the sub-ulp tail of ln)."""
+        from ddsketchy_spark.spark.sampling import weighted_sample_native
+
+        docs = _load(spark, sf, "documents")
+        out = weighted_sample_native(docs, "doc_id", "n_chars", k=40, seed=0)
+        return out.select("key", "weight",
+                          _r6(F.col("rank")).alias("rank_r6"))
+
+    q["weighted_sample_documents"] = weighted_sample_documents
+
     def mixture_sample_documents(spark, sf):
         """Training-data mixture sampling to per-source token budgets
         (new r4): src0 downsampled (~0.5x), src1 upsampled (~2.3x with
@@ -2411,6 +2455,43 @@ SELECT source,
        TRUE AS subset_ok
 FROM documents WHERE doc_id IS NOT NULL AND source IS NOT NULL
 GROUP BY source ORDER BY source
+"""
+    o["distinct_sample_orders"] = """
+SELECT key, u FROM (
+  SELECT CAST(o_custkey AS VARCHAR) AS key,
+         CAST(('0x' || substring(md5(CAST(o_custkey AS VARCHAR) || ':0'),
+                                 1, 13)) AS BIGINT) AS u
+  FROM (SELECT DISTINCT o_custkey FROM orders WHERE o_custkey IS NOT NULL)
+) ORDER BY u, key LIMIT 50
+"""
+    o["distinct_sample_by_status_orders"] = """
+SELECT o_orderstatus, key, u FROM (
+  SELECT o_orderstatus, key,
+         CAST(('0x' || substring(md5(key || ':3'), 1, 13)) AS BIGINT) AS u,
+         row_number() OVER (
+           PARTITION BY o_orderstatus
+           ORDER BY CAST(('0x' || substring(md5(key || ':3'), 1, 13))
+                         AS BIGINT), key) AS rn
+  FROM (SELECT DISTINCT o_orderstatus, CAST(o_custkey AS VARCHAR) AS key
+        FROM orders WHERE o_custkey IS NOT NULL)
+) WHERE rn <= 20
+"""
+    o["weighted_sample_documents"] = """
+WITH dedup AS (
+  SELECT CAST(doc_id AS VARCHAR) AS key,
+         max(CAST(n_chars AS DOUBLE)) AS weight
+  FROM documents
+  WHERE doc_id IS NOT NULL AND n_chars IS NOT NULL AND n_chars > 0
+  GROUP BY 1
+),
+scored AS (
+  SELECT key, weight,
+         -ln((CAST(('0x' || substring(md5(key || ':0'), 1, 13)) AS BIGINT)
+              + 0.5) / 4503599627370496.0) / weight AS rank
+  FROM dedup
+)
+SELECT key, weight, round(rank, 6) AS rank_r6
+FROM scored ORDER BY rank, key LIMIT 40
 """
     o["mixture_sample_documents"] = """
 WITH tot AS (

@@ -15,6 +15,12 @@ from .functions import register_sql_functions
 from .joins import asof_join, bloom_probe_column, bloom_semi_join, interval_join
 from .profile import profile_table
 from .rollup import read_rollup, read_rollup_states, update_rollup
+from .sampling import (
+    kmv_sample_native,
+    kmv_sample_state,
+    weighted_sample_native,
+    weighted_sample_state,
+)
 from .session import get_spark
 
 __all__ = [
@@ -46,5 +52,9 @@ __all__ = [
     "read_rollup",
     "read_rollup_states",
     "bloom_probe_column",
+    "kmv_sample_native",
+    "kmv_sample_state",
+    "weighted_sample_native",
+    "weighted_sample_state",
     "get_spark",
 ]

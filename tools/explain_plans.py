@@ -381,6 +381,40 @@ def main() -> None:
                 r"(MapInArrow|PythonMapInArrow)"],
     )
 
+    # KMV distinct sample, global: distinct reduces map-side (partial
+    # HashAggregate before the exchange), bottom-k compiles to
+    # TakeOrderedAndProject (per-partition top-k + driver k-row merge,
+    # never a global Sort), zero Python
+    from ddsketchy_spark.spark.sampling import (
+        kmv_sample_native,
+        weighted_sample_native,
+    )
+
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    ks = kmv_sample_native(orders, "o_custkey", k=50)
+    results["kmv_sample_global"] = audit(
+        "kmv_sample_global", ks,
+        want=[r"TakeOrderedAndProject",
+              r"Keys \[1\]: \[key#",
+              r"ReadSchema: struct<o_custkey:bigint>"],
+        reject=[r"GlobalSort", r"BatchEvalPython", r"ArrowEvalPython",
+                r"FlatMapGroupsInPandas", r"(MapInArrow|PythonMapInArrow)"],
+    )
+
+    # weighted sample, grouped: ONE exchange keyed on the group column
+    # carries both the distinct pre-reduce and the window top-k (AQE may
+    # add its own read stages, but no second shuffle key appears)
+    ws = weighted_sample_native(docs, "doc_id", "n_chars",
+                                by=["source"], k=6)
+    results["weighted_sample_grouped"] = audit(
+        "weighted_sample_grouped", ws,
+        want=[r"Window", r"hashpartitioning\(source",
+              r"ReadSchema: struct<doc_id:bigint,source:string,n_chars:bigint>"],
+        reject=[r"hashpartitioning\(key", r"BatchEvalPython",
+                r"ArrowEvalPython", r"FlatMapGroupsInPandas",
+                r"(MapInArrow|PythonMapInArrow)"],
+    )
+
     # corpus split: a pure whole-stage-codegen projection — the md5
     # uniform + cumulative-weight CASE chain adds no exchange, no join,
     # no window, no Python, and the scan stays pruned to the used columns
