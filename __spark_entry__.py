@@ -587,6 +587,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["weighted_sample_documents"] = weighted_sample_documents
 
+    def sessionize_events(spark, sf):
+        """Gap-based sessionization (new r5, spark/sessions.py): user
+        activity sessions that close after 6 h of inactivity, via Spark's
+        native session_window aggregate — map-side partial min/max/count/
+        sum per micro-session, ONE exchange on user_id, JVM-side session
+        merge (MergingSessions), no window over raw rows. DuckDB
+        re-derives whole sessions with the gaps-and-islands law (split
+        strictly at diff > gap, matching session_window's inclusive
+        boundary)."""
+        from ddsketchy_spark.spark.sessions import sessionize
+
+        ev = _load(spark, sf, "events")
+        return sessionize(
+            ev, "ts", 21600.0, by=["user_id"],
+            aggs=[_r6(F.sum("value")).alias("value_sum_r6")])
+
+    q["sessionize_events"] = sessionize_events
+
     def mixture_sample_documents(spark, sf):
         """Training-data mixture sampling to per-source token budgets
         (new r4): src0 downsampled (~0.5x), src1 upsampled (~2.3x with
@@ -2492,6 +2510,25 @@ scored AS (
 )
 SELECT key, weight, round(rank, 6) AS rank_r6
 FROM scored ORDER BY rank, key LIMIT 40
+"""
+    o["sessionize_events"] = """
+WITH flagged AS (
+  SELECT user_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 21600000000
+              THEN 1 ELSE 0 END AS new_s
+  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+grp AS (
+  SELECT user_id, ts, value,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                          ROWS UNBOUNDED PRECEDING) AS sid
+  FROM flagged
+)
+SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+       count(*) AS n_events, round(sum(value), 6) AS value_sum_r6
+FROM grp GROUP BY user_id, sid
 """
     o["mixture_sample_documents"] = """
 WITH tot AS (

@@ -21,6 +21,7 @@ from .sampling import (
     weighted_sample_native,
     weighted_sample_state,
 )
+from .sessions import label_sessions, sessionize
 from .session import get_spark
 
 __all__ = [
@@ -56,5 +57,7 @@ __all__ = [
     "kmv_sample_state",
     "weighted_sample_native",
     "weighted_sample_state",
+    "sessionize",
+    "label_sessions",
     "get_spark",
 ]

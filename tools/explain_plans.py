@@ -415,6 +415,22 @@ def main() -> None:
                 r"(MapInArrow|PythonMapInArrow)"],
     )
 
+    # sessionize: map-side PARTIAL session aggregation before the single
+    # user_id exchange, JVM-side MergingSessions — never a window over
+    # raw event rows, zero Python
+    from ddsketchy_spark.spark.sessions import sessionize
+
+    sess = sessionize(events, "ts", 21600.0, by=["user_id"],
+                      aggs=[F.sum("value").alias("vsum")])
+    results["sessionize_agg"] = audit(
+        "sessionize_agg", sess,
+        want=[r"partial_min", r"MergingSessions",
+              r"hashpartitioning\(user_id",
+              r"ReadSchema: struct<ts:timestamp"],
+        reject=[r"Window\b", r"BatchEvalPython", r"ArrowEvalPython",
+                r"FlatMapGroupsInPandas", r"(MapInArrow|PythonMapInArrow)"],
+    )
+
     # corpus split: a pure whole-stage-codegen projection — the md5
     # uniform + cumulative-weight CASE chain adds no exchange, no join,
     # no window, no Python, and the scan stays pruned to the used columns
