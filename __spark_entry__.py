@@ -605,6 +605,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["sessionize_events"] = sessionize_events
 
+    def token_pairs_documents(spark, sf):
+        """Adjacent-pair frequencies (new r5, pipeline/text.py
+        array_pair_counts): the BPE merge-candidate statistic — top-25
+        adjacent word pairs, built as codegen zip-slices (no HOF lambda),
+        exploded, counted with a map-side combine (shuffle = distinct
+        pairs only). The same operator runs on the input_hint token
+        table's array<int32> (brute-force parity in test_token_pairs);
+        this oracle twin runs it on word arrays DuckDB can re-derive."""
+        from ddsketchy_spark.pipeline.text import array_pair_counts
+
+        docs = _load(spark, sf, "documents")
+        return array_pair_counts(
+            docs.where(F.col("text").isNotNull())
+                .select(F.split("text", " ").alias("w")),
+            "w", top_k=25)
+
+    q["token_pairs_documents"] = token_pairs_documents
+
     def mixture_sample_documents(spark, sf):
         """Training-data mixture sampling to per-source token budgets
         (new r4): src0 downsampled (~0.5x), src1 upsampled (~2.3x with
@@ -2529,6 +2547,17 @@ grp AS (
 SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
        count(*) AS n_events, round(sum(value), 6) AS value_sum_r6
 FROM grp GROUP BY user_id, sid
+"""
+    o["token_pairs_documents"] = """
+WITH toks AS (
+  SELECT string_split(text, ' ') AS l FROM documents WHERE text IS NOT NULL
+),
+pairs AS (
+  SELECT unnest(l[1:len(l)-1]) AS a, unnest(l[2:len(l)]) AS b
+  FROM toks WHERE len(l) >= 2
+)
+SELECT a, b, count(*) AS cnt FROM pairs GROUP BY a, b
+ORDER BY cnt DESC, a, b LIMIT 25
 """
     o["mixture_sample_documents"] = """
 WITH tot AS (

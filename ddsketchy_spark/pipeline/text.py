@@ -486,6 +486,39 @@ def ngram_counts(
     return out
 
 
+def array_pair_counts(
+    df: DataFrame,
+    arr_col: str,
+    top_k: int | None = None,
+) -> DataFrame:
+    """Adjacent-pair frequencies over an array column — (a, b, cnt), the
+    BPE merge-candidate statistic (Sennrich et al. 2016: the next merge is
+    the corpus's most frequent adjacent symbol pair) computed over the
+    input_hint token table's ``tokens: array<int32>``, or over word arrays
+    for the DuckDB-oracled twin (``token_pairs_documents``).
+
+    All native: pairs are built inside codegen — ``arrays_zip`` of the two
+    shifted slices, so no per-element HOF lambda — then exploded and
+    counted with a map-side-combining hash aggregate. Shuffle volume is
+    O(distinct pairs) (Zipf-concentrated, never rows x length); ``top_k``
+    adds a deterministic (cnt desc, a, b) TakeOrdered, no global sort.
+    NULL arrays and arrays shorter than 2 contribute nothing. Element
+    type is generic (int tokens and strings both work; NULL elements
+    inside an array count like any other value)."""
+    a = F.col(arr_col)
+    n = F.size(a)
+    pairs = F.when(n >= 2, F.arrays_zip(
+        F.slice(a, 1, n - 1).alias("a"),
+        F.slice(a, 2, n - 1).alias("b")))
+    out = (df.where(a.isNotNull()).where(n >= 2)
+           .select(F.explode(pairs).alias("p"))
+           .select(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+           .groupBy("a", "b").agg(F.count(F.lit(1)).alias("cnt")))
+    if top_k is not None:
+        out = out.orderBy(F.desc("cnt"), F.asc("a"), F.asc("b")).limit(top_k)
+    return out
+
+
 # (placeholder, pattern) — ordered: emails first (an address would
 # otherwise have its digit runs partially eaten by the phone pattern).
 # Patterns stay in the common Java-regex/RE2 subset (no backreferences, no

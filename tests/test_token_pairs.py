@@ -1,0 +1,77 @@
+"""array_pair_counts: the BPE merge-candidate statistic — brute-force
+parity on the input_hint token table, edge cases, string arrays."""
+
+import numpy as np
+import pyarrow.dataset as ds
+import pytest
+
+from pyspark.sql import functions as F
+
+
+def _brute_top_pairs(path, k):
+    tbl = ds.dataset(path).to_table(columns=["tokens"])
+    counts = {}
+    for chunk in tbl.column("tokens").chunks:
+        flat = chunk.flatten().to_numpy(zero_copy_only=False).astype(np.int64)
+        offs = chunk.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        offs = offs - offs[0]
+        code = flat[:-1] * (1 << 32) + flat[1:]
+        # drop the cross-document seams (positions offs[i]-1 for i >= 1)
+        seams = offs[1:-1] - 1
+        mask = np.ones(len(code), dtype=bool)
+        mask[seams[(seams >= 0) & (seams < len(code))]] = False
+        vals, cnts = np.unique(code[mask], return_counts=True)
+        for v, c in zip(vals, cnts):
+            counts[int(v)] = counts.get(int(v), 0) + int(c)
+    rows = [((v >> 32), v & 0xFFFFFFFF, c) for v, c in counts.items()]
+    rows.sort(key=lambda r: (-r[2], r[0], r[1]))
+    return rows[:k]
+
+
+def test_token_pairs_match_brute_force(spark, token_table_path):
+    from ddsketchy_spark.data.synth import read_tokens
+    from ddsketchy_spark.pipeline.text import array_pair_counts
+
+    df = read_tokens(spark, token_table_path)
+    got = [(r["a"], r["b"], r["cnt"]) for r in
+           array_pair_counts(df, "tokens", top_k=100).collect()]
+    want = _brute_top_pairs(token_table_path, 100)
+    assert got == want
+    assert got[0][2] >= got[-1][2] > 0
+
+
+def test_token_pairs_edges(spark):
+    from ddsketchy_spark.pipeline.text import array_pair_counts
+
+    df = spark.createDataFrame(
+        [([1, 2, 1, 2],), ([2, 1],), ([7],), ([],), (None,)],
+        "tokens array<int>")
+    got = {(r["a"], r["b"]): r["cnt"]
+           for r in array_pair_counts(df, "tokens").collect()}
+    assert got == {(1, 2): 2, (2, 1): 2}
+
+
+def test_token_pairs_null_elements_and_strings(spark):
+    from ddsketchy_spark.pipeline.text import array_pair_counts
+
+    df = spark.createDataFrame(
+        [(["x", None, "x", "y"],), (["x", "y"],)], "tokens array<string>")
+    got = {(r["a"], r["b"]): r["cnt"]
+           for r in array_pair_counts(df, "tokens").collect()}
+    assert got == {("x", None): 1, (None, "x"): 1, ("x", "y"): 2}
+
+
+def test_token_pairs_equals_word_bigrams(spark, sf001_dir):
+    """On word arrays the pair law must agree with ngram_counts(n=2) —
+    the two kernels (zip-slice pairs vs transform-join grams) can never
+    diverge on shared input."""
+    from ddsketchy_spark.pipeline.text import array_pair_counts, ngram_counts
+
+    docs = spark.read.parquet(f"{sf001_dir}/documents.parquet")
+    pairs = array_pair_counts(
+        docs.where(F.col("text").isNotNull())
+            .select(F.split("text", " ").alias("w")), "w")
+    via_pairs = {(r["a"] + " " + r["b"]): r["cnt"]
+                 for r in pairs.collect() if r["a"] is not None}
+    via_grams = {r["ngram"]: r["cnt"] for r in ngram_counts(docs, n=2).collect()}
+    assert via_pairs == via_grams

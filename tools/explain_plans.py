@@ -415,6 +415,23 @@ def main() -> None:
                 r"(MapInArrow|PythonMapInArrow)"],
     )
 
+    # token pairs: explode stays pipeline-local (Generate inside codegen),
+    # the only exchange carries the PARTIALLY-combined distinct-pair
+    # counts, and the scan prunes to the one used column
+    from ddsketchy_spark.pipeline.text import array_pair_counts
+
+    tp = array_pair_counts(
+        docs.where(F.col("text").isNotNull())
+            .select(F.split("text", " ").alias("w")), "w", top_k=25)
+    results["token_pair_counts"] = audit(
+        "token_pair_counts", tp,
+        want=[r"Arguments: explode\(", r"partial_count",
+              r"TakeOrderedAndProject",
+              r"ReadSchema: struct<text:string>"],
+        reject=[r"Window\b", r"Join", r"BatchEvalPython", r"ArrowEvalPython",
+                r"FlatMapGroupsInPandas", r"(MapInArrow|PythonMapInArrow)"],
+    )
+
     # sessionize: map-side PARTIAL session aggregation before the single
     # user_id exchange, JVM-side MergingSessions — never a window over
     # raw event rows, zero Python
