@@ -10,7 +10,9 @@ new crawl lands:
     clean (redact -> [C4 line clean] -> quality) ->
     dedup against the persistent exact index -> against the MinHash
     index -> [decontaminate against the benchmark Bloom index] ->
-    [per-domain quality cut] -> [token-budget mixture] ->
+    [per-domain quality cut] -> [weighted eval picks held OUT of
+    training but INTO the dedup indexes, so future crawls cannot leak
+    near-copies of eval docs] -> [token-budget mixture] ->
     [leakage-safe split] -> pack into training sequences ->
     training shards for this crawl ->
     append survivors to both indexes + fold the crawl into the rollup ->
@@ -22,6 +24,7 @@ State layout under ``workdir`` (any Hadoop-addressable URI):
     minhash_idx/  write_minhash_index artifact (grows by append)
     rollup/       update_rollup snapshots (one version per crawl)
     shards/crawl=<v>/  this crawl's training shards + manifest
+    eval_picks/crawl=<v>/  held-out eval docs (when eval_picks_k is set)
 
 The FIRST crawl bootstraps: batch within-crawl dedup (``dedup_exact`` +
 ``dedup_near_text`` — the same laws the index probes replay
@@ -66,6 +69,8 @@ def incremental_crawl_update(
     benchmark_index: str | None = None,
     decontam_max_seen: int = 0,
     domain_cut_kw: dict | None = None,
+    eval_picks_k: int | None = None,
+    eval_picks_seed: int = 0,
     mix_budgets: dict | None = None,
     mix_kw: dict | None = None,
     splits: dict | None = None,
@@ -96,8 +101,10 @@ def incremental_crawl_update(
     oracle). Optional stages activate when their argument is given:
     ``benchmark_index`` (a ``write_ngram_bloom_index`` path),
     ``domain_cut_kw`` (needs ``frac``; ``rank_col`` defaults to
-    ``token_col``, ``by`` to ``source_col``), ``mix_budgets``,
-    ``splits`` (e.g. ``{"train": 0.95, "val": 0.05}``)."""
+    ``token_col``, ``by`` to ``source_col``), ``eval_picks_k``
+    (weighted holdout of k docs: out of the shards, INTO the dedup
+    indexes — see stage 5b), ``mix_budgets``, ``splits`` (e.g.
+    ``{"train": 0.95, "val": 0.05}``)."""
     from ..spark.ddsketch_agg import DDSketchAggregator
     from ..spark.rollup import latest_version, rollup_drift, update_rollup
     from .compose import clean_corpus
@@ -200,6 +207,27 @@ def incremental_crawl_update(
         cur = _persist(take_top_frac_by_group(cur, **kw))
         report["n_after_domain_cut"] = cur.count()
 
+    # 5b. weighted eval picks: hold out k docs (inclusion probability ~
+    # token mass, Efraimidis-Spirakis — deterministic in (id, seed), so a
+    # re-run picks the identical holdout). Picked docs never reach
+    # mixture/split/shards but DO enter the dedup indexes below, so later
+    # crawls cannot train on near-copies of eval documents.
+    eval_df = None
+    if eval_picks_k is not None:
+        from ..spark.sampling import weighted_sample_native
+
+        picks = weighted_sample_native(
+            cur, id_col, token_col, k=eval_picks_k,
+            seed=eval_picks_seed).select("key")
+        eval_df = _persist(cur.join(
+            F.broadcast(picks),
+            cur[id_col].cast("string") == F.col("key")).drop("key"))
+        cur = _persist(cur.join(
+            F.broadcast(picks),
+            cur[id_col].cast("string") == F.col("key"), "left_anti"))
+        report["n_eval_picks"] = eval_df.count()
+        report["n_after_eval_picks"] = cur.count()
+
     # 6. token-budget mixture to the target composition
     if mix_budgets is not None:
         cur = _persist(sample_to_token_budget(
@@ -235,6 +263,11 @@ def incremental_crawl_update(
     # a crash between the two leaves the indexes ahead of the shards,
     # which re-running the crawl heals (all-duplicate increment = no-op)
     surv = kept.drop("split")
+    if eval_df is not None:
+        # eval picks join the indexes (leakage fence for future crawls)
+        # even though they never reach the shards; allowMissingColumns
+        # covers mixture-added columns (n_copies) the picks predate
+        surv = surv.unionByName(eval_df, allowMissingColumns=True)
     if have_exact:
         append_to_exact_index(surv, exact_path, text_col=text_col)
     else:
@@ -266,6 +299,12 @@ def incremental_crawl_update(
     report["shards"] = {k: manifest[k] for k in
                         ("n_shards", "n_rows", "mode") if k in manifest}
     report["shards_path"] = f"{root}/shards/crawl={version}"
+
+    # 12. persist this crawl's eval picks next to its shards
+    if eval_df is not None:
+        eval_path = f"{root}/eval_picks/crawl={version}"
+        eval_df.write.mode("overwrite").parquet(eval_path)
+        report["eval_picks_path"] = eval_path
 
     for frame in persisted:
         frame.unpersist()

@@ -110,3 +110,49 @@ def test_incremental_crawl_two_rounds(spark, tmp_path):
     assert rep3["n_after_exact"] == 0
     assert rep3["n_kept"] == 0
     assert rep3["rollup_version"] == 2
+
+
+def test_eval_picks_held_out_and_fenced(spark, tmp_path):
+    """eval_picks_k holds a weighted sample OUT of the shards but INTO
+    the dedup indexes: re-crawled copies of eval docs must drop, the
+    picks are deterministic across reruns, and no pick reaches a shard."""
+    from ddsketchy_spark.pipeline.recipes import incremental_crawl_update
+    from ddsketchy_spark.pipeline.shards import read_training_shards
+
+    rows = [(i, _doc(i, "ev"), "srcA" if i % 2 else "srcB", 64 + i)
+            for i in range(30)]
+    c1 = spark.createDataFrame(rows, SCHEMA)
+    work = str(tmp_path / "evalwork")
+    rep1 = incremental_crawl_update(
+        c1, work, quality_kw=QKW, redact=False, num_perm=64, bands=16,
+        eval_picks_k=5, seq_len=128, n_shards=2)
+    assert rep1["n_eval_picks"] == 5
+    assert rep1["n_after_eval_picks"] == 25
+    assert rep1["n_kept"] == 25
+
+    picks = spark.read.parquet(rep1["eval_picks_path"])
+    pick_ids = sorted(r["doc_id"] for r in picks.select("doc_id").collect())
+    assert len(pick_ids) == 5
+    shard_df, _m = read_training_shards(spark, rep1["shards_path"])
+    shard_ids = {r["doc_id"] for r in shard_df.select("doc_id").collect()}
+    assert not set(pick_ids) & shard_ids
+    assert len(shard_ids) == 25
+
+    # deterministic: a fresh workdir picks the identical holdout
+    rep1b = incremental_crawl_update(
+        c1, str(tmp_path / "evalwork_b"), quality_kw=QKW, redact=False,
+        num_perm=64, bands=16, eval_picks_k=5, seq_len=128, n_shards=2)
+    picks_b = spark.read.parquet(rep1b["eval_picks_path"])
+    assert sorted(r["doc_id"] for r in picks_b.select("doc_id").collect()) \
+        == pick_ids
+
+    # leakage fence: byte-copies of the eval docs under new ids drop at
+    # the exact index even though the originals never trained
+    texts = {r[0]: r[1] for r in rows}
+    c2 = spark.createDataFrame(
+        [(9000 + i, texts[i], "srcA", 70) for i in pick_ids], SCHEMA)
+    rep2 = incremental_crawl_update(
+        c2, work, quality_kw=QKW, redact=False, num_perm=64, bands=16,
+        seq_len=128, n_shards=2)
+    assert rep2["n_after_exact"] == 0
+    assert rep2["n_kept"] == 0
