@@ -862,6 +862,63 @@ def append_to_exact_index(df: DataFrame, path: str,
     return meta
 
 
+def compact_exact_index(spark: SparkSession, path: str,
+                        n_files: int | None = None) -> dict:
+    """Rewrite the digest table as ONE globally range-sorted generation.
+
+    Every ``append_to_exact_index`` adds its own range-partitioned file
+    set: correct (probes skip per generation), but after N crawls the
+    table holds N overlapping range layouts — file count grows without
+    bound (the small-files problem) and a probe's min-max skipping must
+    touch one file per generation per digest interval instead of one
+    file total. Compaction restores the single-write layout:
+    read -> global repartitionByRange -> sorted rewrite into a temp dir,
+    row-count verified, then a rename swap (``digests`` ->
+    ``digests_precompact`` -> temp in, backup deleted last). Crash
+    between the two renames leaves ``digests_precompact`` holding the
+    data; the next call self-heals by restoring it before compacting.
+    Single-writer maintenance window, like append (object-store renames
+    are copy+delete, not atomic). Sidecar gains a ``compactions``
+    counter; ``n_docs`` and every row are preserved exactly (duplicate
+    fingerprints, if the caller ever appended any, are kept — compaction
+    reorganizes, never dedupes)."""
+    from . import fsio
+
+    root = path.rstrip("/")
+    cur, old, tmp = (root + "/digests", root + "/digests_precompact",
+                     root + "/digests_compact_tmp")
+    meta = read_json_sidecar(
+        spark, path, _EXACT_SIDECAR,
+        "not a write_exact_index artifact — nothing to compact")
+    # self-heal a crash between the swap renames
+    if not fsio.hadoop_exists(spark, cur) and fsio.hadoop_exists(spark, old):
+        if not fsio.hadoop_rename(spark, old, cur):
+            raise IOError(f"could not restore {old} -> {cur}")
+    digests = spark.read.parquet(cur)
+    n = digests.count()
+    part = (digests.repartitionByRange(n_files, "fingerprint") if n_files
+            else digests.repartitionByRange("fingerprint"))
+    fsio.hadoop_delete(spark, tmp)  # stale temp from a crashed run
+    (part.sortWithinPartitions("fingerprint")
+     .write.mode("overwrite").parquet(tmp))
+    n_tmp = spark.read.parquet(tmp).count()
+    if n_tmp != n:
+        fsio.hadoop_delete(spark, tmp)
+        raise RuntimeError(
+            f"compaction row-count mismatch ({n_tmp} != {n}) — "
+            f"temp discarded, index untouched")
+    fsio.hadoop_delete(spark, old)
+    if not fsio.hadoop_rename(spark, cur, old):
+        raise IOError(f"could not stage {cur} -> {old}")
+    if not fsio.hadoop_rename(spark, tmp, cur):
+        fsio.hadoop_rename(spark, old, cur)  # roll back
+        raise IOError(f"could not commit {tmp} -> {cur} (rolled back)")
+    fsio.hadoop_delete(spark, old)
+    meta["compactions"] = int(meta.get("compactions", 0)) + 1
+    write_json_sidecar(spark, path, _EXACT_SIDECAR, meta)
+    return meta
+
+
 def append_to_minhash_index(df: DataFrame, path: str,
                             text_col: str | None = None) -> dict:
     """Fold new documents (typically ``dedup_against_index`` survivors)

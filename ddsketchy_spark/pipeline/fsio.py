@@ -109,6 +109,25 @@ def hadoop_exists(spark, path: str) -> bool:
     return bool(fs.exists(hpath))
 
 
+def hadoop_rename(spark, src: str, dst: str) -> bool:
+    """Driver-side rename through the JVM Hadoop ``FileSystem`` — the
+    commit primitive for directory swaps (atomic on HDFS; on object
+    stores a copy+delete the maintenance-window contract covers).
+    Returns the FileSystem's own success flag."""
+    spath, fs = _hadoop_path_fs(spark, src)
+    dpath = spark._jvm.org.apache.hadoop.fs.Path(dst)
+    return bool(fs.rename(spath, dpath))
+
+
+def hadoop_delete(spark, path: str, recursive: bool = True) -> bool:
+    """Driver-side recursive delete through the JVM Hadoop FileSystem.
+    Returns False when the path did not exist."""
+    hpath, fs = _hadoop_path_fs(spark, path)
+    if not fs.exists(hpath):
+        return False
+    return bool(fs.delete(hpath, recursive))
+
+
 def fs_stat(path: str) -> tuple[int, int]:
     """``(size_bytes, mtime_ns)`` of ``path`` via ``pyarrow.fs`` —
     scheme-portable replacement for ``os.stat`` in executor code (file

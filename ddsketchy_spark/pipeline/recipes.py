@@ -81,6 +81,7 @@ def incremental_crawl_update(
     shard_mode: str = "hash",
     rollup_quantiles: tuple = (0.5, 0.99),
     alpha: float = 0.01,
+    compact_every: int | None = None,
 ) -> dict:
     """Process one crawl increment end to end (module docstring has the
     stage order); returns a report dict with per-stage surviving counts,
@@ -104,7 +105,9 @@ def incremental_crawl_update(
     ``token_col``, ``by`` to ``source_col``), ``eval_picks_k``
     (weighted holdout of k docs: out of the shards, INTO the dedup
     indexes — see stage 5b), ``mix_budgets``, ``splits`` (e.g.
-    ``{"train": 0.95, "val": 0.05}``)."""
+    ``{"train": 0.95, "val": 0.05}``), ``compact_every`` (every Nth
+    crawl rewrites the exact index's accumulated append generations back
+    to one range-sorted layout — stage 10b)."""
     from ..spark.ddsketch_agg import DDSketchAggregator
     from ..spark.rollup import latest_version, rollup_drift, update_rollup
     from .compose import clean_corpus
@@ -290,6 +293,16 @@ def incremental_crawl_update(
         drift = rollup_drift(spark, rollup_root, agg, [source_col])
         report["drift"] = [r.asDict() for r in
                            drift.orderBy(source_col).collect()]
+
+    # 10b. periodic exact-index compaction: every append adds a file
+    # generation; every compact_every-th crawl rewrites the digest table
+    # back to ONE globally range-sorted layout (file count bounded, probe
+    # min-max skipping back to one file per digest interval)
+    if compact_every and version > 0 and version % compact_every == 0:
+        from .dedup_index import compact_exact_index
+
+        compact_exact_index(spark, exact_path)
+        report["exact_index_compacted"] = True
 
     # 11. this crawl's training shards (+ split column for the loader)
     manifest = write_training_shards(

@@ -360,3 +360,60 @@ def test_streaming_crawl_loop_against_index(spark, corpus, tmp_path):
     assert read_minhash_index(spark, path)[2]["n_docs"] == 5 + 2
     # exactly-once across the restart: crawl 1 was not reprocessed
     assert sorted(processed_ids) == [201, 202, 301, 302]
+
+
+def test_exact_index_compaction(spark, tmp_path):
+    """compact_exact_index restores the single-generation range-sorted
+    layout: fewer files, identical digest rows, identical probe results,
+    and the crash-between-renames state self-heals on the next call."""
+    import os
+
+    from ddsketchy_spark.pipeline import fsio
+    from ddsketchy_spark.pipeline.dedup_index import (
+        append_to_exact_index,
+        compact_exact_index,
+        exact_matches_against_index,
+        read_exact_index,
+        write_exact_index,
+    )
+
+    path = str(tmp_path / "cpidx")
+    mk = lambda lo, hi: spark.createDataFrame(
+        [(i, f"compaction corpus document number {i}") for i in range(lo, hi)],
+        "doc_id long, text string")
+    write_exact_index(mk(0, 20), path, n_files=4)
+    for g in range(3):
+        append_to_exact_index(mk(20 + 20 * g, 40 + 20 * g), path)
+    assert read_exact_index(spark, path)[1]["n_docs"] == 80
+
+    def digest_rows():
+        return sorted((r["doc_id"], r["fingerprint"]) for r in
+                      spark.read.parquet(f"{path}/digests").collect())
+
+    def n_files():
+        return sum(f.startswith("part-")
+                   for f in os.listdir(f"{path}/digests"))
+
+    inc = mk(10, 12).union(mk(55, 57)).withColumn(
+        "doc_id", F.col("doc_id") + 1000)
+    before_rows = digest_rows()
+    before_probe = sorted(map(tuple, exact_matches_against_index(
+        inc, path).collect()))
+    assert len(before_probe) == 4 and n_files() > 4
+
+    meta = compact_exact_index(spark, path, n_files=4)
+    assert meta["compactions"] == 1 and meta["n_docs"] == 80
+    assert n_files() <= 4
+    assert digest_rows() == before_rows
+    assert sorted(map(tuple, exact_matches_against_index(
+        inc, path).collect())) == before_probe
+
+    # crash between the two swap renames: digests is gone, the backup
+    # holds the data — the next compaction restores it first
+    assert fsio.hadoop_rename(spark, f"{path}/digests",
+                              f"{path}/digests_precompact")
+    meta2 = compact_exact_index(spark, path, n_files=4)
+    assert meta2["compactions"] == 2
+    assert digest_rows() == before_rows
+    assert sorted(map(tuple, exact_matches_against_index(
+        inc, path).collect())) == before_probe

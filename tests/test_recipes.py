@@ -83,7 +83,8 @@ def test_incremental_crawl_two_rounds(spark, tmp_path):
     rep2 = incremental_crawl_update(
         c2, work, quality_kw=QKW, redact=False, num_perm=64, bands=16,
         near_threshold=0.6, benchmark_index=bench_idx,
-        splits={"train": 0.75, "test": 0.25}, seq_len=128, n_shards=2)
+        splits={"train": 0.75, "test": 0.25}, seq_len=128, n_shards=2,
+        compact_every=1)
     assert rep2["n_input"] == 27
     assert rep2["n_after_exact"] == 17         # 10 corpus byte-copies drop
     assert rep2["n_after_near"] == 12          # 5 near-dups drop vs index
@@ -96,6 +97,9 @@ def test_incremental_crawl_two_rounds(spark, tmp_path):
                for d in drift.values())
     # crawl-2 shards live in their own generation dir
     assert rep2["shards_path"].endswith("crawl=1")
+    # crawl 2 compacted the exact index (compact_every=1, version 1) —
+    # crawl 3's all-duplicate drop below proves no digest was lost
+    assert rep2["exact_index_compacted"] is True
     assert read_training_shards(spark, rep2["shards_path"])[0].count() == 10
 
     # crawl 3 = crawl 2's fresh docs re-crawled under NEW ids (the same
