@@ -180,6 +180,7 @@ def minhash_pairs_against_index(
     broadcast_increment="auto",
     auto_broadcast_rows: int = 2_000_000,
     max_bucket_size: int | None = None,
+    pushdown_buckets: int = 10_000,
 ) -> DataFrame:
     """Cross near-duplicate candidate pairs between an increment and an
     indexed corpus: (id_inc, id_corpus, est_jaccard).
@@ -191,11 +192,17 @@ def minhash_pairs_against_index(
     bit-identical to the batch engine's value for the same pair (shared
     signature/banding/scoring code, pinned by the parity test).
 
-    ``broadcast_increment``: True / False / "auto" (bounded
-    ``limit(n+1).count()`` probe against ``auto_broadcast_rows``). When
-    the increment is broadcast-sized, the corpus bands scan never
-    shuffles: distinct increment buckets broadcast onto it, candidate
-    corpus rows stream out of the scan. ``max_bucket_size`` caps
+    Probe plan, small to large (the exact index's design, r5): when the
+    increment touches at most ``pushdown_buckets`` distinct buckets they
+    are collected (bounded: int64s) into an ``IN`` predicate on the
+    bands scan — the index layout sorts by (band, bucket), so parquet
+    min-max stats SKIP non-matching row groups of a 100-TB bands table
+    instead of streaming it. Above that, ``broadcast_increment``: True /
+    False / "auto" (bounded ``limit(n+1).count()`` probe against
+    ``auto_broadcast_rows``). When the increment is broadcast-sized, the
+    corpus bands scan never shuffles: distinct increment buckets
+    broadcast onto it, candidate corpus rows stream out of the scan.
+    ``max_bucket_size`` caps
     per-(band, bucket) membership counted over candidate corpus rows and
     increment rows separately (an approximation of the batch engine's
     union-wide cap — buckets the increment never touches cost nothing
@@ -227,10 +234,22 @@ def minhash_pairs_against_index(
         small = bool(broadcast_increment)
     maybe_bc = F.broadcast if small else (lambda d: d)
 
-    # corpus rows sharing a bucket with the increment — broadcast semi
-    # join: the (possibly 100-TB-corpus-sized) bands table only streams
+    # corpus rows sharing a bucket with the increment. Small increments
+    # (<= pushdown_buckets distinct buckets, bounded collect of int64s)
+    # push a bucket IN predicate onto the bands SCAN — the index layout
+    # sorts by (band, bucket), so parquet min-max stats SKIP the
+    # non-matching row groups of a 100-TB bands table (the exact index's
+    # pushed-IN design, same contract). Larger increments fall back to
+    # the broadcast semi join, where the bands table still only STREAMS.
     touched = inc_banded.select("band", "bucket").dropDuplicates()
-    cand_corpus = bands_df.join(maybe_bc(touched), ["band", "bucket"])
+    pushed = None
+    if pushdown_buckets:
+        sample = touched.limit(pushdown_buckets + 1).collect()
+        if len(sample) <= pushdown_buckets:
+            pushed = sorted({r["bucket"] for r in sample})
+    scan = (bands_df.where(F.col("bucket").isin(pushed))
+            if pushed is not None else bands_df)
+    cand_corpus = scan.join(maybe_bc(touched), ["band", "bucket"])
     if max_bucket_size is not None:
         for side in ("corpus", "inc"):
             frame = cand_corpus if side == "corpus" else inc_banded
@@ -273,6 +292,7 @@ def dedup_against_index(
     broadcast_increment="auto",
     max_bucket_size: int | None = None,
     checkpoint_dir: str | None = None,
+    pushdown_buckets: int = 10_000,
 ) -> DataFrame:
     """Incremental near-dedup of ``inc_df`` against an indexed corpus.
 
@@ -301,7 +321,8 @@ def dedup_against_index(
     pairs = minhash_pairs_against_index(
         inc_df, (bands_df, sigs_df, meta), text_col=text_col,
         broadcast_increment=broadcast_increment,
-        max_bucket_size=max_bucket_size)
+        max_bucket_size=max_bucket_size,
+        pushdown_buckets=pushdown_buckets)
     hits = (pairs.where(F.col("est_jaccard") >= threshold)
             .groupBy("id_inc").agg(F.min("id_corpus").alias("corpus_match")))
     marked = inc_df.join(
@@ -635,6 +656,7 @@ def cosine_pairs_against_index(
     broadcast_increment="auto",
     auto_broadcast_rows: int = 2_000_000,
     max_bucket_size: int | None = None,
+    pushdown_buckets: int = 10_000,
 ) -> DataFrame:
     """Cross semantic near-duplicate candidate pairs between an increment
     and an indexed corpus: (id_inc, id_corpus, cos).
@@ -646,12 +668,17 @@ def cosine_pairs_against_index(
     is the same einsum over the same normalized float64 vectors — the
     cross-parity test pins bit-identity.
 
-    Scale shape (what matters at 100 TB): the corpus bands table only
-    STREAMS — the increment's distinct (blk, key) set broadcasts onto it
-    and candidate corpus rows flow out of the scan; normalized corpus
-    vectors are joined back by candidate id only (AQE broadcasts when the
-    candidate set is small). ``broadcast_increment``: True / False /
-    "auto" (bounded ``limit(n+1).count()`` probe). ``max_bucket_size``
+    Scale shape (what matters at 100 TB): small increments (at most
+    ``pushdown_buckets`` distinct keys, bounded int64 collect) push a
+    key ``IN`` predicate onto the bands SCAN — the (blk, key)-sorted
+    layout lets parquet min-max stats skip non-matching row groups
+    (the exact index's pushed-IN design, r5). Otherwise the corpus
+    bands table only STREAMS — the increment's distinct (blk, key) set
+    broadcasts onto it and candidate corpus rows flow out of the scan;
+    normalized corpus vectors are joined back by candidate id only (AQE
+    broadcasts when the candidate set is small). ``broadcast_increment``:
+    True / False / "auto" (bounded ``limit(n+1).count()`` probe).
+    ``max_bucket_size``
     caps per-(blk, key) membership counted over candidate corpus rows
     and increment rows separately. A doc id present on BOTH sides never
     pairs with itself."""
@@ -685,7 +712,14 @@ def cosine_pairs_against_index(
     maybe_bc = F.broadcast if small else (lambda d: d)
 
     touched = inc_banded.select("blk", "key").dropDuplicates()
-    cand_corpus = bands_df.join(maybe_bc(touched), ["blk", "key"])
+    pushed = None
+    if pushdown_buckets:
+        sample = touched.limit(pushdown_buckets + 1).collect()
+        if len(sample) <= pushdown_buckets:
+            pushed = sorted({r["key"] for r in sample})
+    scan = (bands_df.where(F.col("key").isin(pushed))
+            if pushed is not None else bands_df)
+    cand_corpus = scan.join(maybe_bc(touched), ["blk", "key"])
     if max_bucket_size is not None:
         for side in ("corpus", "inc"):
             frame = cand_corpus if side == "corpus" else inc_banded
@@ -729,6 +763,7 @@ def dedup_against_cosine_index(
     max_bucket_size: int | None = None,
     checkpoint_dir: str | None = None,
     within_k: int = 32,
+    pushdown_buckets: int = 10_000,
 ) -> DataFrame:
     """Incremental SEMANTIC dedup of ``inc_df`` against an indexed corpus
     — the embedding twin of ``dedup_against_index``, same row contract:
@@ -756,7 +791,8 @@ def dedup_against_cosine_index(
     pairs = cosine_pairs_against_index(
         inc_df, (bands_df, vecs_df, meta), vec_col=vcol,
         broadcast_increment=broadcast_increment,
-        max_bucket_size=max_bucket_size)
+        max_bucket_size=max_bucket_size,
+        pushdown_buckets=pushdown_buckets)
     hits = (pairs.where(~F.isnan(F.col("cos"))
                         & (F.col("cos") >= threshold))
             .groupBy("id_inc").agg(F.min("id_corpus").alias("corpus_match")))

@@ -334,3 +334,32 @@ def test_fully_duplicate_increment_all_dropped(spark, corpus, index_path):
     assert all(r["keep"] is False for r in rows)
     assert all(r["corpus_match"] == r["vec_id"] - 100 for r in rows)
     assert all(r["component"] is None for r in rows)
+
+
+def test_cosine_probe_pushdown_parity(spark, corpus, index_path):
+    """The pushed-IN bands-scan plan (r5) returns exactly the fallback
+    plans' pairs with bit-identical cosines, and the key IN predicate
+    reaches the parquet scan."""
+    import io
+    from contextlib import redirect_stdout
+
+    from ddsketchy_spark.pipeline.dedup_index import (
+        cosine_pairs_against_index,
+    )
+
+    inc = _increment(spark)
+    runs = {}
+    for name, kw in {
+        "pushed": dict(pushdown_buckets=10_000),
+        "broadcast": dict(pushdown_buckets=0, broadcast_increment=True),
+        "shuffle": dict(pushdown_buckets=0, broadcast_increment=False),
+    }.items():
+        pairs = cosine_pairs_against_index(inc, index_path, **kw)
+        runs[name] = sorted(map(tuple, pairs.collect()))
+        if name == "pushed":
+            buf = io.StringIO()
+            with redirect_stdout(buf):
+                pairs.explain("formatted")
+            assert "PushedFilters: [In(key" in buf.getvalue()
+    assert runs["pushed"] == runs["broadcast"] == runs["shuffle"]
+    assert len(runs["pushed"]) > 0

@@ -417,3 +417,32 @@ def test_exact_index_compaction(spark, tmp_path):
     assert digest_rows() == before_rows
     assert sorted(map(tuple, exact_matches_against_index(
         inc, path).collect())) == before_probe
+
+
+def test_minhash_probe_pushdown_parity(spark, corpus, index_path):
+    """The pushed-IN bands-scan plan returns exactly the fallback plans'
+    pairs (est_jaccard bit-identical), and the IN predicate reaches the
+    parquet scan."""
+    import io
+    from contextlib import redirect_stdout
+
+    from ddsketchy_spark.pipeline.dedup_index import (
+        minhash_pairs_against_index,
+    )
+
+    inc = _increment(spark)
+    runs = {}
+    for name, kw in {
+        "pushed": dict(pushdown_buckets=10_000),
+        "broadcast": dict(pushdown_buckets=0, broadcast_increment=True),
+        "shuffle": dict(pushdown_buckets=0, broadcast_increment=False),
+    }.items():
+        pairs = minhash_pairs_against_index(inc, index_path, **kw)
+        runs[name] = sorted(map(tuple, pairs.collect()))
+        if name == "pushed":
+            buf = io.StringIO()
+            with redirect_stdout(buf):
+                pairs.explain("formatted")
+            assert "PushedFilters: [In(bucket" in buf.getvalue()
+    assert runs["pushed"] == runs["broadcast"] == runs["shuffle"]
+    assert len(runs["pushed"]) > 0

@@ -531,7 +531,11 @@ def main() -> None:
                                             broadcast_increment=True)
         results["dedup_index_probe"] = audit(
             "dedup_index_probe", probe,
-            want=[r"BroadcastHashJoin", r"(MapInArrow|PythonMapInArrow)"],
+            want=[r"BroadcastHashJoin", r"(MapInArrow|PythonMapInArrow)",
+                  # r5: small increments push bucket IN onto the bands
+                  # scan (min-max row-group skipping, like the exact
+                  # index's fingerprint pushdown)
+                  r"PushedFilters: \[In\(bucket"],
             reject=[r"CartesianProduct", r"BroadcastNestedLoopJoin",
                     r"BatchEvalPython", r"ArrowEvalPython",
                     r"FlatMapGroupsInPandas"],
@@ -570,7 +574,8 @@ def main() -> None:
                                             broadcast_increment=True)
         results["cosine_index_probe"] = audit(
             "cosine_index_probe", cprobe,
-            want=[r"BroadcastHashJoin", r"(MapInArrow|PythonMapInArrow)"],
+            want=[r"BroadcastHashJoin", r"(MapInArrow|PythonMapInArrow)",
+                  r"PushedFilters: \[In\(key"],
             reject=[r"CartesianProduct", r"BroadcastNestedLoopJoin",
                     r"BatchEvalPython", r"ArrowEvalPython",
                     r"FlatMapGroupsInPandas"],
