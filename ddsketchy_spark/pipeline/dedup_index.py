@@ -898,6 +898,49 @@ def append_to_exact_index(df: DataFrame, path: str,
     return meta
 
 
+def _compact_table(spark: SparkSession, table_path: str,
+                   order_cols: list, n_files: int | None) -> None:
+    """Crash-safe rewrite of one parquet table as a single globally
+    range-sorted generation (the shared kernel of the three index
+    compactors). read -> global ``repartitionByRange(order_cols)`` ->
+    sorted rewrite into ``<table>_compact_tmp``, row-count verified,
+    then a rename swap (``<table>`` -> ``<table>_precompact`` -> temp
+    in, backup deleted last). Crash between the two renames leaves
+    ``<table>_precompact`` holding the data; the next call self-heals
+    by restoring it before compacting. Single-writer maintenance
+    window, like append (object-store renames are copy+delete, not
+    atomic). Every row is preserved exactly — compaction reorganizes,
+    never dedupes."""
+    from . import fsio
+
+    cur = table_path.rstrip("/")
+    old, tmp = cur + "_precompact", cur + "_compact_tmp"
+    # self-heal a crash between the swap renames
+    if not fsio.hadoop_exists(spark, cur) and fsio.hadoop_exists(spark, old):
+        if not fsio.hadoop_rename(spark, old, cur):
+            raise IOError(f"could not restore {old} -> {cur}")
+    df = spark.read.parquet(cur)
+    n = df.count()
+    part = (df.repartitionByRange(n_files, *order_cols) if n_files
+            else df.repartitionByRange(*order_cols))
+    fsio.hadoop_delete(spark, tmp)  # stale temp from a crashed run
+    (part.sortWithinPartitions(*order_cols)
+     .write.mode("overwrite").parquet(tmp))
+    n_tmp = spark.read.parquet(tmp).count()
+    if n_tmp != n:
+        fsio.hadoop_delete(spark, tmp)
+        raise RuntimeError(
+            f"compaction row-count mismatch ({n_tmp} != {n}) — "
+            f"temp discarded, {cur} untouched")
+    fsio.hadoop_delete(spark, old)
+    if not fsio.hadoop_rename(spark, cur, old):
+        raise IOError(f"could not stage {cur} -> {old}")
+    if not fsio.hadoop_rename(spark, tmp, cur):
+        fsio.hadoop_rename(spark, old, cur)  # roll back
+        raise IOError(f"could not commit {tmp} -> {cur} (rolled back)")
+    fsio.hadoop_delete(spark, old)
+
+
 def compact_exact_index(spark: SparkSession, path: str,
                         n_files: int | None = None) -> dict:
     """Rewrite the digest table as ONE globally range-sorted generation.
@@ -907,51 +950,64 @@ def compact_exact_index(spark: SparkSession, path: str,
     table holds N overlapping range layouts — file count grows without
     bound (the small-files problem) and a probe's min-max skipping must
     touch one file per generation per digest interval instead of one
-    file total. Compaction restores the single-write layout:
-    read -> global repartitionByRange -> sorted rewrite into a temp dir,
-    row-count verified, then a rename swap (``digests`` ->
-    ``digests_precompact`` -> temp in, backup deleted last). Crash
-    between the two renames leaves ``digests_precompact`` holding the
-    data; the next call self-heals by restoring it before compacting.
-    Single-writer maintenance window, like append (object-store renames
-    are copy+delete, not atomic). Sidecar gains a ``compactions``
-    counter; ``n_docs`` and every row are preserved exactly (duplicate
-    fingerprints, if the caller ever appended any, are kept — compaction
-    reorganizes, never dedupes)."""
-    from . import fsio
-
-    root = path.rstrip("/")
-    cur, old, tmp = (root + "/digests", root + "/digests_precompact",
-                     root + "/digests_compact_tmp")
+    file total. Compaction restores the single-write layout via the
+    crash-safe swap in ``_compact_table``. Sidecar gains a
+    ``compactions`` counter; ``n_docs`` and every row are preserved
+    exactly (duplicate fingerprints, if the caller ever appended any,
+    are kept)."""
     meta = read_json_sidecar(
         spark, path, _EXACT_SIDECAR,
         "not a write_exact_index artifact — nothing to compact")
-    # self-heal a crash between the swap renames
-    if not fsio.hadoop_exists(spark, cur) and fsio.hadoop_exists(spark, old):
-        if not fsio.hadoop_rename(spark, old, cur):
-            raise IOError(f"could not restore {old} -> {cur}")
-    digests = spark.read.parquet(cur)
-    n = digests.count()
-    part = (digests.repartitionByRange(n_files, "fingerprint") if n_files
-            else digests.repartitionByRange("fingerprint"))
-    fsio.hadoop_delete(spark, tmp)  # stale temp from a crashed run
-    (part.sortWithinPartitions("fingerprint")
-     .write.mode("overwrite").parquet(tmp))
-    n_tmp = spark.read.parquet(tmp).count()
-    if n_tmp != n:
-        fsio.hadoop_delete(spark, tmp)
-        raise RuntimeError(
-            f"compaction row-count mismatch ({n_tmp} != {n}) — "
-            f"temp discarded, index untouched")
-    fsio.hadoop_delete(spark, old)
-    if not fsio.hadoop_rename(spark, cur, old):
-        raise IOError(f"could not stage {cur} -> {old}")
-    if not fsio.hadoop_rename(spark, tmp, cur):
-        fsio.hadoop_rename(spark, old, cur)  # roll back
-        raise IOError(f"could not commit {tmp} -> {cur} (rolled back)")
-    fsio.hadoop_delete(spark, old)
+    _compact_table(spark, path.rstrip("/") + "/digests",
+                   ["fingerprint"], n_files)
     meta["compactions"] = int(meta.get("compactions", 0)) + 1
     write_json_sidecar(spark, path, _EXACT_SIDECAR, meta)
+    return meta
+
+
+def compact_minhash_index(spark: SparkSession, path: str,
+                          n_files: int | None = None) -> dict:
+    """Compact a MinHash index's ``bands`` and ``sigs`` tables.
+
+    Each ``append_to_minhash_index`` adds one file generation per table;
+    after N crawls a probe's pushed bucket-``IN`` predicate must consult
+    min-max stats in one file per generation per bucket interval, and
+    file counts grow without bound. Compaction rewrites ``bands`` as one
+    globally range-sorted layout on (band, bucket) — restoring
+    single-file-per-bucket-interval row-group skipping for the r5
+    pushdown probe — and ``sigs`` range-sorted on the id column (the
+    candidate join-back key). Each table swaps independently via the
+    crash-safe protocol in ``_compact_table`` (a crash between the two
+    tables leaves the first compacted and the second not — both states
+    are valid indexes). Probe results are unchanged: compaction
+    reorganizes rows, never drops or dedupes them."""
+    meta = read_json_sidecar(
+        spark, path, _SIDECAR,
+        "not a write_minhash_index artifact — nothing to compact")
+    root = path.rstrip("/")
+    _compact_table(spark, root + "/bands", ["band", "bucket"], n_files)
+    _compact_table(spark, root + "/sigs", [meta["id_col"]], n_files)
+    meta["compactions"] = int(meta.get("compactions", 0)) + 1
+    write_json_sidecar(spark, path, _SIDECAR, meta)
+    return meta
+
+
+def compact_cosine_index(spark: SparkSession, path: str,
+                         n_files: int | None = None) -> dict:
+    """Compact a cosine index's ``bands`` and ``vecs`` tables — the
+    semantic twin of ``compact_minhash_index``: ``bands`` rewrites
+    range-sorted on (blk, key) so the pushed key-``IN`` probe skips row
+    groups in one generation instead of N, ``vecs`` range-sorted on the
+    id column. Same crash-safe per-table swap; rows preserved exactly;
+    sidecar ``compactions`` counter incremented."""
+    meta = read_json_sidecar(
+        spark, path, _COS_SIDECAR,
+        "not a write_cosine_index artifact — nothing to compact")
+    root = path.rstrip("/")
+    _compact_table(spark, root + "/bands", ["blk", "key"], n_files)
+    _compact_table(spark, root + "/vecs", [meta["id_col"]], n_files)
+    meta["compactions"] = int(meta.get("compactions", 0)) + 1
+    write_json_sidecar(spark, path, _COS_SIDECAR, meta)
     return meta
 
 

@@ -106,8 +106,8 @@ def incremental_crawl_update(
     (weighted holdout of k docs: out of the shards, INTO the dedup
     indexes — see stage 5b), ``mix_budgets``, ``splits`` (e.g.
     ``{"train": 0.95, "val": 0.05}``), ``compact_every`` (every Nth
-    crawl rewrites the exact index's accumulated append generations back
-    to one range-sorted layout — stage 10b)."""
+    crawl rewrites the exact AND minhash indexes' accumulated append
+    generations back to one range-sorted layout each — stage 10b)."""
     from ..spark.ddsketch_agg import DDSketchAggregator
     from ..spark.rollup import latest_version, rollup_drift, update_rollup
     from .compose import clean_corpus
@@ -294,15 +294,17 @@ def incremental_crawl_update(
         report["drift"] = [r.asDict() for r in
                            drift.orderBy(source_col).collect()]
 
-    # 10b. periodic exact-index compaction: every append adds a file
-    # generation; every compact_every-th crawl rewrites the digest table
-    # back to ONE globally range-sorted layout (file count bounded, probe
-    # min-max skipping back to one file per digest interval)
+    # 10b. periodic index compaction: every append adds a file
+    # generation per table; every compact_every-th crawl rewrites the
+    # digest table and the minhash bands/sigs back to ONE globally
+    # range-sorted layout each (file count bounded, probe min-max
+    # skipping back to one file per key interval)
     if compact_every and version > 0 and version % compact_every == 0:
-        from .dedup_index import compact_exact_index
+        from .dedup_index import compact_exact_index, compact_minhash_index
 
         compact_exact_index(spark, exact_path)
-        report["exact_index_compacted"] = True
+        compact_minhash_index(spark, minhash_path)
+        report["indexes_compacted"] = ["exact", "minhash"]
 
     # 11. this crawl's training shards (+ split column for the loader)
     manifest = write_training_shards(

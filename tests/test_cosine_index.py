@@ -363,3 +363,60 @@ def test_cosine_probe_pushdown_parity(spark, corpus, index_path):
             assert "PushedFilters: [In(key" in buf.getvalue()
     assert runs["pushed"] == runs["broadcast"] == runs["shuffle"]
     assert len(runs["pushed"]) > 0
+
+
+def test_cosine_index_compaction(spark, tmp_path):
+    """compact_cosine_index rewrites bands (range-sorted on (blk, key))
+    and vecs (range-sorted on id) as single generations: fewer files,
+    identical rows, identical probe results, crash self-heal."""
+    import os
+
+    from ddsketchy_spark.pipeline import fsio
+    from ddsketchy_spark.pipeline.dedup_index import (
+        append_to_cosine_index,
+        compact_cosine_index,
+        cosine_pairs_against_index,
+        read_cosine_index,
+        write_cosine_index,
+    )
+
+    path = str(tmp_path / "coscpidx")
+    mk = lambda lo, hi: spark.createDataFrame(
+        [(i, _vec(i)) for i in range(lo, hi)],
+        "vec_id long, embedding array<double>")
+    write_cosine_index(mk(0, 6), path, **KW)
+    for g in range(3):
+        append_to_cosine_index(mk(6 + 6 * g, 12 + 6 * g), path)
+    assert read_cosine_index(spark, path)[2]["n_vecs"] == 24
+
+    def table_rows(name):
+        return sorted(
+            tuple(x if not isinstance(x, list) else tuple(x) for x in r)
+            for r in spark.read.parquet(f"{path}/{name}").collect())
+
+    def n_files(name):
+        return sum(f.startswith("part-")
+                   for f in os.listdir(f"{path}/{name}"))
+
+    inc = spark.createDataFrame(
+        [(1003, _vec(3, scale=2.0)), (1014, _vec(14, scale=0.5))],
+        "vec_id long, embedding array<double>")
+    before = {t: table_rows(t) for t in ("bands", "vecs")}
+    before_probe = sorted(map(tuple, cosine_pairs_against_index(
+        inc, path).collect()))
+    assert len(before_probe) >= 2 and n_files("bands") > 2
+
+    meta = compact_cosine_index(spark, path, n_files=2)
+    assert meta["compactions"] == 1 and meta["n_vecs"] == 24
+    assert n_files("bands") <= 2 and n_files("vecs") <= 2
+    assert {t: table_rows(t) for t in ("bands", "vecs")} == before
+    assert sorted(map(tuple, cosine_pairs_against_index(
+        inc, path).collect())) == before_probe
+
+    assert fsio.hadoop_rename(spark, f"{path}/bands",
+                              f"{path}/bands_precompact")
+    meta2 = compact_cosine_index(spark, path, n_files=2)
+    assert meta2["compactions"] == 2
+    assert {t: table_rows(t) for t in ("bands", "vecs")} == before
+    assert sorted(map(tuple, cosine_pairs_against_index(
+        inc, path).collect())) == before_probe

@@ -446,3 +446,64 @@ def test_minhash_probe_pushdown_parity(spark, corpus, index_path):
             assert "PushedFilters: [In(bucket" in buf.getvalue()
     assert runs["pushed"] == runs["broadcast"] == runs["shuffle"]
     assert len(runs["pushed"]) > 0
+
+
+def test_minhash_index_compaction(spark, tmp_path):
+    """compact_minhash_index rewrites bands (range-sorted on
+    (band, bucket)) and sigs (range-sorted on id) as single generations:
+    fewer files, identical rows, identical probe results, and the
+    crash-between-renames state self-heals on the next call."""
+    import os
+
+    from ddsketchy_spark.pipeline import fsio
+    from ddsketchy_spark.pipeline.dedup_index import (
+        append_to_minhash_index,
+        compact_minhash_index,
+        minhash_pairs_against_index,
+        read_minhash_index,
+        write_minhash_index,
+    )
+
+    path = str(tmp_path / "mhcpidx")
+    # per-doc word salads share NO shingles across docs, so the only
+    # probe pairs are the exact copies planted below
+    mk = lambda lo, hi: spark.createDataFrame(
+        [(i, " ".join(f"w{i}x{j}" for j in range(12)))
+         for i in range(lo, hi)],
+        "doc_id long, text string")
+    write_minhash_index(mk(0, 6), path, **KW)
+    for g in range(3):
+        append_to_minhash_index(mk(6 + 6 * g, 12 + 6 * g), path)
+    assert read_minhash_index(spark, path)[2]["n_docs"] == 24
+
+    def table_rows(name):
+        return sorted(
+            tuple(x if not isinstance(x, list) else tuple(x) for x in r)
+            for r in spark.read.parquet(f"{path}/{name}").collect())
+
+    def n_files(name):
+        return sum(f.startswith("part-")
+                   for f in os.listdir(f"{path}/{name}"))
+
+    inc = mk(3, 5).union(mk(14, 16)).withColumn(
+        "doc_id", F.col("doc_id") + 1000)
+    before = {t: table_rows(t) for t in ("bands", "sigs")}
+    before_probe = sorted(map(tuple, minhash_pairs_against_index(
+        inc, path).collect()))
+    assert len(before_probe) == 4 and n_files("bands") > 2
+
+    meta = compact_minhash_index(spark, path, n_files=2)
+    assert meta["compactions"] == 1 and meta["n_docs"] == 24
+    assert n_files("bands") <= 2 and n_files("sigs") <= 2
+    assert {t: table_rows(t) for t in ("bands", "sigs")} == before
+    assert sorted(map(tuple, minhash_pairs_against_index(
+        inc, path).collect())) == before_probe
+
+    # crash between the swap renames of the bands table: self-heals
+    assert fsio.hadoop_rename(spark, f"{path}/bands",
+                              f"{path}/bands_precompact")
+    meta2 = compact_minhash_index(spark, path, n_files=2)
+    assert meta2["compactions"] == 2
+    assert {t: table_rows(t) for t in ("bands", "sigs")} == before
+    assert sorted(map(tuple, minhash_pairs_against_index(
+        inc, path).collect())) == before_probe

@@ -97,9 +97,10 @@ def test_incremental_crawl_two_rounds(spark, tmp_path):
                for d in drift.values())
     # crawl-2 shards live in their own generation dir
     assert rep2["shards_path"].endswith("crawl=1")
-    # crawl 2 compacted the exact index (compact_every=1, version 1) —
-    # crawl 3's all-duplicate drop below proves no digest was lost
-    assert rep2["exact_index_compacted"] is True
+    # crawl 2 compacted both persistent indexes (compact_every=1,
+    # version 1) — crawl 3's all-duplicate drop below proves no digest
+    # was lost, and the near-dedup stage proves the bands/sigs survived
+    assert rep2["indexes_compacted"] == ["exact", "minhash"]
     assert read_training_shards(spark, rep2["shards_path"])[0].count() == 10
 
     # crawl 3 = crawl 2's fresh docs re-crawled under NEW ids (the same
