@@ -623,6 +623,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["token_pairs_documents"] = token_pairs_documents
 
+    def bpe_merges_documents(spark, sf):
+        """Distributed BPE merge training (new r5, pipeline/bpe.py
+        train_bpe_merges): 4 greedy merge rounds over the documents'
+        word arrays — each round one codegen pair-count pass (shuffle =
+        distinct pairs) + a LIMIT-1 argmax + one literal-replace codegen
+        projection on the SEP-delimited string form. Returns the merge
+        table (merge_round, left_tok, right_tok, pair_count); the DuckDB
+        oracle unrolls the same four rounds with replace() — whose
+        left-to-right non-overlapping scan is bit-for-bit the trainer's
+        fusion law — so an ITERATIVE algorithm is still hash-matched."""
+        from ddsketchy_spark.pipeline.bpe import train_bpe_merges
+
+        docs = _load(spark, sf, "documents")
+        return train_bpe_merges(
+            docs.where(F.col("text").isNotNull())
+                .select(F.split("text", " ").alias("w")),
+            "w", n_merges=4, min_count=1)
+
+    q["bpe_merges_documents"] = bpe_merges_documents
+
     def mixture_sample_documents(spark, sf):
         """Training-data mixture sampling to per-source token budgets
         (new r4): src0 downsampled (~0.5x), src1 upsampled (~2.3x with
@@ -2559,6 +2579,45 @@ pairs AS (
 SELECT a, b, count(*) AS cnt FROM pairs GROUP BY a, b
 ORDER BY cnt DESC, a, b LIMIT 25
 """
+    # Four unrolled BPE rounds: cK counts adjacent pairs of the current
+    # string form, bK is the deterministic argmax (the merge), sK fuses
+    # it everywhere via replace() — DuckDB's left-to-right non-
+    # overlapping scan is exactly Spark F.replace's, which IS the BPE
+    # fusion law. chr(31)=\x1f symbol boundary, chr(30)=\x1e fuse glue.
+    _bpe_round = """
+c{k} AS (
+  SELECT a, b, count(*) AS cnt FROM (
+    SELECT unnest(l[1:len(l)-1]) AS a, unnest(l[2:len(l)]) AS b
+    FROM (SELECT string_split(substring(s, 2, length(s)-2),
+                              chr(31)||chr(31)) AS l FROM s{p}) t
+    WHERE len(l) >= 2
+  ) pr GROUP BY a, b
+),
+b{k} AS (SELECT a, b, cnt FROM c{k} ORDER BY cnt DESC, a, b LIMIT 1),
+s{k} AS (
+  SELECT replace(s,
+    chr(31)||(SELECT a FROM b{k})||chr(31)||chr(31)
+            ||(SELECT b FROM b{k})||chr(31),
+    chr(31)||(SELECT a FROM b{k})||chr(30)
+            ||(SELECT b FROM b{k})||chr(31)) AS s
+  FROM s{p}
+)"""
+    o["bpe_merges_documents"] = ("""
+WITH s0 AS (
+  SELECT chr(31) || array_to_string(string_split(text, ' '),
+                                    chr(31)||chr(31)) || chr(31) AS s
+  FROM documents
+  WHERE text IS NOT NULL AND len(string_split(text, ' ')) >= 2
+),""" + ",".join(_bpe_round.format(k=k, p=k - 1) for k in (1, 2, 3, 4))
+        + """
+SELECT * FROM (
+  SELECT 1 AS merge_round, a AS left_tok, b AS right_tok,
+         cnt AS pair_count FROM b1
+  UNION ALL SELECT 2, a, b, cnt FROM b2
+  UNION ALL SELECT 3, a, b, cnt FROM b3
+  UNION ALL SELECT 4, a, b, cnt FROM b4
+) m ORDER BY merge_round
+""")
     o["mixture_sample_documents"] = """
 WITH tot AS (
   SELECT source, CAST(sum(n_chars) AS DOUBLE) AS tot FROM documents

@@ -1,0 +1,190 @@
+"""Distributed BPE merge training over token arrays.
+
+Byte-pair-encoding tokenizer training (Sennrich et al. 2016, "Neural
+Machine Translation of Rare Words with Subword Units") is greedy
+coordinate ascent: each round finds the corpus's most frequent ADJACENT
+symbol pair and fuses it into a new symbol everywhere, repeated
+``n_merges`` times. ``text.array_pair_counts`` already computes the
+per-round statistic; this module closes the loop with the trainer
+(``train_bpe_merges``) and the learned tokenizer (``apply_bpe_merges``).
+
+The Spark-first trick that keeps every round JVM-side: sequences live as
+a DELIMITED STRING, ``SEP + tok + SEP+SEP + tok + ... + SEP`` (SEP =
+``\\x1f``, the ASCII unit separator — validated absent from the input
+symbols). Fusing pair (a, b) is then one literal
+``F.replace(s, SEP+a+SEP+SEP+b+SEP, SEP+a+JOIN+b+SEP)`` — a whole-stage-
+codegen projection whose left-to-right non-overlapping scan IS the BPE
+merge law (a run ``a a a`` fuses its first two symbols only, exactly
+like the sequential reference; pinned by the parity test and re-derived
+verbatim by DuckDB's ``replace``, which shares the scan semantics).
+Merged symbols join their parts with ``\\x1e`` so they stay unique
+strings and re-splitting on ``SEP+SEP`` is always exact.
+
+Per round the cluster does exactly: one pair-count pass over the cached
+corpus (codegen zip-slice pairs, map-side-combining hash aggregate —
+shuffle volume is O(distinct pairs), Zipf-concentrated), one
+``LIMIT 1`` argmax collect (a single driver row), and one lazy
+``replace`` projection. Stacked projections re-execute earlier rounds'
+replaces against the cache, so every ``checkpoint_every`` rounds the
+string column re-materializes (persist + count, previous generation
+unpersisted) — expression depth and per-round recompute both stay
+bounded by the window, and total work is O(n_merges / k) extra corpus
+materializations, the same shape a sequential BPE trainer pays in
+memory rewrites. At 100-TB scale, train on a deterministic sample
+(``pipeline.mix`` md5-uniform selection) — merge ranks converge long
+before full-corpus counts do; the trainer itself never materializes
+more than one increment of driver state (one merge row per round).
+
+The reference sketch library has no tokenizer-training analogue — this
+is pipeline scope (tokens payload), same family as
+``text.array_pair_counts`` (its oracle twin ``token_pairs_documents``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+SEP = "\x1f"   # unit separator: symbol boundary
+JOIN = "\x1e"  # record separator: glues the two halves of a merged symbol
+
+_MERGE_SCHEMA = ("merge_round int, left_tok string, right_tok string, "
+                 "pair_count bigint")
+
+
+def _to_string_form(df: DataFrame, arr_col: str) -> DataFrame:
+    """(arr_col) -> one-column frame ``s`` = SEP-delimited string form.
+
+    Arrays shorter than 2 carry no adjacent pairs and no symbol of
+    theirs can ever fuse, so they are excluded from training (the
+    tokenizer ``apply_bpe_merges`` builds handles them fine)."""
+    a = F.col(arr_col)
+    return (df.where(a.isNotNull() & (F.size(a) >= 2))
+            .select(F.concat(
+                F.lit(SEP),
+                F.array_join(a.cast("array<string>"), SEP + SEP),
+                F.lit(SEP)).alias("s")))
+
+
+def _validate_symbols(df: DataFrame, arr_col: str) -> None:
+    """One aggregate pass: reject NULL elements (unrepresentable as a
+    string symbol) and symbols containing the delimiters (would corrupt
+    the string form). The HOF lambdas reference only their own variable
+    — safe per the package's self-join rule (this frame never joins)."""
+    a = F.col(arr_col)
+    row = (df.where(a.isNotNull()).select(
+        F.max(F.exists(a, lambda x: x.isNull())).alias("has_null"),
+        F.max(F.exists(a, lambda x: x.cast("string").contains(SEP)
+                       | x.cast("string").contains(JOIN))).alias("has_sep"),
+    ).first())
+    if row is not None and row["has_null"]:
+        raise ValueError(
+            f"{arr_col!r} contains NULL elements — a NULL symbol cannot "
+            "be represented; filter or fill them first")
+    if row is not None and row["has_sep"]:
+        raise ValueError(
+            f"{arr_col!r} contains symbols with \\x1f or \\x1e — these "
+            "delimit the internal string form; remap such symbols first")
+
+
+def train_bpe_merges(
+    df: DataFrame,
+    arr_col: str = "tokens",
+    n_merges: int = 10,
+    min_count: int = 2,
+    checkpoint_every: int = 8,
+    validate: bool = True,
+) -> DataFrame:
+    """Learn ``n_merges`` BPE merges from the corpus's token arrays.
+
+    Returns a small driver-built DataFrame (one row per learned merge,
+    at most ``n_merges`` rows):
+    ``(merge_round, left_tok, right_tok, pair_count)`` — merge r fused
+    adjacent pair (left_tok, right_tok), which occurred ``pair_count``
+    times in the corpus AFTER merges 1..r-1 were applied. Ties break
+    deterministically (count desc, left asc, right asc — binary string
+    order on both engines). Training stops early when the best pair
+    falls below ``min_count`` (Sennrich's stopping rule).
+
+    Symbols are the array's elements cast to string (int token ids and
+    word strings both work); a merged symbol is ``left + "\\x1e" +
+    right``. ``validate=False`` skips the one-pass delimiter/NULL check
+    when the caller guarantees the contract (e.g. int token ids)."""
+    from pyspark import StorageLevel
+
+    from .text import array_pair_counts
+
+    if n_merges < 0:
+        raise ValueError("n_merges must be >= 0")
+    spark = df.sparkSession
+    if validate:
+        _validate_symbols(df, arr_col)
+    cur = _to_string_form(df, arr_col).persist(StorageLevel.MEMORY_AND_DISK)
+    pinned = [cur]
+    merges: list[tuple] = []
+    try:
+        for r in range(1, n_merges + 1):
+            toks = F.split(
+                F.expr("substring(s, 2, length(s) - 2)"), SEP + SEP)
+            best = (array_pair_counts(cur.select(toks.alias("t")), "t")
+                    .orderBy(F.desc("cnt"), F.asc("a"), F.asc("b"))
+                    .limit(1).collect())
+            if not best or best[0]["cnt"] < min_count:
+                break
+            a, b, cnt = best[0]["a"], best[0]["b"], int(best[0]["cnt"])
+            merges.append((r, a, b, cnt))
+            cur = cur.select(F.replace(
+                F.col("s"),
+                F.lit(SEP + a + SEP + SEP + b + SEP),
+                F.lit(SEP + a + JOIN + b + SEP)).alias("s"))
+            if r % checkpoint_every == 0 and r < n_merges:
+                nxt = cur.persist(StorageLevel.MEMORY_AND_DISK)
+                nxt.count()
+                for p in pinned:
+                    p.unpersist()
+                pinned, cur = [nxt], nxt
+    finally:
+        for p in pinned:
+            p.unpersist()
+    return spark.createDataFrame(merges, _MERGE_SCHEMA)
+
+
+def apply_bpe_merges(
+    df: DataFrame,
+    merges,
+    arr_col: str = "tokens",
+    out_col: str = "bpe_tokens",
+    validate: bool = True,
+) -> DataFrame:
+    """Tokenize with a learned merge table: apply every merge, in rank
+    order, to ``arr_col`` and append ``out_col`` (array<string> of
+    post-merge symbols; fused symbols are ``left + "\\x1e" + right``,
+    nested for multi-round fusions).
+
+    ``merges`` is ``train_bpe_merges``'s DataFrame (collected here —
+    bounded at n_merges rows) or a list of ``(left_tok, right_tok)``
+    pairs in rank order. The whole application is ONE stacked codegen
+    projection — string-form build, n_merges literal replaces, re-split
+    — no shuffle, no Python; the same left-to-right scan the trainer
+    used, so re-applying a trainer's merges to its own training corpus
+    reproduces the trainer's final sequences exactly (round-trip test).
+    Rows whose array is NULL get NULL; arrays shorter than 2 pass
+    through unfused (cast to string symbols)."""
+    if isinstance(merges, DataFrame):
+        rows = merges.orderBy("merge_round").collect()
+        pairs = [(r["left_tok"], r["right_tok"]) for r in rows]
+    else:
+        pairs = [(str(a), str(b)) for a, b in merges]
+    if validate:
+        _validate_symbols(df, arr_col)
+    a = F.col(arr_col)
+    s = F.concat(F.lit(SEP),
+                 F.array_join(a.cast("array<string>"), SEP + SEP),
+                 F.lit(SEP))
+    for lt, rt in pairs:
+        s = F.replace(s, F.lit(SEP + lt + SEP + SEP + rt + SEP),
+                      F.lit(SEP + lt + JOIN + rt + SEP))
+    fused = F.split(F.substring(s, 2, F.length(s) - 2), SEP + SEP)
+    return df.withColumn(
+        out_col, F.when(a.isNull(), F.lit(None).cast("array<string>"))
+                  .when(F.size(a) == 0, F.array().cast("array<string>"))
+                  .otherwise(fused))

@@ -432,6 +432,28 @@ def main() -> None:
                 r"FlatMapGroupsInPandas", r"(MapInArrow|PythonMapInArrow)"],
     )
 
+    # BPE training round (round 2's exact frame: string-form build, one
+    # literal replace fusion, re-split, pair count): everything up to the
+    # distinct-pair exchange is one codegen pipeline over a text-only
+    # scan — zero Python, no join, no window
+    from ddsketchy_spark.pipeline.bpe import JOIN, SEP, _to_string_form
+
+    cur = _to_string_form(
+        docs.where(F.col("text").isNotNull())
+            .select(F.split("text", " ").alias("w")), "w")
+    cur = cur.select(F.replace(
+        F.col("s"), F.lit(SEP + "the" + SEP + SEP + "of" + SEP),
+        F.lit(SEP + "the" + JOIN + "of" + SEP)).alias("s"))
+    toks = F.split(F.expr("substring(s, 2, length(s) - 2)"), SEP + SEP)
+    r2 = array_pair_counts(cur.select(toks.alias("t")), "t")
+    results["bpe_train_round"] = audit(
+        "bpe_train_round", r2,
+        want=[r"Arguments: explode\(", r"partial_count", r"replace\(",
+              r"ReadSchema: struct<text:string>"],
+        reject=[r"Window\b", r"Join", r"BatchEvalPython", r"ArrowEvalPython",
+                r"FlatMapGroupsInPandas", r"(MapInArrow|PythonMapInArrow)"],
+    )
+
     # sessionize: map-side PARTIAL session aggregation before the single
     # user_id exchange, JVM-side MergingSessions — never a window over
     # raw event rows, zero Python
