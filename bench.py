@@ -564,6 +564,28 @@ def main() -> None:
     finally:
         shutil.rmtree(tmpd, ignore_errors=True)
 
+    # q25: distributed BPE merge training (new r5) on a deterministic
+    # 50k-row slice of the token table (ids are zero-padded, so the
+    # string comparison is the first 50k rows ~ 33M Zipf tokens over the
+    # 50k vocab) — 2 greedy rounds, each one codegen pair-count pass
+    # (shuffle = distinct pairs) + a literal-replace fusion projection.
+    # Training samples a slice by design: merge ranks converge long
+    # before full-corpus counts do (see pipeline/bpe.py docstring).
+    from ddsketchy_spark.pipeline.bpe import train_bpe_merges
+
+    bpe_in = tdf.where(F.col("doc_id") < "doc-000000050000")
+    n_tok25 = bpe_in.agg(F.sum("n_tok")).collect()[0][0]
+    q25_trials = []
+    for _ in range(2):  # best-of-2 (CLAUDE.md bench methodology)
+        t0 = time.perf_counter()
+        merges25 = train_bpe_merges(bpe_in, "tokens", n_merges=2,
+                                    validate=False).collect()
+        q25_trials.append(time.perf_counter() - t0)
+    queries["q25_bpe_train_2merges"] = round(min(q25_trials), 3)
+    queries["q25_tokens_trained"] = int(n_tok25)
+    queries["q25_top_merge_count"] = (
+        int(merges25[0]["pair_count"]) if merges25 else 0)
+
     # Load-discipline pass (r4 verdict #2): if this run's scan control
     # deviated >1.5x below its documented quiet band, re-probe the control
     # once — if the box has gone quiet, re-run the slowest single-trial
