@@ -643,6 +643,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["bpe_merges_documents"] = bpe_merges_documents
 
+    def vocab_coverage_documents(spark, sf):
+        """Vocabulary coverage / OOV-rate per source vs the corpus's own
+        top-500 words (new r5, pipeline/text.py vocab_coverage — the
+        tokenizer-fit statistic): tokens explode pipeline-locally,
+        stream through one broadcast join against the bounded vocab,
+        and collapse map-side — the only exchanges carry distinct words
+        (vocab derivation) and one row per source (the report)."""
+        from ddsketchy_spark.pipeline.text import vocab_coverage
+
+        docs = _load(spark, sf, "documents")
+        return vocab_coverage(
+            docs.where(F.col("text").isNotNull()
+                       & F.col("source").isNotNull())
+                .select("source", F.split("text", " ").alias("w")),
+            "w", vocab=500, by=["source"])
+
+    q["vocab_coverage_documents"] = vocab_coverage_documents
+
     def mixture_sample_documents(spark, sf):
         """Training-data mixture sampling to per-source token budgets
         (new r4): src0 downsampled (~0.5x), src1 upsampled (~2.3x with
@@ -2618,6 +2636,23 @@ SELECT * FROM (
   UNION ALL SELECT 4, a, b, cnt FROM b4
 ) m ORDER BY merge_round
 """)
+    o["vocab_coverage_documents"] = """
+WITH toks AS (
+  SELECT source, unnest(string_split(text, ' ')) AS tok
+  FROM documents WHERE text IS NOT NULL AND source IS NOT NULL
+),
+vocab AS (
+  SELECT tok FROM (
+    SELECT tok, count(*) AS c FROM toks GROUP BY tok
+  ) t ORDER BY c DESC, tok LIMIT 500
+)
+SELECT source, count(*) AS n_tokens,
+       count(CASE WHEN v.tok IS NULL THEN 1 END) AS n_oov,
+       round(count(CASE WHEN v.tok IS NULL THEN 1 END) / count(*),
+             6) AS oov_rate_r6
+FROM toks LEFT JOIN vocab v ON toks.tok = v.tok
+GROUP BY source
+"""
     o["mixture_sample_documents"] = """
 WITH tot AS (
   SELECT source, CAST(sum(n_chars) AS DOUBLE) AS tot FROM documents

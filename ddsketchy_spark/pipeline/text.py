@@ -519,6 +519,55 @@ def array_pair_counts(
     return out
 
 
+def vocab_coverage(
+    df: DataFrame,
+    arr_col: str,
+    vocab,
+    by: list | None = None,
+) -> DataFrame:
+    """Vocabulary coverage / OOV-rate report over an array column —
+    the tokenizer-fit statistic: of each group's tokens, how many fall
+    outside ``vocab``? Returns one row per ``by`` group (or one global
+    row) with ``n_tokens``, ``n_oov``, ``oov_rate_r6``.
+
+    ``vocab`` is either a one-column DataFrame of in-vocab symbols or an
+    int k — then the vocab is the corpus's own top-k most frequent
+    symbols (ties broken symbol-ascending, deterministic on both
+    engines), the usual "how well would a k-symbol vocab fit this
+    corpus" question asked before committing a tokenizer (pairs with
+    ``bpe.train_bpe_merges``, whose merge table's symbols can seed it).
+
+    Scale shape: tokens explode once (pipeline-local, never a row
+    shuffle), stream through ONE broadcast hash join against the
+    bounded vocab (marked ``F.broadcast`` — k rows), and collapse in a
+    map-side-combining aggregate, so the only exchange carries O(groups)
+    rows. The top-k derivation is the same explode feeding a distinct-
+    symbol count (shuffle = distinct symbols) + TakeOrdered. NULL arrays
+    contribute nothing; NULL ``by`` keys group like any other value."""
+    by = list(by or [])
+    a = F.col(arr_col)
+    toks = (df.where(a.isNotNull())
+            .select(*by, F.explode(a).alias("_tok")))
+    if isinstance(vocab, int):
+        vocab_df = (toks.groupBy("_tok").agg(F.count(F.lit(1)).alias("_c"))
+                    .orderBy(F.desc("_c"), F.asc("_tok")).limit(vocab)
+                    .select("_tok"))
+    else:
+        if len(vocab.columns) != 1:
+            raise ValueError("vocab DataFrame must have exactly one column")
+        vocab_df = vocab.toDF("_tok").where(F.col("_tok").isNotNull())
+    marked = toks.join(
+        F.broadcast(vocab_df.distinct().withColumn("_inv", F.lit(1))),
+        "_tok", "left")
+    return (marked.groupBy(*by).agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum(F.when(F.col("_inv").isNull(), 1).otherwise(0))
+         .alias("n_oov"))
+        .select(*by, "n_tokens", "n_oov",
+                F.round(F.col("n_oov") / F.col("n_tokens"), 6)
+                 .alias("oov_rate_r6")))
+
+
 # (placeholder, pattern) — ordered: emails first (an address would
 # otherwise have its digit runs partially eaten by the phone pattern).
 # Patterns stay in the common Java-regex/RE2 subset (no backreferences, no

@@ -75,3 +75,55 @@ def test_token_pairs_equals_word_bigrams(spark, sf001_dir):
                  for r in pairs.collect() if r["a"] is not None}
     via_grams = {r["ngram"]: r["cnt"] for r in ngram_counts(docs, n=2).collect()}
     assert via_pairs == via_grams
+
+
+def test_vocab_coverage_bruteforce(spark):
+    """vocab_coverage == a Python-counter reference, in both the top-k
+    and explicit-vocab-DataFrame forms, grouped and global."""
+    from collections import Counter
+
+    from ddsketchy_spark.pipeline.text import vocab_coverage
+
+    rows = [
+        ("s1", ["a", "b", "a", "c"]),
+        ("s1", ["a", "a"]),
+        ("s2", ["b", "d", "e"]),
+        ("s2", None),                 # NULL array: contributes nothing
+        ("s3", ["f"]),
+    ]
+    df = spark.createDataFrame(rows, "source string, w array<string>")
+    # top-2 vocab: a(4), b(2) — ties impossible here; c,d,e,f are OOV
+    got = {r["source"]: (r["n_tokens"], r["n_oov"], r["oov_rate_r6"])
+           for r in vocab_coverage(df, "w", 2, by=["source"]).collect()}
+    cnt = Counter(t for _, ws in rows if ws for t in ws)
+    vocab = {t for t, _ in sorted(cnt.items(),
+                                  key=lambda kv: (-kv[1], kv[0]))[:2]}
+    assert vocab == {"a", "b"}
+    want = {}
+    for s, ws in rows:
+        if not ws:
+            continue
+        n, oov = len(ws), sum(t not in vocab for t in ws)
+        pn, po, _ = want.get(s, (0, 0, 0.0))
+        want[s] = (pn + n, po + oov, 0.0)
+    want = {s: (n, o, round(o / n, 6)) for s, (n, o, _) in want.items()}
+    assert got == want
+    # explicit vocab DataFrame (with a NULL entry, which is ignored)
+    vdf = spark.createDataFrame([("a",), ("b",), (None,)], "tok string")
+    got2 = {r["source"]: (r["n_tokens"], r["n_oov"], r["oov_rate_r6"])
+            for r in vocab_coverage(df, "w", vdf, by=["source"]).collect()}
+    assert got2 == got
+    # global (no by): one row over all tokens
+    g = vocab_coverage(df, "w", 2).collect()
+    assert len(g) == 1
+    tot_n = sum(n for n, _, _ in want.values())
+    tot_o = sum(o for _, o, _ in want.values())
+    assert (g[0]["n_tokens"], g[0]["n_oov"]) == (tot_n, tot_o)
+    # int token arrays work too
+    di = spark.createDataFrame([([1, 2, 1],), ([3],)], "t array<int>")
+    gi = vocab_coverage(di, "t", 1).collect()[0]
+    assert (gi["n_tokens"], gi["n_oov"]) == (4, 2)
+    # vocab frame must be one column
+    import pytest as _pt
+    with _pt.raises(ValueError, match="one column"):
+        vocab_coverage(df, "w", df)

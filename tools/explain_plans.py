@@ -454,6 +454,25 @@ def main() -> None:
                 r"FlatMapGroupsInPandas", r"(MapInArrow|PythonMapInArrow)"],
     )
 
+    # vocab coverage: exploded tokens stream through a BROADCAST join
+    # against the bounded vocab and collapse in a map-side partial
+    # aggregate — never a sort-merge join or row shuffle, zero Python
+    from ddsketchy_spark.pipeline.text import vocab_coverage
+
+    vc = vocab_coverage(
+        docs.where(F.col("text").isNotNull() & F.col("source").isNotNull())
+            .select("source", F.split("text", " ").alias("w")),
+        "w", vocab=500, by=["source"])
+    results["vocab_coverage"] = audit(
+        "vocab_coverage", vc,
+        want=[r"BroadcastHashJoin.*LeftOuter", r"partial_count",
+              r"Arguments: explode\(",
+              r"ReadSchema: struct<text:string,source:string>"],
+        reject=[r"SortMergeJoin", r"CartesianProduct", r"Window\b",
+                r"BatchEvalPython", r"ArrowEvalPython",
+                r"FlatMapGroupsInPandas", r"(MapInArrow|PythonMapInArrow)"],
+    )
+
     # sessionize: map-side PARTIAL session aggregation before the single
     # user_id exchange, JVM-side MergingSessions — never a window over
     # raw event rows, zero Python
