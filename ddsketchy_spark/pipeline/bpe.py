@@ -115,6 +115,8 @@ def train_bpe_merges(
 
     if n_merges < 0:
         raise ValueError("n_merges must be >= 0")
+    if checkpoint_every < 1:
+        raise ValueError("checkpoint_every must be >= 1")
     spark = df.sparkSession
     if validate:
         _validate_symbols(df, arr_col)

@@ -148,3 +148,6 @@ def test_validation_rejects_bad_symbols(spark):
         train_bpe_merges(df2, "w", n_merges=1)
     with pytest.raises(ValueError, match="n_merges"):
         train_bpe_merges(df2, "w", n_merges=-1)
+    df3 = spark.createDataFrame([(["a", "b"],)], "w array<string>")
+    with pytest.raises(ValueError, match="checkpoint_every"):
+        train_bpe_merges(df3, "w", n_merges=1, checkpoint_every=0)
