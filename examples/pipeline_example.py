@@ -1,6 +1,6 @@
 """End-to-end training-data pipeline demo over the documents/embeddings
 tables: quality filtering -> language ID -> exact + near dedup -> similarity
-search -> per-source sequence-length sketches.
+search -> per-source sequence-length sketches -> BPE tokenizer fit.
 Run: python examples/pipeline_example.py [sf_dir]"""
 
 import os
@@ -51,6 +51,17 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> None:
     # 5. distribution sketch of document lengths per source
     ddsketch_quantiles(kept, "n_chars", by=["source"],
                        quantiles=(0.5, 0.99)).orderBy("source").show(5)
+
+    # 6. tokenizer fit: train BPE merges on the survivors' word arrays,
+    # then measure how a tiny vocab would cover each source
+    from ddsketchy_spark.pipeline.bpe import train_bpe_merges
+    from ddsketchy_spark.pipeline.text import vocab_coverage
+
+    words = kept.select("source", F.split("text", " ").alias("w"))
+    print("top BPE merges:")
+    train_bpe_merges(words, "w", n_merges=3).show(truncate=False)
+    print("OOV rate per source vs the top-200-word vocab:")
+    vocab_coverage(words, "w", 200, by=["source"]).orderBy("source").show(5)
     spark.stop()
 
 
