@@ -93,6 +93,7 @@ def train_bpe_merges(
     min_count: int = 2,
     checkpoint_every: int = 8,
     validate: bool = True,
+    n_partitions: int | None = None,
 ) -> DataFrame:
     """Learn ``n_merges`` BPE merges from the corpus's token arrays.
 
@@ -108,7 +109,15 @@ def train_bpe_merges(
     Symbols are the array's elements cast to string (int token ids and
     word strings both work); a merged symbol is ``left + "\\x1e" +
     right``. ``validate=False`` skips the one-pass delimiter/NULL check
-    when the caller guarantees the contract (e.g. int token ids)."""
+    when the caller guarantees the contract (e.g. int token ids).
+
+    The string form REBALANCES once before the first round
+    (``repartition(n_partitions)``, default the cluster's
+    defaultParallelism): training inputs are typically filtered samples
+    whose surviving rows cluster in a few input splits, and an
+    unbalanced cache would serialize every round on those few tasks
+    (measured 5x on a 2-of-32-splits sample). One round-robin shuffle of
+    the compact one-column corpus, amortized over all rounds."""
     from pyspark import StorageLevel
 
     from .text import array_pair_counts
@@ -120,7 +129,10 @@ def train_bpe_merges(
     spark = df.sparkSession
     if validate:
         _validate_symbols(df, arr_col)
-    cur = _to_string_form(df, arr_col).persist(StorageLevel.MEMORY_AND_DISK)
+    cur = (_to_string_form(df, arr_col)
+           .repartition(n_partitions
+                        or spark.sparkContext.defaultParallelism)
+           .persist(StorageLevel.MEMORY_AND_DISK))
     pinned = [cur]
     merges: list[tuple] = []
     try:
