@@ -680,11 +680,24 @@ def main() -> None:
         quiesce_max = float(os.environ.get("SPARK_GRAFT_BENCH_QUIESCE_MAX",
                                            "120"))
         quiesce_load = 0.2 * CPUS
+        # Second stage (r5): run D showed the 8-core LO probe is the
+        # load-sensitive one (it underread 44M vs 48M standalone while
+        # the wide probe was unaffected), and the suite's decaying
+        # self-load sits exactly at the 0.2*CPUS floor when pair #1
+        # starts. Once under the coarse floor, spend up to quiesce_max
+        # more seconds waiting for 0.1*CPUS — after a 32-wide suite the
+        # 1-minute average decays 6 -> ~2.5 within that window, and a
+        # busy box just proceeds at the coarse floor as before.
+        quiesce_load2 = 0.1 * CPUS
 
         def _quiesce() -> float:
             waited = 0.0
             while (os.getloadavg()[0] > quiesce_load
                    and waited < quiesce_max):
+                time.sleep(5.0)
+                waited += 5.0
+            while (os.getloadavg()[0] > quiesce_load2
+                   and waited < 2 * quiesce_max):
                 time.sleep(5.0)
                 waited += 5.0
             return waited
