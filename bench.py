@@ -684,10 +684,12 @@ def main() -> None:
         # load-sensitive one (it underread 44M vs 48M standalone while
         # the wide probe was unaffected), and the suite's decaying
         # self-load sits exactly at the 0.2*CPUS floor when pair #1
-        # starts. Once under the coarse floor, spend up to quiesce_max
+        # starts. Once UNDER the coarse floor, spend up to quiesce_max
         # more seconds waiting for 0.1*CPUS — after a 32-wide suite the
-        # 1-minute average decays 6 -> ~2.5 within that window, and a
-        # busy box just proceeds at the coarse floor as before.
+        # 1-minute average decays 6 -> ~2.5 within that window. A box
+        # stuck ABOVE the coarse floor (sustained external load) skips
+        # stage 2 and proceeds exactly as before; only a box between
+        # the floors can spend the extra bounded wait.
         quiesce_load2 = 0.1 * CPUS
 
         def _quiesce() -> float:
@@ -696,10 +698,11 @@ def main() -> None:
                    and waited < quiesce_max):
                 time.sleep(5.0)
                 waited += 5.0
-            while (os.getloadavg()[0] > quiesce_load2
-                   and waited < 2 * quiesce_max):
-                time.sleep(5.0)
-                waited += 5.0
+            if os.getloadavg()[0] <= quiesce_load:
+                while (os.getloadavg()[0] > quiesce_load2
+                       and waited < 2 * quiesce_max):
+                    time.sleep(5.0)
+                    waited += 5.0
             return waited
 
         rnd = 0

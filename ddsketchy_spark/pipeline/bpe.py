@@ -75,6 +75,8 @@ def _validate_symbols(df: DataFrame, arr_col: str) -> None:
         F.max(F.exists(a, lambda x: x.isNull())).alias("has_null"),
         F.max(F.exists(a, lambda x: x.cast("string").contains(SEP)
                        | x.cast("string").contains(JOIN))).alias("has_sep"),
+        F.max(F.exists(a, lambda x: x.cast("string") == "")
+              ).alias("has_empty"),
     ).first())
     if row is not None and row["has_null"]:
         raise ValueError(
@@ -84,6 +86,12 @@ def _validate_symbols(df: DataFrame, arr_col: str) -> None:
         raise ValueError(
             f"{arr_col!r} contains symbols with \\x1f or \\x1e — these "
             "delimit the internal string form; remap such symbols first")
+    if row is not None and row["has_empty"]:
+        raise ValueError(
+            f"{arr_col!r} contains empty-string symbols — the delimited "
+            "string form cannot represent them unambiguously (a merge "
+            "pattern over empties matches across symbol boundaries); "
+            "filter them first (e.g. F.filter(col, x -> x != ''))")
 
 
 def train_bpe_merges(
@@ -139,9 +147,8 @@ def train_bpe_merges(
         for r in range(1, n_merges + 1):
             toks = F.split(
                 F.expr("substring(s, 2, length(s) - 2)"), SEP + SEP)
-            best = (array_pair_counts(cur.select(toks.alias("t")), "t")
-                    .orderBy(F.desc("cnt"), F.asc("a"), F.asc("b"))
-                    .limit(1).collect())
+            best = array_pair_counts(
+                cur.select(toks.alias("t")), "t", top_k=1).collect()
             if not best or best[0]["cnt"] < min_count:
                 break
             a, b, cnt = best[0]["a"], best[0]["b"], int(best[0]["cnt"])

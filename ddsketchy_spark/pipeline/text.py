@@ -543,13 +543,18 @@ def vocab_coverage(
     map-side-combining aggregate, so the only exchange carries O(groups)
     rows. The top-k derivation is the same explode feeding a distinct-
     symbol count (shuffle = distinct symbols) + TakeOrdered. NULL arrays
-    contribute nothing; NULL ``by`` keys group like any other value."""
+    contribute nothing; NULL ``by`` keys group like any other value.
+    NULL elements count as tokens and are always OOV (a NULL can never
+    match a vocab entry) but never occupy a top-k vocab slot. The global
+    form's single row reports ``oov_rate_r6 = -1.0`` (the package's
+    no-NULL-doubles sentinel) when the corpus has zero tokens."""
     by = list(by or [])
     a = F.col(arr_col)
     toks = (df.where(a.isNotNull())
             .select(*by, F.explode(a).alias("_tok")))
     if isinstance(vocab, int):
-        vocab_df = (toks.groupBy("_tok").agg(F.count(F.lit(1)).alias("_c"))
+        vocab_df = (toks.where(F.col("_tok").isNotNull())
+                    .groupBy("_tok").agg(F.count(F.lit(1)).alias("_c"))
                     .orderBy(F.desc("_c"), F.asc("_tok")).limit(vocab)
                     .select("_tok"))
     else:
@@ -561,11 +566,13 @@ def vocab_coverage(
         "_tok", "left")
     return (marked.groupBy(*by).agg(
         F.count(F.lit(1)).alias("n_tokens"),
-        F.sum(F.when(F.col("_inv").isNull(), 1).otherwise(0))
-         .alias("n_oov"))
+        F.coalesce(
+            F.sum(F.when(F.col("_inv").isNull(), 1).otherwise(0)),
+            F.lit(0)).alias("n_oov"))
         .select(*by, "n_tokens", "n_oov",
-                F.round(F.col("n_oov") / F.col("n_tokens"), 6)
-                 .alias("oov_rate_r6")))
+                F.when(F.col("n_tokens") > 0,
+                       F.round(F.col("n_oov") / F.col("n_tokens"), 6))
+                 .otherwise(F.lit(-1.0)).alias("oov_rate_r6")))
 
 
 # (placeholder, pattern) — ordered: emails first (an address would

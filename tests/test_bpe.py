@@ -151,3 +151,9 @@ def test_validation_rejects_bad_symbols(spark):
     df3 = spark.createDataFrame([(["a", "b"],)], "w array<string>")
     with pytest.raises(ValueError, match="checkpoint_every"):
         train_bpe_merges(df3, "w", n_merges=1, checkpoint_every=0)
+    # empty-string symbols are unrepresentable in the delimited form
+    df4 = spark.createDataFrame([(["a", "", "b"],)], "w array<string>")
+    with pytest.raises(ValueError, match="empty-string"):
+        train_bpe_merges(df4, "w", n_merges=1)
+    with pytest.raises(ValueError, match="empty-string"):
+        apply_bpe_merges(df4, [("a", "b")], "w")

@@ -127,3 +127,20 @@ def test_vocab_coverage_bruteforce(spark):
     import pytest as _pt
     with _pt.raises(ValueError, match="one column"):
         vocab_coverage(df, "w", df)
+
+
+def test_vocab_coverage_null_elements_and_empty(spark):
+    """NULL elements count as always-OOV tokens but never occupy a top-k
+    vocab slot; the zero-token global row uses the -1.0 sentinel."""
+    from ddsketchy_spark.pipeline.text import vocab_coverage
+
+    df = spark.createDataFrame(
+        [([None, None, "a"],), ([None, "b"],)], "w array<string>")
+    g = vocab_coverage(df, "w", 1).collect()[0]
+    # top-1 vocab is 'a' or 'b' by count tie -> 'a' (asc); NULLs are OOV
+    assert (g["n_tokens"], g["n_oov"]) == (5, 4)
+    assert g["oov_rate_r6"] == 0.8
+    # zero-token corpus: global row with sentinel rate, zero counts
+    dz = spark.createDataFrame([(None,)], "w array<string>")
+    z = vocab_coverage(dz, "w", 3).collect()[0]
+    assert (z["n_tokens"], z["n_oov"], z["oov_rate_r6"]) == (0, 0, -1.0)
