@@ -720,6 +720,12 @@ def main() -> None:
             hi = probe(hi_c, n_trials=5)
             queries[f"q6_scaling_pair_round{rnd}"] = round(time.perf_counter() - t0, 3)
             eff = (hi["tokens_per_sec"] / lo["tokens_per_sec"]) / (hi_c / lo_c)
+            # best_hi deliberately includes pairs whose EFFICIENCY is
+            # invalid: wall-clock throughput of fixed work can only be
+            # DEFLATED by load, never inflated, so every hi probe is a
+            # genuine capability lower bound — the `valid` flag guards
+            # the lo/hi ratio (where a deflated lo inflates eff), not
+            # the throughput itself.
             best_hi = max(best_hi, hi["tokens_per_sec"])
             pairs.append(
                 {

@@ -95,6 +95,10 @@ class KMVSample:
             raise ValueError(f"hash_kind must be one of {self._KINDS}")
         if not 0 <= seed < 2**32:
             raise ValueError(f"seed must be in [0, 2^32), got {seed}")
+        if hash_kind == "spark" and seed != 0:
+            raise ValueError(
+                "hash_kind='spark' requires seed=0 (F.xxhash64 has a fixed "
+                "seed, so a nonzero seed would be silently ignored)")
         self.k = k
         self.seed = seed
         self.hash_kind = hash_kind
@@ -114,8 +118,14 @@ class KMVSample:
             pairs = {(md5_u52(s, self.seed), s) for s in set(keys)}
         else:
             ks = sorted(set(keys))
-            h = spark_xxhash64(np.asarray(
-                [int(s) for s in ks], dtype=np.int64))
+            try:
+                ints = [int(s) for s in ks]
+            except ValueError:
+                raise TypeError(
+                    "hash_kind='spark' hashes keys as BIGINT (the "
+                    "F.xxhash64 law) — non-integer keys need "
+                    "hash_kind='md5'") from None
+            h = spark_xxhash64(np.asarray(ints, dtype=np.int64))
             pairs = {(int(u), s) for u, s in zip(h, ks)}
         self._absorb(pairs)
 

@@ -148,6 +148,8 @@ def read_minhash_index(spark: SparkSession, path: str
         spark, path, _SIDECAR,
         "not a write_minhash_index artifact (build the index with "
         "write_minhash_index so the signature parameters travel with it)")
+    _heal_precompact(spark, path.rstrip("/") + "/bands",
+                     path.rstrip("/") + "/sigs")
     bands_df = spark.read.parquet(path.rstrip("/") + "/bands")
     sigs_df = spark.read.parquet(path.rstrip("/") + "/sigs")
     return bands_df, sigs_df, meta
@@ -406,6 +408,7 @@ def read_exact_index(spark: SparkSession, path: str
         spark, path, _EXACT_SIDECAR,
         "not a write_exact_index artifact (build it with "
         "write_exact_index so the digest law travels with it)")
+    _heal_precompact(spark, path.rstrip("/") + "/digests")
     return spark.read.parquet(path.rstrip("/") + "/digests"), meta
 
 
@@ -623,6 +626,8 @@ def read_cosine_index(spark: SparkSession, path: str
         spark, path, _COS_SIDECAR,
         "not a write_cosine_index artifact (build the index with "
         "write_cosine_index so the LSH parameters travel with it)")
+    _heal_precompact(spark, path.rstrip("/") + "/bands",
+                     path.rstrip("/") + "/vecs")
     bands_df = spark.read.parquet(path.rstrip("/") + "/bands")
     vecs_df = spark.read.parquet(path.rstrip("/") + "/vecs")
     return bands_df, vecs_df, meta
@@ -847,6 +852,8 @@ def append_to_cosine_index(df: DataFrame, path: str,
     vcol = vec_col or meta["vec_col"]
     _check_increment_vec(df, meta, vcol)
     planes = _hyperplanes(meta["dim"], meta["n_planes"], meta["seed"])
+    _heal_precompact(spark, path.rstrip("/") + "/bands",
+                     path.rstrip("/") + "/vecs")
     base = df.where(F.col(id_col).isNotNull() & F.col(vcol).isNotNull())
     v = base.select(F.col(id_col).alias("id"),
                     F.col(vcol).cast("array<double>").alias("vec"))
@@ -885,6 +892,7 @@ def append_to_exact_index(df: DataFrame, path: str,
     _check_increment_schema(df, meta)
     id_col = meta["id_col"]
     tcol = text_col or meta["text_col"]
+    _heal_precompact(spark, path.rstrip("/") + "/digests")
     base = (df.where(F.col(id_col).isNotNull()
                      & F.col(tcol).isNotNull())
             .select(F.col(id_col),
@@ -896,6 +904,25 @@ def append_to_exact_index(df: DataFrame, path: str,
     meta["n_docs"] = int(meta["n_docs"]) + int(n_new)
     write_json_sidecar(spark, path, _EXACT_SIDECAR, meta)
     return meta
+
+
+def _heal_precompact(spark: SparkSession, *table_paths: str) -> None:
+    """Restore any table left in the crashed-compaction state (table dir
+    renamed away, ``<table>_precompact`` backup holding the data) before
+    it is read OR appended to. Probes would otherwise fail with a raw
+    path-does-not-exist error, and an APPEND would silently create a
+    fresh table containing only the increment, orphaning the backup —
+    so every read_*/append_* entry point heals first (two cheap
+    existence checks per table when nothing is wrong)."""
+    from . import fsio
+
+    for table_path in table_paths:
+        cur = table_path.rstrip("/")
+        old = cur + "_precompact"
+        if not fsio.hadoop_exists(spark, cur) and fsio.hadoop_exists(
+                spark, old):
+            if not fsio.hadoop_rename(spark, old, cur):
+                raise IOError(f"could not restore {old} -> {cur}")
 
 
 def _compact_table(spark: SparkSession, table_path: str,
@@ -915,10 +942,7 @@ def _compact_table(spark: SparkSession, table_path: str,
 
     cur = table_path.rstrip("/")
     old, tmp = cur + "_precompact", cur + "_compact_tmp"
-    # self-heal a crash between the swap renames
-    if not fsio.hadoop_exists(spark, cur) and fsio.hadoop_exists(spark, old):
-        if not fsio.hadoop_rename(spark, old, cur):
-            raise IOError(f"could not restore {old} -> {cur}")
+    _heal_precompact(spark, cur)  # crash between the swap renames
     df = spark.read.parquet(cur)
     n = df.count()
     part = (df.repartitionByRange(n_files, *order_cols) if n_files
@@ -1031,6 +1055,8 @@ def append_to_minhash_index(df: DataFrame, path: str,
     _check_increment_schema(df, meta)
     id_col = meta["id_col"]
     tcol = text_col or meta["text_col"]
+    _heal_precompact(spark, path.rstrip("/") + "/bands",
+                     path.rstrip("/") + "/sigs")
     base = df.where(F.col(id_col).isNotNull())
     sigs = minhash_signatures(
         base, tcol, id_col, meta["num_perm"], meta["shingle_k"],

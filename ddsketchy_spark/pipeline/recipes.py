@@ -262,9 +262,38 @@ def incremental_crawl_update(
     report["sequences_per_split"] = seqs
     report["seq_len"] = seq_len
 
-    # 9. index maintenance FIRST (survivors are final), then the sinks —
-    # a crash between the two leaves the indexes ahead of the shards,
-    # which re-running the crawl heals (all-duplicate increment = no-op)
+    # 9. durable sinks FIRST: the shards (and eval picks) ARE the
+    # product — they must be on disk before any cross-crawl state
+    # (indexes, rollup) advances. Crash before this point: nothing was
+    # mutated, a re-run recomputes identically. Crash after the shard
+    # write but before the index appends: the data is durable and the
+    # re-run recomputes the same survivors (indexes unchanged) and
+    # overwrites the same shard dir byte-for-byte before appending once.
+    # Crash after the appends: the re-run's increment drops entirely at
+    # the exact index (n_kept 0) — the guard below then REFUSES to
+    # overwrite the already-written shard generation with an empty one
+    # (a genuinely all-duplicate crawl never trips it: its version is
+    # fresh, so its shard dir does not exist yet). The version is
+    # pre-derived from the rollup (the last stage to advance), so a
+    # partially-completed crawl re-runs under the SAME version.
+    version = latest_version(spark, rollup_root) + 1
+    shards_path = f"{root}/shards/crawl={version}"
+    if report["n_kept"] == 0 and fsio.hadoop_exists(spark, shards_path):
+        report["shards_path"] = shards_path
+        report["shards_preserved_from_prior_run"] = True
+    else:
+        manifest = write_training_shards(
+            kept.where(F.col(id_col).isNotNull()),
+            shards_path, n_shards, id_col=id_col, mode=shard_mode)
+        report["shards"] = {k: manifest[k] for k in
+                            ("n_shards", "n_rows", "mode") if k in manifest}
+        report["shards_path"] = shards_path
+    if eval_df is not None:
+        eval_path = f"{root}/eval_picks/crawl={version}"
+        eval_df.write.mode("overwrite").parquet(eval_path)
+        report["eval_picks_path"] = eval_path
+
+    # 10. index maintenance (survivors are final and durable above)
     surv = kept.drop("split")
     if eval_df is not None:
         # eval picks join the indexes (leakage fence for future crawls)
@@ -282,12 +311,17 @@ def incremental_crawl_update(
         write_minhash_index(surv, minhash_path, text_col=text_col,
                             id_col=id_col, num_perm=num_perm, bands=bands)
 
-    # 10. rollup update (one snapshot per crawl) + drift vs previous
+    # 10a. rollup update (one snapshot per crawl) + drift vs previous
     agg = DDSketchAggregator(token_col, alpha=alpha,
                              quantiles=rollup_quantiles)
-    version = update_rollup(spark, rollup_root,
-                            kept.select(source_col, token_col), agg,
-                            [source_col])
+    v_rolled = update_rollup(spark, rollup_root,
+                             kept.select(source_col, token_col), agg,
+                             [source_col])
+    if v_rolled != version:
+        raise RuntimeError(
+            f"rollup advanced to v{v_rolled} but this crawl's sinks were "
+            f"written under v{version} — another writer ran concurrently; "
+            "single-writer per workdir is required")
     report["rollup_version"] = version
     if version >= 1:
         drift = rollup_drift(spark, rollup_root, agg, [source_col])
@@ -305,21 +339,6 @@ def incremental_crawl_update(
         compact_exact_index(spark, exact_path)
         compact_minhash_index(spark, minhash_path)
         report["indexes_compacted"] = ["exact", "minhash"]
-
-    # 11. this crawl's training shards (+ split column for the loader)
-    manifest = write_training_shards(
-        kept.where(F.col(id_col).isNotNull()),
-        f"{root}/shards/crawl={version}", n_shards, id_col=id_col,
-        mode=shard_mode)
-    report["shards"] = {k: manifest[k] for k in
-                        ("n_shards", "n_rows", "mode") if k in manifest}
-    report["shards_path"] = f"{root}/shards/crawl={version}"
-
-    # 12. persist this crawl's eval picks next to its shards
-    if eval_df is not None:
-        eval_path = f"{root}/eval_picks/crawl={version}"
-        eval_df.write.mode("overwrite").parquet(eval_path)
-        report["eval_picks_path"] = eval_path
 
     for frame in persisted:
         frame.unpersist()

@@ -237,26 +237,23 @@ def build_partials_direct_checkpointed(
                 key = split_key(fname, rg)
                 mpath = ckpt_dir.rstrip("/") + "/" + key + ".json"
 
-                def committed_blob(manifest: dict) -> bytes:
-                    # the blob the manifest's own attempt wrote (pre-r5
-                    # manifests fall back to the legacy fixed name)
-                    bname = manifest.get("blob", key + ".bin")
-                    bp = ckpt_dir.rstrip("/") + "/" + bname
+                def resolved_blob(manifest: dict) -> bytes:
+                    # split-specific lineage check, then the shared
+                    # commit-record resolution (checkpoint.committed_blob
+                    # — one protocol for both checkpoint flavors)
                     if manifest.get("agg_fp") != agg_fp or \
                             manifest.get("file_id") != file_id:
                         raise RuntimeError(
                             f"checkpoint lineage mismatch for split {key}: "
                             f"input file or aggregator config changed since "
                             f"the checkpoint; delete {ckpt_dir} to rebuild")
-                    if not fsio.fs_exists(bp):
-                        raise RuntimeError(
-                            f"checkpoint corrupted for split {key}: "
-                            f"manifest present but its blob {bname!r} is "
-                            f"missing; delete {ckpt_dir} to rebuild")
-                    return fsio.fs_read_bytes(bp)
+                    from .checkpoint import committed_blob
+
+                    return committed_blob(ckpt_dir, manifest, key + ".bin",
+                                          f"split {key}")
 
                 if fsio.fs_exists(mpath):
-                    blob = committed_blob(json.loads(fsio.fs_read_bytes(mpath)))
+                    blob = resolved_blob(json.loads(fsio.fs_read_bytes(mpath)))
                 else:
                     t0 = time.perf_counter()
                     if open_file is None or open_file[0] != fname:
@@ -288,7 +285,7 @@ def build_partials_direct_checkpointed(
                                 ckpt_dir.rstrip("/") + "/" + bname)
                         except OSError:
                             pass
-                        blob = committed_blob(
+                        blob = resolved_blob(
                             json.loads(fsio.fs_read_bytes(mpath)))
                 yield pa.RecordBatch.from_arrays(
                     [pa.array([blob], type=pa.binary())], names=["state"])

@@ -61,18 +61,27 @@ def _attempt_nonce() -> str:
     return f"{aid}-{time.time_ns():x}"
 
 
-def _committed_blob(ckpt_dir: str, manifest: dict, pid: int) -> bytes:
+def committed_blob(ckpt_dir: str, manifest: dict, legacy_name: str,
+                   what: str) -> bytes:
     """The blob a committed manifest references (``blob`` filename;
-    pre-r5 manifests fall back to the legacy fixed name). A missing blob
-    means the directory was externally modified — fail loudly."""
-    bname = manifest.get("blob", f"part-{pid:05d}.bin")
+    pre-r5 manifests fall back to ``legacy_name``). A missing blob means
+    the directory was externally modified — fail loudly. The single
+    commit-record resolution shared by the partition checkpoint (here)
+    and the direct-scan per-split checkpoint (``arrow_scan``), so the
+    manifest protocol cannot diverge between the two flavors."""
+    bname = manifest.get("blob", legacy_name)
     bpath = ckpt_dir.rstrip("/") + "/" + bname
     if not fsio.fs_exists(bpath):
         raise RuntimeError(
-            f"checkpoint corrupted for partition {pid}: manifest present "
+            f"checkpoint corrupted for {what}: manifest present "
             f"but its blob {bname!r} is missing; delete {ckpt_dir} to "
             "rebuild")
     return fsio.fs_read_bytes(bpath)
+
+
+def _committed_blob(ckpt_dir: str, manifest: dict, pid: int) -> bytes:
+    return committed_blob(ckpt_dir, manifest, f"part-{pid:05d}.bin",
+                          f"partition {pid}")
 
 
 def build_partials_checkpointed(

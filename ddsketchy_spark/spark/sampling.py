@@ -26,6 +26,7 @@ KEYS under a budget k that a 10^12-row table cannot move for.
 
 from __future__ import annotations
 
+import math
 from typing import Any, Sequence
 
 import pyarrow as pa
@@ -113,7 +114,8 @@ class WeightedSampleAggregator(SketchAggregator):
         keys = raw_column(table.column(self.key_col)).to_pylist()
         ws = raw_column(table.column(self.weight_col)).to_pylist()
         pairs = [(s, w) for s, w in zip(keys, ws)
-                 if s is not None and w is not None and w > 0]
+                 if s is not None and w is not None
+                 and w > 0 and math.isfinite(w)]
         if pairs:
             state.add_batch([p[0] for p in pairs], [p[1] for p in pairs])
 
@@ -190,13 +192,17 @@ def weighted_sample_native(df: DataFrame, key_col: str, weight_col: str,
     """Efraimidis-Spirakis bottom-k by rank = -ln(u01)/w as rows
     (by..., key, weight, rank). A key seen with several weights keeps its
     max weight (== the core's min-rank law: rank is decreasing in w).
-    Rows with NULL or non-positive weight never sample (matching the
-    aggregator's ingest filter)."""
+    Rows with NULL, non-positive, or non-finite weight never sample
+    (matching the aggregator's ingest filter: a +inf weight would pin
+    rank 0 here while the core raises — excluded on both engines, the
+    package's non-finite-ignore law)."""
     by = list(by or [])
     key = F.col(key_col).cast("string")
+    w_d = F.col(weight_col).cast("double")
     base = (df.where(F.col(key_col).isNotNull()
                      & F.col(weight_col).isNotNull()
-                     & (F.col(weight_col).cast("double") > 0))
+                     & (w_d > 0) & ~F.isnan(w_d)
+                     & (w_d < F.lit(float("inf"))))
             .select(*by, key.alias("key"),
                     F.col(weight_col).cast("double").alias("weight")))
     dedup = base.groupBy(*by, "key").agg(F.max("weight").alias("weight"))

@@ -507,3 +507,50 @@ def test_minhash_index_compaction(spark, tmp_path):
     assert {t: table_rows(t) for t in ("bands", "sigs")} == before
     assert sorted(map(tuple, minhash_pairs_against_index(
         inc, path).collect())) == before_probe
+
+
+def test_precompact_heal_on_probe_and_append(spark, tmp_path):
+    """A crash between compaction's swap renames leaves the table under
+    <table>_precompact; EVERY entry point self-heals — a probe restores
+    instead of failing on the missing dir, and an append restores
+    instead of silently creating a fresh table that orphans the backup
+    (r5 review fix)."""
+    from ddsketchy_spark.pipeline import fsio
+    from ddsketchy_spark.pipeline.dedup_index import (
+        append_to_exact_index,
+        append_to_minhash_index,
+        exact_matches_against_index,
+        read_exact_index,
+        read_minhash_index,
+        write_exact_index,
+        write_minhash_index,
+    )
+
+    mk = lambda lo, hi: spark.createDataFrame(
+        [(i, " ".join(f"w{i}x{j}" for j in range(12)))
+         for i in range(lo, hi)],
+        "doc_id long, text string")
+
+    # exact index: probe heals
+    ep = str(tmp_path / "healexact")
+    write_exact_index(mk(0, 10), ep)
+    assert fsio.hadoop_rename(spark, f"{ep}/digests",
+                              f"{ep}/digests_precompact")
+    inc = mk(3, 5).withColumn("doc_id", F.col("doc_id") + 1000)
+    assert exact_matches_against_index(inc, ep).count() == 2
+    # crash again: append heals and folds into the RESTORED table
+    assert fsio.hadoop_rename(spark, f"{ep}/digests",
+                              f"{ep}/digests_precompact")
+    append_to_exact_index(mk(10, 15), ep)
+    assert read_exact_index(spark, ep)[0].count() == 15
+    assert not fsio.hadoop_exists(spark, f"{ep}/digests_precompact")
+
+    # minhash index: read and append heal both tables
+    mp = str(tmp_path / "healmh")
+    write_minhash_index(mk(0, 6), mp, **KW)
+    for t in ("bands", "sigs"):
+        assert fsio.hadoop_rename(spark, f"{mp}/{t}",
+                                  f"{mp}/{t}_precompact")
+    append_to_minhash_index(mk(6, 8), mp)
+    bands_df, sigs_df, meta = read_minhash_index(spark, mp)
+    assert meta["n_docs"] == 8 and sigs_df.count() == 8

@@ -726,6 +726,15 @@ def test_clean_corpus_with_boilerplate_stage(spark):
                         boilerplate_kw={"min_docs": 50},
                         near_dedup_kw={"skip": True})
     assert all(banner in r["text"] for r in out2.collect())
+    # the JOIN engine's rewrite is an outer-column HOF on a joined
+    # frame; pin that it too survives the downstream self-joins at
+    # broadcast size (r5 review: verified safe on this Spark, kept
+    # pinned against regressions of the DeduplicateRelations rewrite)
+    out3 = clean_corpus(df, quality_kw={"min_words": 3},
+                        boilerplate_kw={"min_docs": 5, "engine": "join"},
+                        near_dedup_kw={"verify": "local", "num_perm": 32,
+                                       "bands": 8, "threshold": 0.95})
+    assert {r["doc_id"]: r["text"] for r in out3.collect()} == got
 
 
 def test_url_domain_operators(spark):

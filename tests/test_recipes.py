@@ -161,3 +161,66 @@ def test_eval_picks_held_out_and_fenced(spark, tmp_path):
         seq_len=128, n_shards=2)
     assert rep2["n_after_exact"] == 0
     assert rep2["n_kept"] == 0
+
+
+def test_crash_rerun_preserves_shards(spark, tmp_path):
+    """The stage-9-first ordering (r5 review fix): a crawl that crashed
+    AFTER its shard write and index appends but BEFORE its rollup update
+    re-runs under the SAME version, drops everything at the exact index,
+    and the guard preserves the already-written shard generation instead
+    of overwriting it with an empty one."""
+    from ddsketchy_spark.pipeline import fsio
+    from ddsketchy_spark.pipeline.recipes import incremental_crawl_update
+    from ddsketchy_spark.pipeline.shards import read_training_shards
+
+    work = str(tmp_path / "crashwork")
+    c1 = spark.createDataFrame(
+        [(i, _doc(i, "x1"), "srcA", 64) for i in range(12)], SCHEMA)
+    rep1 = incremental_crawl_update(c1, work, quality_kw=QKW, redact=False,
+                                    num_perm=64, bands=16, seq_len=128,
+                                    n_shards=2)
+    assert rep1["rollup_version"] == 0
+
+    c2 = spark.createDataFrame(
+        [(100 + i, _doc(i, "x2"), "srcA", 64) for i in range(7)], SCHEMA)
+    rep2 = incremental_crawl_update(c2, work, quality_kw=QKW, redact=False,
+                                    num_perm=64, bands=16, seq_len=128,
+                                    n_shards=2)
+    assert rep2["rollup_version"] == 1 and rep2["n_kept"] == 7
+    before = sorted(r["doc_id"] for r in
+                    read_training_shards(spark, rep2["shards_path"])[0]
+                    .collect())
+    assert len(before) == 7
+
+    # simulate the crash window: shards written, indexes appended, but
+    # the rollup never advanced — delete crawl 2's snapshot
+    assert fsio.hadoop_delete(spark, f"{work}/rollup/v=1")
+
+    # re-run crawl 2 as a scheduler would after a crash: the SAME pages
+    # re-ingested under FRESH ids (the probe's self-id exclusion means a
+    # same-id rerun instead keeps everything and overwrites the same
+    # bytes — benign either way). Same version (1), everything drops at
+    # the exact index, the guard refuses to clobber the durable shards,
+    # and the rollup catches up.
+    c2b = c2.withColumn("doc_id", F.col("doc_id") + 500)
+    rep2b = incremental_crawl_update(c2b, work, quality_kw=QKW,
+                                     redact=False, num_perm=64, bands=16,
+                                     seq_len=128, n_shards=2)
+    assert rep2b["n_kept"] == 0
+    assert rep2b["rollup_version"] == 1
+    assert rep2b["shards_preserved_from_prior_run"] is True
+    assert rep2b["shards_path"] == rep2["shards_path"]
+    after = sorted(r["doc_id"] for r in
+                   read_training_shards(spark, rep2b["shards_path"])[0]
+                   .collect())
+    assert after == before
+
+    # a genuinely all-duplicate LATER crawl still gets its own (empty)
+    # fresh generation — the guard never fires across versions
+    c3 = c2.withColumn("doc_id", F.col("doc_id") + 1000)
+    rep3 = incremental_crawl_update(c3, work, quality_kw=QKW, redact=False,
+                                    num_perm=64, bands=16, seq_len=128,
+                                    n_shards=2)
+    assert rep3["n_kept"] == 0 and rep3["rollup_version"] == 2
+    assert "shards_preserved_from_prior_run" not in rep3
+    assert rep3["shards_path"].endswith("crawl=2")

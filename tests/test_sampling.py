@@ -84,6 +84,12 @@ def test_kmv_serde_roundtrip_and_guards():
     other = KMVSample(k=8, seed=6)
     with pytest.raises(ValueError):
         sk.merge(other)
+    # spark hash kind: nonzero seed would be silently ignored -> reject
+    # (mirrors ThetaSketch); non-integer keys need the md5 kind
+    with pytest.raises(ValueError, match="seed=0"):
+        KMVSample(k=8, seed=1, hash_kind="spark")
+    with pytest.raises(TypeError, match="BIGINT"):
+        KMVSample(k=8, hash_kind="spark").add_batch(["not-a-number"])
 
 
 def test_kmv_spark_hash_kind_matches_xxhash64():
@@ -231,8 +237,11 @@ def test_weighted_ignores_nonpositive_and_null(spark):
 
     df = spark.createDataFrame(
         [("a", 2.0), ("b", 0.0), ("c", -1.0), ("d", None), (None, 3.0),
-         ("e", 1.0)],
+         ("e", 1.0), ("f", float("inf")), ("g", float("nan"))],
         "key string, w double")
+    # non-finite weights never sample in EITHER engine (inf would pin
+    # rank 0 in a naive native filter while the core raises — the r5
+    # review parity fix)
     native = weighted_sample_native(df, "key", "w", k=10)
     assert sorted(r["key"] for r in native.collect()) == ["a", "e"]
     res = weighted_sample_state(df, "key", "w", k=10)
