@@ -661,6 +661,56 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["vocab_coverage_documents"] = vocab_coverage_documents
 
+    def encode_bpe_documents(spark, sf):
+        """The tokenizer loop closed end-to-end (new r5, pipeline/bpe.py
+        bpe_vocab + encode_bpe): train 2 BPE merges on the documents'
+        word arrays, derive the deterministic vocabulary (base symbols
+        in binary order, then merges by rank), and encode every document
+        to array<int> ids — the north rule's own pre-tokenized input
+        shape, produced by the engine itself. Encoding is the stacked
+        codegen replace chain plus ONE vectorized mapInArrow id gather
+        (bounded vocab broadcast as a dict; only each batch's DISTINCT
+        symbols touch Python) — no shuffle, no join on the corpus side.
+        The oracle re-derives the merges, the vocabulary numbering, the
+        fusion, and every id sequence (as csv) row for row."""
+        from ddsketchy_spark.pipeline.bpe import (bpe_vocab, encode_bpe,
+                                                  train_bpe_merges)
+
+        docs = _load(spark, sf, "documents").where(
+            F.col("doc_id").isNotNull() & F.col("text").isNotNull())
+        w = docs.select("doc_id", F.split("text", " ").alias("w"))
+        merges = train_bpe_merges(w.select("w"), "w", n_merges=2,
+                                  min_count=1)
+        vocab = bpe_vocab(w, merges, "w", validate=False)
+        enc = encode_bpe(w, merges, arr_col="w", out_col="ids",
+                         vocab=vocab, validate=False)
+        return enc.select(
+            "doc_id",
+            F.size("ids").cast("long").alias("n_bpe"),
+            F.array_join(F.col("ids").cast("array<string>"), ",")
+             .alias("ids_csv"))
+
+    q["encode_bpe_documents"] = encode_bpe_documents
+
+    def bigram_logprob_documents(spark, sf):
+        """Stupid-backoff bigram LM quality scores (new r5,
+        pipeline/text.py bigram_logprob_scores — Brants et al. 2007):
+        top-400 bigram table scored c12/c1, everything else
+        0.4 * p_uni(w2) under the vocab-300 unigram law (both fallback
+        paths live at these cuts). Model tables are bounded and
+        broadcast; the scoring pass is the exploded pair stream through
+        two broadcast joins into a map-side-collapsing per-doc
+        aggregate. DuckDB re-derives the whole law row for row."""
+        from ddsketchy_spark.pipeline.text import bigram_logprob_scores
+
+        docs = _load(spark, sf, "documents").where(
+            F.col("doc_id").isNotNull())
+        return bigram_logprob_scores(
+            docs, vocab_size=300, bigram_size=400).select(
+            "doc_id", "n_bigrams", "bigram_nll", "backoff_frac")
+
+    q["bigram_logprob_documents"] = bigram_logprob_documents
+
     def mixture_sample_documents(spark, sf):
         """Training-data mixture sampling to per-source token budgets
         (new r4): src0 downsampled (~0.5x), src1 upsampled (~2.3x with
@@ -2636,6 +2686,103 @@ SELECT * FROM (
   UNION ALL SELECT 4, a, b, cnt FROM b4
 ) m ORDER BY merge_round
 """)
+    # Encode oracle: re-derive the 2 merges (same corpus-wide rounds as
+    # the training oracle above, under the encode query's id+text filter),
+    # the vocabulary numbering (base symbols by binary order via
+    # row_number, then merges at B, B+1), the per-doc fusion (replace()
+    # shares F.replace's left-to-right non-overlapping scan), and every
+    # id sequence as csv.
+    _enc_sd = """
+sd{k} AS (
+  SELECT doc_id, replace(s,
+    chr(31)||(SELECT a FROM b{k})||chr(31)||chr(31)
+            ||(SELECT b FROM b{k})||chr(31),
+    chr(31)||(SELECT a FROM b{k})||chr(30)
+            ||(SELECT b FROM b{k})||chr(31)) AS s
+  FROM sd{p}
+)"""
+    o["encode_bpe_documents"] = ("""
+WITH s0 AS (
+  SELECT chr(31) || array_to_string(string_split(text, ' '),
+                                    chr(31)||chr(31)) || chr(31) AS s
+  FROM documents
+  WHERE doc_id IS NOT NULL AND text IS NOT NULL
+    AND len(string_split(text, ' ')) >= 2
+),""" + ",".join(_bpe_round.format(k=k, p=k - 1) for k in (1, 2)) + """,
+base AS (
+  SELECT DISTINCT unnest(string_split(text, ' ')) AS symbol
+  FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL
+),
+nb AS (SELECT count(*) AS b FROM base),
+vocab AS (
+  SELECT symbol, row_number() OVER (ORDER BY symbol) - 1 AS tok_id
+  FROM base
+  UNION ALL
+  SELECT (SELECT a FROM b1)||chr(30)||(SELECT b FROM b1), (SELECT b FROM nb)
+  UNION ALL
+  SELECT (SELECT a FROM b2)||chr(30)||(SELECT b FROM b2),
+         (SELECT b FROM nb) + 1
+),
+sd0 AS (
+  SELECT doc_id, chr(31) || array_to_string(string_split(text, ' '),
+                                            chr(31)||chr(31)) || chr(31) AS s
+  FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL
+),""" + ",".join(_enc_sd.format(k=k, p=k - 1) for k in (1, 2)) + """,
+toks AS (
+  SELECT doc_id, unnest(l) AS symbol, unnest(range(1, len(l) + 1)) AS pos
+  FROM (SELECT doc_id, string_split(substring(s, 2, length(s) - 2),
+                                    chr(31)||chr(31)) AS l
+        FROM sd2) t
+)
+SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_bpe,
+       array_to_string(list(CAST(v.tok_id AS VARCHAR) ORDER BY t.pos),
+                       ',') AS ids_csv
+FROM toks t JOIN vocab v USING (symbol)
+GROUP BY t.doc_id
+""")
+    o["bigram_logprob_documents"] = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w
+  FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL
+),
+counts AS (SELECT w, count(*) AS c FROM toks WHERE w <> '' GROUP BY w),
+tot AS (SELECT CAST(sum(c) AS DOUBLE) AS tot FROM counts),
+vocab AS (SELECT w, c FROM counts ORDER BY c DESC, w LIMIT 300),
+prs AS (
+  SELECT doc_id, unnest(l[1:len(l)-1]) AS w1, unnest(l[2:len(l)]) AS w2
+  FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents
+        WHERE doc_id IS NOT NULL AND text IS NOT NULL) t
+  WHERE len(l) >= 2
+),
+pairs AS (SELECT doc_id, w1, w2 FROM prs WHERE w1 <> '' AND w2 <> ''),
+bt AS (SELECT w1, w2, count(*) AS c12 FROM pairs GROUP BY w1, w2
+       ORDER BY c12 DESC, w1, w2 LIMIT 400),
+model AS (
+  SELECT bt.w1, bt.w2, CAST(bt.c12 AS DOUBLE) / counts.c AS s12
+  FROM bt JOIN counts ON bt.w1 = counts.w
+),
+lp AS (
+  SELECT p.doc_id,
+         CASE WHEN m.s12 IS NOT NULL THEN ln(m.s12)
+              ELSE ln(0.4) + ln(CAST(COALESCE(v.c, 1) AS DOUBLE))
+                   - ln((SELECT tot FROM tot))
+         END AS lp,
+         CASE WHEN m.s12 IS NULL THEN 1.0 ELSE 0.0 END AS bo
+  FROM pairs p
+  LEFT JOIN model m ON p.w1 = m.w1 AND p.w2 = m.w2
+  LEFT JOIN vocab v ON p.w2 = v.w
+),
+per AS (SELECT doc_id, count(*) AS n_bigrams,
+               round(-avg(lp), 6) AS bigram_nll,
+               round(avg(bo), 6) AS backoff_frac
+        FROM lp GROUP BY doc_id)
+SELECT d.doc_id,
+       CAST(COALESCE(per.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+       COALESCE(per.bigram_nll, -1.0) AS bigram_nll,
+       COALESCE(per.backoff_frac, -1.0) AS backoff_frac
+FROM documents d LEFT JOIN per USING (doc_id)
+WHERE d.doc_id IS NOT NULL
+"""
     o["vocab_coverage_documents"] = """
 WITH toks AS (
   SELECT source, unnest(string_split(text, ' ')) AS tok

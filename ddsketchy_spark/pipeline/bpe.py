@@ -42,7 +42,13 @@ is pipeline scope (tokens payload), same family as
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from typing import Iterator
+
+import numpy as np
+import pyarrow as pa
+
+from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql.types import ArrayType, IntegerType, StructField, StructType
 
 SEP = "\x1f"   # unit separator: symbol boundary
 JOIN = "\x1e"  # record separator: glues the two halves of a merged symbol
@@ -169,6 +175,16 @@ def train_bpe_merges(
     return spark.createDataFrame(merges, _MERGE_SCHEMA)
 
 
+def _merge_pairs(merges) -> list[tuple[str, str]]:
+    """Normalize a merge table (``train_bpe_merges``'s DataFrame — rank
+    order restored by ``merge_round`` — or a list of ``(left, right)``
+    pairs already in rank order) to a bounded driver-side pair list."""
+    if isinstance(merges, DataFrame):
+        rows = merges.orderBy("merge_round").collect()
+        return [(r["left_tok"], r["right_tok"]) for r in rows]
+    return [(str(a), str(b)) for a, b in merges]
+
+
 def apply_bpe_merges(
     df: DataFrame,
     merges,
@@ -190,11 +206,7 @@ def apply_bpe_merges(
     reproduces the trainer's final sequences exactly (round-trip test).
     Rows whose array is NULL get NULL; arrays shorter than 2 pass
     through unfused (cast to string symbols)."""
-    if isinstance(merges, DataFrame):
-        rows = merges.orderBy("merge_round").collect()
-        pairs = [(r["left_tok"], r["right_tok"]) for r in rows]
-    else:
-        pairs = [(str(a), str(b)) for a, b in merges]
+    pairs = _merge_pairs(merges)
     if validate:
         _validate_symbols(df, arr_col)
     a = F.col(arr_col)
@@ -209,3 +221,141 @@ def apply_bpe_merges(
         out_col, F.when(a.isNull(), F.lit(None).cast("array<string>"))
                   .when(F.size(a) == 0, F.array().cast("array<string>"))
                   .otherwise(fused))
+
+
+def bpe_vocab(
+    df: DataFrame,
+    merges,
+    arr_col: str = "tokens",
+    validate: bool = True,
+) -> DataFrame:
+    """Deterministic BPE vocabulary ``(tok_id int, symbol string, kind)``
+    for a learned merge table: ids ``0..B-1`` are the corpus's distinct
+    BASE symbols in ascending binary order (Spark and DuckDB both compare
+    strings bytewise, so the numbering is cross-engine exact), ids
+    ``B..B+M-1`` are the merged symbols (``left + "\\x1e" + right``) in
+    merge-rank order — the id layout real BPE tokenizers ship (base
+    alphabet first, merges by rank). Merged symbols always contain the
+    ``\\x1e`` glue and base symbols never do (validated), so the two
+    ranges can never collide.
+
+    Scale shape: one explode + map-side-combining distinct (shuffle is
+    O(distinct symbols)); the dense numbering is a single-task
+    ``row_number`` over the distinct-symbol frame — a vocabulary is a
+    bounded artifact by definition (it is about to be collected into
+    every encoder task), so the one-task final is the honest cost, not a
+    bottleneck. ``kind`` is 'base' or 'merge' — never NULL."""
+    if validate:
+        _validate_symbols(df, arr_col)
+    pairs = _merge_pairs(merges)
+    spark = df.sparkSession
+    a = F.col(arr_col)
+    base = (df.where(a.isNotNull())
+            .select(F.explode(a.cast("array<string>")).alias("symbol"))
+            .distinct())
+    basev = base.select(
+        (F.row_number().over(Window.orderBy("symbol")) - 1)
+        .cast("int").alias("tok_id"),
+        "symbol", F.lit("base").alias("kind"))
+    if not pairs:
+        return basev
+    nb = base.agg(F.count(F.lit(1)).cast("int").alias("_b"))
+    mdf = spark.createDataFrame(
+        [(i, lt + JOIN + rt) for i, (lt, rt) in enumerate(pairs)],
+        "rank int, symbol string")
+    mergev = (mdf.crossJoin(F.broadcast(nb))
+              .select((F.col("_b") + F.col("rank")).cast("int")
+                      .alias("tok_id"),
+                      "symbol", F.lit("merge").alias("kind")))
+    return basev.unionByName(mergev)
+
+
+def encode_bpe(
+    df: DataFrame,
+    merges,
+    arr_col: str = "tokens",
+    out_col: str = "tok_ids",
+    vocab: DataFrame | None = None,
+    unk_id: int | None = None,
+    validate: bool = True,
+) -> DataFrame:
+    """Encode token arrays to ``array<int>`` BPE ids — the full tokenizer
+    loop closed: ``train_bpe_merges`` -> ``bpe_vocab`` -> ``encode_bpe``
+    produces exactly the pre-tokenized table shape this engine's north
+    rule consumes (``tokens: array<int32>``).
+
+    Appends ``out_col``: ``arr_col`` fused by every merge in rank order
+    (``apply_bpe_merges``'s single stacked codegen projection — no
+    shuffle) then mapped symbol -> id through the vocabulary. The id
+    lookup is one vectorized mapInArrow projection: the bounded vocab
+    broadcasts as a plain dict, each Arrow batch's flattened symbols are
+    dictionary-encoded so only the batch's DISTINCT symbols (bounded by
+    the vocab, not the token count) touch Python, and ids come from one
+    NumPy gather — no join, no shuffle, no per-token Python. The corpus
+    never leaves its input partitioning.
+
+    ``vocab`` defaults to ``bpe_vocab(df, merges, arr_col)`` (self-
+    trained corpora never see OOV); pass a persisted vocabulary to encode
+    NEW text, with ``unk_id`` the id for symbols outside it (default
+    None = raise, the safe mode for training-corpus encoding). NULL
+    arrays stay NULL; empty arrays encode to empty."""
+    spark = df.sparkSession
+    if vocab is None:
+        # apply_bpe_merges below validates the same frame — skip the
+        # duplicate one-pass check here
+        vocab = bpe_vocab(df, merges, arr_col, validate=False)
+    vrows = vocab.select("symbol", "tok_id").collect()  # bounded artifact
+    vmap = {r["symbol"]: int(r["tok_id"]) for r in vrows}
+    if len(vmap) != len(vrows):
+        raise ValueError("vocabulary contains duplicate symbols")
+    fused_col = "_bpe_fused"
+    if fused_col in df.columns or out_col in df.columns:
+        raise ValueError(f"df already has a {fused_col!r}/{out_col!r} column")
+    with_f = apply_bpe_merges(df, merges, arr_col, out_col=fused_col,
+                              validate=validate)
+    with_f = with_f.withColumn(
+        fused_col, F.coalesce(F.col(fused_col),
+                              F.array().cast("array<string>")))
+    names = df.columns
+    fi = len(names)  # fused column appended last
+    out_schema = StructType(list(df.schema.fields)
+                            + [StructField(out_col,
+                                           ArrayType(IntegerType()))])
+    bc = spark.sparkContext.broadcast(vmap)
+    unk = None if unk_id is None else int(unk_id)
+
+    def run(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        vm = bc.value
+        for batch in batches:
+            if not batch.num_rows:
+                continue
+            fc = batch.column(fi)
+            offs = fc.offsets.to_numpy().astype(np.int64)
+            offs = offs - offs[0]
+            flat = fc.flatten()
+            if len(flat):
+                de = flat.dictionary_encode()
+                dic = de.dictionary.to_pylist()
+                lut = np.empty(len(dic), dtype=np.int32)
+                for j, sym in enumerate(dic):
+                    v = vm.get(sym, unk)
+                    if v is None:
+                        raise ValueError(
+                            f"symbol {sym!r} is not in the vocabulary and "
+                            "no unk_id was given")
+                    lut[j] = v
+                ids = lut[de.indices.to_numpy().astype(np.int64)]
+            else:
+                ids = np.empty(0, dtype=np.int32)
+            out = pa.ListArray.from_arrays(
+                pa.array(offs, type=pa.int32()),
+                pa.array(ids, type=pa.int32()))
+            yield pa.RecordBatch.from_arrays(
+                [batch.column(i) for i in range(fi)] + [out],
+                names=names + [out_col])
+
+    res = with_f.mapInArrow(run, out_schema)
+    return res.withColumn(
+        out_col, F.when(F.col(arr_col).isNull(),
+                        F.lit(None).cast("array<int>"))
+                  .otherwise(F.col(out_col)))

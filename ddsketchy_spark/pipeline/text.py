@@ -769,6 +769,99 @@ def unigram_logprob_scores(
             }))
 
 
+def bigram_logprob_scores(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    vocab_size: int = 65536,
+    bigram_size: int = 1 << 18,
+    backoff: float = 0.4,
+) -> DataFrame:
+    """Stupid-backoff bigram language-model quality score, self-trained
+    on the corpus — the web-scale LM scheme of Brants et al. 2007 ("Large
+    Language Models in Machine Translation": score s(w2|w1) =
+    count(w1,w2)/count(w1) when the bigram is known, else a fixed
+    backoff factor times the unigram score; no normalization, designed
+    exactly for corpus-sized models), layered on
+    ``unigram_logprob_scores``'s deterministic unigram core.
+
+    Law: tokens are the non-empty ``split(text, ' ')`` words. Scoreable
+    positions are the ADJACENT pairs of the raw split array whose two
+    words are both non-empty (adjacency is defined on the raw array, so
+    a doubled space breaks it — the cross-engine-exact form). The bigram
+    model is the top ``bigram_size`` pairs by ``(count DESC, w1 ASC,
+    w2 ASC)`` — a total order, bit-reproducible — scored as
+    ``count(w1,w2)/count(w1)`` with the FULL unigram count in the
+    denominator; pairs outside it back off to ``backoff * p_uni(w2)``
+    where ``p_uni`` is the unigram scorer's law (top ``vocab_size``
+    vocabulary, ``count/total`` inside it, ``1/total`` OOV floor). Per
+    document: ``bigram_nll = round(-mean(ln s), 6)`` (nats, higher =
+    more surprising), ``backoff_frac = round(mean(pair not in model),
+    6)``, ``n_bigrams``. Unscoreable rows (NULL id/text, < 2 tokens, no
+    non-empty adjacent pair) keep sentinels ``(0, -1.0, -1.0)`` — never
+    NULL doubles (oracle-comparator convention).
+
+    Scale shape — two corpus passes (train, then score), every model
+    table bounded: word counts shuffle O(distinct words), pair counts
+    shuffle O(distinct pairs) (both map-side-combining, Zipf-friendly;
+    pairs are built by the codegen zip-slice, no HOF lambda); the
+    ``bigram_size``-row model joins its denominators once at build time
+    and then BROADCASTS, as does the vocabulary, so the scoring pass is
+    the exploded pair stream flowing through two broadcast hash joins
+    into a per-doc aggregate that collapses map-side (one shuffle row
+    per document). No window, no Python, no unbounded join side."""
+    if not (0.0 < backoff <= 1.0):
+        raise ValueError("backoff must be in (0, 1]")
+    toks = (df.where(F.col(id_col).isNotNull())
+            .select(id_col, F.explode(_words(text_col)).alias("_w"))
+            .where(F.col("_w") != ""))
+    counts = toks.groupBy("_w").agg(F.count(F.lit(1)).alias("_cnt"))
+    tot = counts.agg(F.sum("_cnt").cast("double").alias("_tot"))
+    vocab = counts.orderBy(F.desc("_cnt"), F.asc("_w")).limit(int(vocab_size))
+    l = _words(text_col)
+    n = F.size(l)
+    pr = F.arrays_zip(F.slice(l, 1, n - 1).alias("a"),
+                      F.slice(l, 2, n - 1).alias("b"))
+    pairs = (df.where(F.col(id_col).isNotNull() & F.col(text_col).isNotNull())
+             .where(n >= 2)
+             .select(id_col, F.explode(pr).alias("_p"))
+             .select(id_col, F.col("_p.a").alias("_w1"),
+                     F.col("_p.b").alias("_w2"))
+             .where((F.col("_w1") != "") & (F.col("_w2") != "")))
+    bigrams = (pairs.groupBy("_w1", "_w2").agg(F.count(F.lit(1)).alias("_c12"))
+               .orderBy(F.desc("_c12"), F.asc("_w1"), F.asc("_w2"))
+               .limit(int(bigram_size)))
+    model = (bigrams
+             .join(counts.select(F.col("_w").alias("_w1"),
+                                 F.col("_cnt").alias("_c1")), "_w1")
+             .select("_w1", "_w2",
+                     (F.col("_c12").cast("double") / F.col("_c1"))
+                     .alias("_s12")))
+    v2 = vocab.select(F.col("_w").alias("_w2"), F.col("_cnt").alias("_cv2"))
+    lp = (pairs.join(F.broadcast(model), ["_w1", "_w2"], "left")
+          .join(F.broadcast(v2), "_w2", "left")
+          .crossJoin(F.broadcast(tot))
+          .select(id_col,
+                  F.when(F.col("_s12").isNotNull(), F.log("_s12"))
+                   .otherwise(F.log(F.lit(float(backoff)))
+                              + F.log(F.coalesce(F.col("_cv2"), F.lit(1))
+                                      .cast("double"))
+                              - F.log(F.col("_tot"))).alias("_lp"),
+                  F.col("_s12").isNull().cast("double").alias("_bo")))
+    per_doc = lp.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.round(-F.avg("_lp"), 6).alias("bigram_nll"),
+        F.round(F.avg("_bo"), 6).alias("backoff_frac"))
+    return (df.join(per_doc, id_col, "left")
+            .withColumns({
+                "n_bigrams": F.coalesce(F.col("n_bigrams"),
+                                        F.lit(0).cast("long")),
+                "bigram_nll": F.coalesce(F.col("bigram_nll"), F.lit(-1.0)),
+                "backoff_frac": F.coalesce(F.col("backoff_frac"),
+                                           F.lit(-1.0)),
+            }))
+
+
 def exact_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Deterministic whole-document fingerprint (md5 of normalized text) —
     the exact-dedup key, portable across engines."""

@@ -17,6 +17,8 @@ from pyspark.sql import functions as F
 from ddsketchy_spark.pipeline.bpe import (
     JOIN,
     apply_bpe_merges,
+    bpe_vocab,
+    encode_bpe,
     train_bpe_merges,
 )
 
@@ -137,6 +139,76 @@ def test_early_stop_and_empty(spark):
                            "pair_count"]
     # n_merges=0 is a no-op with the same schema
     assert train_bpe_merges(df, "w", n_merges=0).count() == 0
+
+
+def _ref_vocab(seqs, merges):
+    """Reference vocab law: base symbols ascending, then merges by rank."""
+    base = sorted({str(t) for s in seqs if s is not None for t in s})
+    ids = {sym: i for i, sym in enumerate(base)}
+    for _r, a, b, _c in merges:
+        ids[a + JOIN + b] = len(ids)
+    return ids
+
+
+def test_bpe_vocab_and_encode_roundtrip(spark):
+    texts = ["the cat sat on the mat and the cat ran",
+             "the cat sat on the hat", "a cat and a dog and a cat"]
+    seqs = [t.split(" ") for t in texts]
+    df = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(seqs)]
+        + [(99, None), (98, []), (97, ["lonely"])],
+        "i int, w array<string>")
+    mdf = train_bpe_merges(df, "w", n_merges=4)
+    merges, _ = _ref_train(seqs, 4)
+    want_ids = _ref_vocab(seqs + [["lonely"]], merges)
+
+    vdf = bpe_vocab(df, mdf, "w")
+    got_vocab = {r["symbol"]: r["tok_id"]
+                 for r in vdf.collect()}
+    assert got_vocab == want_ids
+    kinds = {r["symbol"]: r["kind"] for r in vdf.collect()}
+    assert all(k == ("merge" if JOIN in s else "base")
+               for s, k in kinds.items())
+    # dense contiguous ids
+    assert sorted(got_vocab.values()) == list(range(len(got_vocab)))
+
+    enc = encode_bpe(df, mdf, "w", out_col="ids")
+    got = {r["i"]: r["ids"] for r in enc.collect()}
+    # reference: fuse every merge in rank order, then map to vocab ids
+    for i, s in enumerate(seqs):
+        cur = [str(t) for t in s]
+        for _r, a, b, _c in merges:
+            cur = _ref_fuse(cur, a, b, a + JOIN + b)
+        assert got[i] == [want_ids[sym] for sym in cur], f"doc {i}"
+    assert got[99] is None and got[98] == []
+    assert got[97] == [want_ids["lonely"]]
+    # original columns survive; output type is array<int>
+    assert dict(enc.dtypes)["ids"] == "array<int>"
+    assert set(enc.columns) == {"i", "w", "ids"}
+
+
+def test_encode_bpe_oov_and_guards(spark):
+    df = spark.createDataFrame([(0, ["a", "b", "a", "b"])],
+                               "i int, w array<string>")
+    mdf = train_bpe_merges(df, "w", n_merges=1)
+    vocab = bpe_vocab(df, mdf, "w")
+    new = spark.createDataFrame([(1, ["a", "zzz"])], "i int, w array<string>")
+    # OOV without unk_id -> loud failure
+    with pytest.raises(Exception, match="not in the vocabulary"):
+        encode_bpe(new, mdf, "w", vocab=vocab).collect()
+    # OOV with unk_id -> mapped
+    got = encode_bpe(new, mdf, "w", out_col="ids", vocab=vocab,
+                     unk_id=-1).first()["ids"]
+    vm = {r["symbol"]: r["tok_id"] for r in vocab.collect()}
+    assert got == [vm["a"], -1]
+    # duplicate vocab symbols refused
+    dup = vocab.unionByName(vocab)
+    with pytest.raises(ValueError, match="duplicate"):
+        encode_bpe(new, mdf, "w", vocab=dup, unk_id=-1)
+    # column-collision guard
+    clash = df.withColumn("tok_ids", F.lit(1))
+    with pytest.raises(ValueError, match="column"):
+        encode_bpe(clash, mdf, "w")
 
 
 def test_validation_rejects_bad_symbols(spark):

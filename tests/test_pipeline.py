@@ -1559,6 +1559,76 @@ def test_unigram_logprob_scores(spark):
         assert got == exp
 
 
+def test_bigram_logprob_scores(spark):
+    """Stupid-backoff bigram LM law re-derived in pure Python: top-B
+    (count DESC, pair ASC) bigram table scored count(w1,w2)/count(w1),
+    everything else backoff*p_uni(w2) under the unigram scorer's vocab
+    law; adjacency on the raw split array with both words non-empty;
+    sentinels for unscoreable docs; invariant to repartitioning."""
+    import math
+    from collections import Counter
+
+    from ddsketchy_spark.pipeline.text import bigram_logprob_scores
+
+    rows = [
+        (1, "the cat sat on the mat"),
+        (2, "the cat sat on the hat and the cat ran"),
+        (3, "rare birds fly"),
+        (4, ""),                 # no tokens -> sentinels
+        (5, None),               # NULL text -> sentinels
+        (None, "the cat"),       # NULL id: not scored, not trained on
+        (6, "cat  mat"),         # doubled space breaks adjacency -> 0 pairs
+        (7, "solo"),             # single token -> sentinels
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    V, B, A = 4, 3, 0.4          # small cuts force OOV + backoff paths
+
+    toks = {i: (t or "").split(" ") for i, t in rows if i is not None}
+    words = {i: [w for w in ws if w] for i, ws in toks.items()}
+    cnt = Counter(w for ws in words.values() for w in ws)
+    total = float(sum(cnt.values()))
+    vocab = dict(sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:V])
+    pairs_all: Counter = Counter()
+    doc_pairs = {}
+    for i, l in toks.items():
+        ps = [(l[j], l[j + 1]) for j in range(len(l) - 1)
+              if l[j] and l[j + 1]]
+        doc_pairs[i] = ps
+        pairs_all.update(ps)
+    table = dict(sorted(pairs_all.items(),
+                        key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))[:B])
+    # both fallback paths are live in this corpus
+    assert any(p not in table for ps in doc_pairs.values() for p in ps)
+    assert any(w2 not in vocab for ps in doc_pairs.values()
+               for (_w1, w2) in ps if (_w1, w2) not in table)
+    exp = {}
+    for i, ps in doc_pairs.items():
+        if not ps:
+            exp[i] = (0, -1.0, -1.0)
+            continue
+        lps, bos = [], []
+        for (w1, w2) in ps:
+            if (w1, w2) in table:
+                lps.append(math.log(table[(w1, w2)] / cnt[w1]))
+                bos.append(0.0)
+            else:
+                lps.append(math.log(A) + math.log(float(vocab.get(w2, 1)))
+                           - math.log(total))
+                bos.append(1.0)
+        exp[i] = (len(ps), round(-sum(lps) / len(ps), 6),
+                  round(sum(bos) / len(ps), 6))
+    exp[None] = (0, -1.0, -1.0)
+
+    for frame in (df, df.repartition(5)):
+        got = {r["doc_id"]: (r["n_bigrams"], r["bigram_nll"],
+                             r["backoff_frac"])
+               for r in bigram_logprob_scores(
+                   frame, vocab_size=V, bigram_size=B, backoff=A).collect()}
+        assert got == exp
+    with pytest.raises(ValueError, match="backoff"):
+        bigram_logprob_scores(df, backoff=0.0)
+
+
 def test_token_count_regex_law(spark):
     """The regexp_count stopword/marker law must equal the split-on-space
     token-equality law on every boundary case: trailing newline is NOT a

@@ -473,6 +473,47 @@ def main() -> None:
                 r"FlatMapGroupsInPandas", r"(MapInArrow|PythonMapInArrow)"],
     )
 
+    # BPE encode (explicit vocab): the whole tokenizer application is the
+    # stacked literal-replace codegen projection plus ONE vectorized
+    # mapInArrow id gather — the corpus side has NO exchange, no join, no
+    # window, no per-row Python
+    from ddsketchy_spark.pipeline.bpe import encode_bpe
+
+    vocab_df = spark.createDataFrame(
+        [(0, "the"), (1, "cat"), (2, "the\x1ecat")],
+        "tok_id int, symbol string")
+    enc = encode_bpe(
+        docs.where(F.col("text").isNotNull())
+            .select(F.split("text", " ").alias("w")),
+        [("the", "cat")], arr_col="w", vocab=vocab_df, unk_id=0,
+        validate=False)
+    results["bpe_encode"] = audit(
+        "bpe_encode", enc,
+        want=[r"replace\(", r"(MapInArrow|PythonMapInArrow)",
+              r"ReadSchema: struct<text:string>"],
+        reject=[r"Exchange", r"Join", r"Window\b", r"BatchEvalPython",
+                r"ArrowEvalPython", r"FlatMapGroupsInPandas"],
+    )
+
+    # stupid-backoff bigram LM scores: the bounded model tables broadcast
+    # onto the exploded pair stream (BroadcastHashJoin), the per-doc
+    # aggregate combines map-side — no window, no Python, no cartesian
+    # (the 1-row total attach is a broadcast nested loop by design, like
+    # the unigram scorer's)
+    from ddsketchy_spark.pipeline.text import bigram_logprob_scores
+
+    bg = bigram_logprob_scores(
+        docs.where(F.col("doc_id").isNotNull()),
+        vocab_size=300, bigram_size=400)
+    results["bigram_scores"] = audit(
+        "bigram_scores", bg,
+        want=[r"BroadcastHashJoin.*LeftOuter", r"partial_count",
+              r"Arguments: explode\("],
+        reject=[r"CartesianProduct", r"Window\b", r"BatchEvalPython",
+                r"ArrowEvalPython", r"FlatMapGroupsInPandas",
+                r"(MapInArrow|PythonMapInArrow)"],
+    )
+
     # sessionize: map-side PARTIAL session aggregation before the single
     # user_id exchange, JVM-side MergingSessions — never a window over
     # raw event rows, zero Python
