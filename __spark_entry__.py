@@ -1220,6 +1220,124 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ann_query_ivf_embeddings"] = ann_query_ivf_embeddings
 
+    def pq_ann_embeddings(spark, sf):
+        """Product-quantized ANN (pipeline/pq.py): 64-dim float vectors
+        compressed to 8-byte codes (64x vs float64), queried via ADC
+        (asymmetric distance computation — the query stays unquantized,
+        scoring is m table lookups per row). The engine's (set, score)
+        output is re-derived driver-side in NumPy from the collected
+        code table — exact parity, not a recall threshold — plus the
+        self-find and code-width guarantees. The oracle anchors n_vecs."""
+        import numpy as np
+
+        from ddsketchy_spark.pipeline.pq import (
+            _adc_lut, _adc_scores, ann_query_pq, pq_encode,
+            train_pq_codebooks)
+
+        emb = _load(spark, sf, "embeddings")
+        books = train_pq_codebooks(emb, m=8, nbits=8, train_rows=10_000,
+                                   seed=11)
+        enc = pq_encode(emb, books)
+        code_rows = enc.collect()
+        qrows = (emb.filter("vec_id IN (0, 1, 2)").orderBy("vec_id")
+                 .select("vec_id", "embedding").collect())
+        Q = np.asarray([r["embedding"] for r in qrows], dtype=np.float64)
+        res = ann_query_pq(enc, books, Q, k=5, query_ids=[0, 1, 2])
+        got = {(r["query_id"], r["id"]): r["score"] for r in res.collect()}
+        codes_8 = all(len(r["codes"]) == 8 for r in code_rows)
+        ids = np.asarray([r["id"] for r in code_rows])
+        codes = np.stack([np.frombuffer(r["codes"], dtype=np.uint8)
+                          for r in code_rows])
+        Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+        sims = _adc_scores(_adc_lut(Qn, books), codes)  # (n, 3)
+        law = {}
+        for qi in range(3):
+            order = sorted(range(len(ids)),
+                           key=lambda i: (-sims[i, qi], ids[i]))[:5]
+            for i in order:
+                law[(qi, int(ids[i]))] = sims[i, qi]
+        matches = (set(got) == set(law) and
+                   all(abs(got[k2] - law[k2]) < 1e-9 for k2 in law))
+        self_found = all(
+            (qi, qi) in got and
+            got[(qi, qi)] >= max(v for k2, v in got.items()
+                                 if k2[0] == qi) - 1e-9
+            for qi in range(3))
+        return spark.createDataFrame(
+            [(int(len(code_rows)), bool(matches), bool(self_found),
+              bool(codes_8))],
+            "n_vecs long, engine_matches_law boolean, self_found boolean, "
+            "codes_8_bytes boolean")
+
+    q["pq_ann_embeddings"] = pq_ann_embeddings
+
+    def ivf_pq_ann_embeddings(spark, sf):
+        """IVFADC (Jégou 2011) served FROM DISK: coarse inverted lists
+        (partitionBy(cluster) layout, cluster IN probe pruning) + PQ of
+        the residual, centroids and codebooks in one sidecar. The probe
+        (n_probe=4 of 8 lists) is re-derived driver-side in NumPy —
+        same probed-cluster eligibility, same q·centroid + ADC(residual)
+        score, exact (set, score) parity — plus self-find and the
+        sidecar bit-round-trip. The oracle anchors n_vecs."""
+        import shutil
+        import tempfile
+
+        import numpy as np
+
+        from ddsketchy_spark.pipeline.pq import (
+            _adc_lut, _adc_scores, ann_query_ivf_pq, ivf_pq_index,
+            read_ivf_pq_index, write_ivf_pq_index)
+
+        emb = _load(spark, sf, "embeddings")
+        idx, cents, books = ivf_pq_index(emb, n_clusters=8, m=8, nbits=8,
+                                         train_rows=10_000, seed=11)
+        tmp = tempfile.mkdtemp(prefix="ddsketchy_ivfpq_")
+        try:
+            path = f"{tmp}/index"
+            write_ivf_pq_index(idx, cents, books, path)
+            stored, cents_d, books_d, _meta = read_ivf_pq_index(spark, path)
+            sidecar_ok = (cents_d == cents).all() and (books_d == books).all()
+            member_rows = stored.select("id", "cluster", "codes").collect()
+            qrows = (emb.filter("vec_id IN (0, 1, 2)").orderBy("vec_id")
+                     .select("vec_id", "embedding").collect())
+            Q = np.asarray([r["embedding"] for r in qrows],
+                           dtype=np.float64)
+            res = ann_query_ivf_pq(stored, cents_d, books_d, Q, k=5,
+                                   n_probe=4, query_ids=[0, 1, 2])
+            got = {(r["query_id"], r["id"]): r["score"]
+                   for r in res.collect()}
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
+        ids = np.asarray([r["id"] for r in member_rows])
+        cl = np.asarray([r["cluster"] for r in member_rows], dtype=np.int64)
+        codes = np.stack([np.frombuffer(r["codes"], dtype=np.uint8)
+                          for r in member_rows])
+        Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+        coarse = Qn @ cents.T
+        probes = np.argsort(-coarse, axis=1)[:, :4]
+        sims = _adc_scores(_adc_lut(Qn, books), codes)
+        sims += coarse.T[cl]
+        law = {}
+        for qi in range(3):
+            elig = [i for i in range(len(ids)) if cl[i] in probes[qi]]
+            order = sorted(elig, key=lambda i: (-sims[i, qi], ids[i]))[:5]
+            for i in order:
+                law[(qi, int(ids[i]))] = sims[i, qi]
+        matches = (set(got) == set(law) and
+                   all(abs(got[k2] - law[k2]) < 1e-9 for k2 in law))
+        self_found = all(
+            (qi, qi) in got and
+            got[(qi, qi)] >= max(v for k2, v in got.items()
+                                 if k2[0] == qi) - 1e-9
+            for qi in range(3))
+        return spark.createDataFrame(
+            [(int(emb.count()), bool(matches), bool(self_found),
+              bool(sidecar_ok))],
+            "n_vecs long, engine_matches_law boolean, self_found boolean, "
+            "sidecar_roundtrip boolean")
+
+    q["ivf_pq_ann_embeddings"] = ivf_pq_ann_embeddings
+
     def minhash_lsh_bucketlocal_parity(spark, sf):
         """The scale-path LSH verification (verify='local': no driver
         collect, no broadcast matrix) must produce the exact pair set and
@@ -3297,6 +3415,16 @@ FROM embeddings
     o["ann_query_ivf_embeddings"] = """
 SELECT CAST(count(*) AS BIGINT) AS n_vecs,
        TRUE AS self_found, TRUE AS recall1_ge_2_of_3
+FROM embeddings
+"""
+    o["pq_ann_embeddings"] = """
+SELECT CAST(count(*) AS BIGINT) AS n_vecs, TRUE AS engine_matches_law,
+       TRUE AS self_found, TRUE AS codes_8_bytes
+FROM embeddings
+"""
+    o["ivf_pq_ann_embeddings"] = """
+SELECT CAST(count(*) AS BIGINT) AS n_vecs, TRUE AS engine_matches_law,
+       TRUE AS self_found, TRUE AS sidecar_roundtrip
 FROM embeddings
 """
     o["ann_query_batch_embeddings"] = """

@@ -586,6 +586,45 @@ def main() -> None:
     queries["q25_top_merge_count"] = (
         int(merges25[0]["pair_count"]) if merges25 else 0)
 
+    # q26: product-quantized ANN at 45k vectors (new r5), reusing q22's
+    # deterministic dim-64 corpus: train 8x256 codebooks on a 10k
+    # deterministic sample + encode the corpus to 8-byte codes (64x
+    # compression vs float64); then an IVF-PQ index (16 coarse lists,
+    # residual codes) persisted to disk answers a 64-query ADC probe
+    # reading only n_probe/16 of the code table (partition pruning).
+    from ddsketchy_spark.pipeline.pq import (
+        ann_query_ivf_pq, ivf_pq_index, pq_encode, read_ivf_pq_index,
+        train_pq_codebooks, write_ivf_pq_index)
+
+    t0 = time.perf_counter()
+    books26 = train_pq_codebooks(corpus_v, m=8, nbits=8, kmeans_iters=10,
+                                 train_rows=10_000, seed=11)
+    n26 = pq_encode(corpus_v, books26).count()
+    queries["q26_pq_train_encode"] = round(time.perf_counter() - t0, 3)
+    queries["q26_vectors_encoded"] = int(n26)
+    qv26 = [r["embedding"] for r in
+            corpus_v.where("vec_id < 64").orderBy("vec_id").collect()]
+    tmpd26 = tempfile.mkdtemp(prefix="ddsketchy_bench_ivfpq_")
+    try:
+        t0 = time.perf_counter()
+        idx26, cents26, rbooks26 = ivf_pq_index(
+            corpus_v, n_clusters=16, m=8, nbits=8, kmeans_iters=10,
+            train_rows=10_000, seed=11)
+        write_ivf_pq_index(idx26, cents26, rbooks26, f"{tmpd26}/idx")
+        queries["q26_ivfpq_index_write"] = round(time.perf_counter() - t0, 3)
+        stored26, cents26d, rbooks26d, _m26 = read_ivf_pq_index(
+            spark, f"{tmpd26}/idx")
+        q26_trials = []
+        for _ in range(2):  # best-of-2 (CLAUDE.md bench methodology)
+            t0 = time.perf_counter()
+            n_res26 = ann_query_ivf_pq(stored26, cents26d, rbooks26d, qv26,
+                                       k=10, n_probe=4).count()
+            q26_trials.append(time.perf_counter() - t0)
+        queries["q26_ivfpq_probe_64q"] = round(min(q26_trials), 3)
+        queries["q26_results"] = int(n_res26)
+    finally:
+        shutil.rmtree(tmpd26, ignore_errors=True)
+
     # Load-discipline pass (r4 verdict #2): if this run's scan control
     # deviated >1.5x below its documented quiet band, re-probe the control
     # once — if the box has gone quiet, re-run the slowest single-trial

@@ -679,6 +679,58 @@ def main() -> None:
                     r"SortMergeJoin", r"BatchEvalPython",
                     r"FlatMapGroupsInPandas"],
         )
+
+        # PQ encode: one pruned scan (id + vector only, never the label
+        # column) flowing straight into the mapInArrow encoder — no
+        # shuffle, no join, no row-at-a-time Python
+        from ddsketchy_spark.pipeline.pq import (
+            ann_query_ivf_pq, ann_query_pq, ivf_pq_index, pq_encode,
+            read_ivf_pq_index, train_pq_codebooks, write_ivf_pq_index)
+
+        books = train_pq_codebooks(emb, m=8, nbits=4, train_rows=200)
+        enc = pq_encode(emb, books)
+        results["pq_encode"] = audit(
+            "pq_encode", enc,
+            want=[r"(MapInArrow|PythonMapInArrow)",
+                  r"ReadSchema: struct<vec_id:bigint,embedding"],
+            reject=[r"Exchange", r"label", r"BatchEvalPython",
+                    r"ArrowEvalPython", r"FlatMapGroupsInPandas",
+                    r"CartesianProduct"],
+        )
+
+        # ADC query: one scan of the CODE table (8-byte codes, never the
+        # float vectors) + broadcast LUT scorer; the only shuffle is the
+        # final per-query top-k window — joins would mean the engine
+        # materialized pairs
+        import numpy as np
+
+        pqq = ann_query_pq(enc, books, np.zeros((2, 64)) + 1.0, k=5)
+        results["pq_adc_query"] = audit(
+            "pq_adc_query", pqq,
+            want=[r"(MapInArrow|PythonMapInArrow)", r"RunningWindowFunction|Window"],
+            reject=[r"CartesianProduct", r"BroadcastNestedLoopJoin",
+                    r"SortMergeJoin", r"BroadcastHashJoin",
+                    r"BatchEvalPython", r"FlatMapGroupsInPandas"],
+        )
+
+        # IVF-PQ probe from disk: the cluster IN (...) probe filter must
+        # reach the scan as PARTITION pruning (the partitionBy("cluster")
+        # layout), so a probe reads n_probe/n_clusters of the corpus
+        idx, cents, rbooks = ivf_pq_index(emb.limit(300), n_clusters=4,
+                                          m=8, nbits=4, train_rows=200)
+        write_ivf_pq_index(idx, cents, rbooks, f"{tmpd}/ivfpq")
+        stored, cents_d, books_d, _m = read_ivf_pq_index(
+            spark, f"{tmpd}/ivfpq")
+        ivfq = ann_query_ivf_pq(stored, cents_d, books_d,
+                                np.zeros((2, 64)) + 1.0, k=5, n_probe=2)
+        results["ivf_pq_probe"] = audit(
+            "ivf_pq_probe", ivfq,
+            want=[r"(MapInArrow|PythonMapInArrow)",
+                  r"PartitionFilters: \[cluster.* IN \("],
+            reject=[r"CartesianProduct", r"BroadcastNestedLoopJoin",
+                    r"SortMergeJoin", r"BroadcastHashJoin",
+                    r"BatchEvalPython", r"FlatMapGroupsInPandas"],
+        )
     finally:
         shutil.rmtree(tmpd, ignore_errors=True)
 
