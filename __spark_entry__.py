@@ -116,15 +116,18 @@ def _dds_wide(
     qs: tuple[float, ...],
     by: str | None = None,
     alpha: float = ALPHA,
+    weight_col: str | None = None,
 ) -> DataFrame:
     df = _load(spark, sf_dir, table)
     labels = [_QLABELS[q] for q in qs]
     if by:
-        res = ddsketch_quantiles(df, col, by=[by], alpha=alpha, quantiles=qs)
+        res = ddsketch_quantiles(df, col, by=[by], alpha=alpha, quantiles=qs,
+                                 weight_col=weight_col)
         sel = [F.col(by), F.col("count").alias("cnt")]
         sel += [_r6(F.col(quantile_label(q))).alias(lab) for q, lab in zip(qs, labels)]
         return res.select(*sel).orderBy(by)
-    out = ddsketch_quantiles(df, col, alpha=alpha, quantiles=qs)
+    out = ddsketch_quantiles(df, col, alpha=alpha, quantiles=qs,
+                             weight_col=weight_col)
     row = {"cnt": out["count"]}
     row.update({lab: out[quantile_label(q)] for q, lab in zip(qs, labels)})
     sdf = spark.createDataFrame([row], schema="cnt long, " + ", ".join(f"{l} double" for l in labels))
@@ -142,6 +145,7 @@ def _dds_oracle(
     qs: tuple[float, ...],
     by: str | None = None,
     alpha: float = ALPHA,
+    weight: str | None = None,
 ) -> str:
     m = LogMapping(alpha)
     ilg = repr(m.inv_ln_gamma)
@@ -169,18 +173,26 @@ def _dds_oracle(
     # ranks inside it); negatives are excluded by construction because the
     # oracled tables have none (the full three-region walk incl. the
     # negative store is exercised by dds_mixed_sign_centered).
+    # weighted: each row counts CAST(weight) times — the exact mirror of
+    # the native engine's weight_col (NULL/zero weights contribute
+    # nothing; the oracled tables have no negative/fractional weights,
+    # whose refusal is regression-tested Spark-side)
+    wsel = f", CAST({weight} AS BIGINT) AS w" if weight else ""
+    wfin = " AND w IS NOT NULL AND w <> 0" if weight else ""
+    cnt = "sum(w)" if weight else "count(*)"
     return f"""
 WITH base AS (
-  SELECT {gsel}CAST({col} AS DOUBLE) AS x FROM {table}
+  SELECT {gsel}CAST({col} AS DOUBLE) AS x{wsel} FROM {table}
 ),
-fin AS (SELECT * FROM base WHERE isfinite(x) AND x > -{miv}),
+fin AS (SELECT * FROM base WHERE isfinite(x) AND x > -{miv}{wfin}),
 tot AS (
-  SELECT {gsel}count(*) AS n,
-         count(*) FILTER (WHERE x < {miv}) AS zero_n
+  SELECT {gsel}CAST({cnt} AS BIGINT) AS n,
+         CAST(COALESCE({cnt} FILTER (WHERE x < {miv}), 0) AS BIGINT) AS zero_n
   FROM fin GROUP BY ALL
 ),
 k AS (
-  SELECT {gsel}CAST(ceil(ln(x) * {ilg}) AS BIGINT) AS key, count(*) AS c
+  SELECT {gsel}CAST(ceil(ln(x) * {ilg}) AS BIGINT) AS key,
+         CAST({cnt} AS BIGINT) AS c
   FROM fin WHERE x >= {miv}
   GROUP BY ALL
 ),
@@ -227,6 +239,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         spark, sf, "lineitem", "l_quantity", (0.5, 0.9, 0.99), by="l_returnflag")
     q["dds_lineitem_extendedprice_global"] = lambda spark, sf: _dds_wide(
         spark, sf, "lineitem", "l_extendedprice", (0.5, 0.99, 0.999))
+    # weighted ingest: quantiles of unit price with each row counting
+    # l_quantity times — the pre-aggregated (value, count) table law
+    # (DDSketch.add_weighted_batch / ddsketch_quantiles weight_col);
+    # full DuckDB re-derivation with sum(weight) bucket counts
+    q["dds_weighted_price_by_returnflag"] = lambda spark, sf: _dds_wide(
+        spark, sf, "lineitem", "l_extendedprice", (0.5, 0.9, 0.99),
+        by="l_returnflag", weight_col="l_quantity")
 
     def exact_counts(spark, sf):
         return (
@@ -2241,6 +2260,9 @@ def oracle_sql() -> dict[str, str]:
         "lineitem", "l_quantity", (0.5, 0.9, 0.99), by="l_returnflag")
     o["dds_lineitem_extendedprice_global"] = _dds_oracle(
         "lineitem", "l_extendedprice", (0.5, 0.99, 0.999))
+    o["dds_weighted_price_by_returnflag"] = _dds_oracle(
+        "lineitem", "l_extendedprice", (0.5, 0.9, 0.99),
+        by="l_returnflag", weight="l_quantity")
     o["exact_events_count_by_type"] = """
 SELECT event_type, count(*) AS cnt, count(DISTINCT user_id) AS users
 FROM events GROUP BY event_type ORDER BY event_type

@@ -174,6 +174,97 @@ class DDSketch:
     def extend(self, values: Iterable[float]) -> None:
         self.add_batch(values)
 
+    def add_weighted(self, value: float, count: int) -> None:
+        """Add ``value`` as if it occurred ``count`` times (count >= 0,
+        integral). The weighted-ingest law: the resulting sketch is
+        IDENTICAL to calling ``add(value)`` count times — which is what
+        makes sketching a pre-aggregated (value, count) table exact."""
+        self.add_weighted_batch([value], [count])
+
+    def add_weighted_batch(self, values, counts) -> None:
+        """Vectorized weighted add: ``values[i]`` occurs ``counts[i]``
+        times. Weights must be integral and >= 0 (ValueError otherwise);
+        zero-count and non-finite-value pairs contribute nothing.
+        Equivalent to expanding each value ``counts[i]`` times through
+        ``add_batch``: bucket counts, total count, zero bucket, min/max
+        and every quantile are IDENTICAL; only the running float ``sum``
+        may differ in final ulps (``dot(v, c)`` associates differently
+        than repeated adds — the same order-dependence the reference's
+        f64 sum has). The scale path for inputs that arrive already
+        grouped (e.g. a token-frequency table: O(distinct values) rows
+        instead of O(total occurrences))."""
+        v = np.asarray(values, dtype=np.float64).ravel()
+        c_raw = np.asarray(counts, dtype=np.float64).ravel()
+        if len(v) != len(c_raw):
+            raise ValueError(
+                f"{len(v)} values but {len(c_raw)} counts")
+        if len(v) == 0:
+            return
+        if not np.isfinite(c_raw).all():
+            raise ValueError("weights must be finite")
+        if (c_raw < 0).any():
+            raise ValueError("weights must be >= 0, got "
+                             f"{float(c_raw.min())}")
+        c = c_raw.astype(np.int64)
+        if (c != c_raw).any():
+            raise ValueError("weights must be integral (a fractional "
+                             "occurrence count has no expansion law)")
+        n = len(v)
+        for start in range(0, n, self._BATCH_CHUNK):
+            self._add_weighted_chunk(v[start:start + self._BATCH_CHUNK],
+                                     c[start:start + self._BATCH_CHUNK])
+
+    def _add_weighted_chunk(self, v: np.ndarray, c: np.ndarray) -> None:
+        live = np.isfinite(v) & (c > 0)
+        if not live.all():
+            v, c = v[live], c[live]
+            if len(v) == 0:
+                return
+        miv = self._m.min_indexable_value
+        lo = float(v.min())
+        hi = float(v.max())
+        if lo >= miv:
+            w_pos, w_neg = int(c.sum()), 0
+            self._store_keys_weighted(self.positive_store, v, c)
+        elif hi <= -miv:
+            w_pos, w_neg = 0, int(c.sum())
+            self._store_keys_weighted(self.negative_store, -v, c)
+        else:
+            pos = v >= miv
+            neg = v <= -miv
+            w_pos = int(c[pos].sum())
+            w_neg = int(c[neg].sum())
+            if w_pos:
+                self._store_keys_weighted(self.positive_store, v[pos], c[pos])
+            if w_neg:
+                self._store_keys_weighted(self.negative_store, -v[neg], c[neg])
+        self.zero_count += int(c.sum()) - w_pos - w_neg
+        with np.errstate(over="ignore"):
+            self._sum += float(np.dot(v, c))
+        if lo < self._raw_min:
+            self._raw_min = lo
+        if hi > self._raw_max:
+            self._raw_max = hi
+
+    def _store_keys_weighted(self, store, magnitudes: np.ndarray,
+                             c: np.ndarray) -> None:
+        """Weighted twin of ``_store_keys``: per-bucket totals accumulate
+        the int64 weights (np.add.at, never float bincount weights — the
+        counts stay exact past 2^53)."""
+        keys = self._m.keys_for(magnitudes)
+        kmin = int(keys.min())
+        span = int(keys.max()) - kmin + 1
+        if span <= max(1 << 16, 4 * len(keys)):
+            counts = np.zeros(span, dtype=np.int64)
+            np.add.at(counts, keys.astype(np.int64) - kmin, c)
+            nz = np.nonzero(counts)[0]
+            store.add_keys((nz + kmin).astype(np.int32), counts[nz])
+        else:
+            uk, inv = np.unique(keys, return_inverse=True)
+            counts = np.zeros(len(uk), dtype=np.int64)
+            np.add.at(counts, inv, c)
+            store.add_keys(uk, counts)
+
     # -- merge -------------------------------------------------------------
 
     def merge(self, other: "DDSketch") -> "DDSketch":

@@ -133,31 +133,71 @@ def bucket_exprs(x, alpha: float):
 
 
 def _native_key_counts(
-    df: DataFrame, value_col: str, by: Sequence[str], alpha: float
+    df: DataFrame, value_col: str, by: Sequence[str], alpha: float,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """(by..., region, key, c, s, mn, mx) — one row per occupied bucket.
 
     The whole pipeline (scan, optional explode, finite filter, log bucketing,
     hash aggregate with map-side combine) is native Spark SQL: it stays in
     whole-stage codegen and shuffles at most ~2*max_bins+1 rows per group.
-    """
+
+    ``weight_col``: each row's value counts ``weight`` times (the core
+    ``add_weighted_batch`` expansion law, so a pre-aggregated
+    (value, count) table sketches exactly). ``c`` becomes sum(weight) and
+    ``s`` sum(x*weight); NULL and zero weights contribute nothing; two
+    extra validation columns ride along (``_wmin``, ``_wfrac``) that the
+    assembly layer checks — a negative or fractional weight fails the
+    job with a clear error instead of silently corrupting counts. For an
+    array ``value_col`` the row weight applies to every element."""
     is_array = dict(df.dtypes)[value_col].startswith("array")
     cols = [F.col(c) for c in by]
+    wsel = ([F.col(weight_col).cast("double").alias("_w")]
+            if weight_col else [])
     if is_array:
-        base = df.select(*cols, F.explode(value_col).alias("_x"))
+        base = df.select(*cols, F.explode(value_col).alias("_x"), *wsel)
     else:
-        base = df.select(*cols, F.col(value_col).alias("_x"))
+        base = df.select(*cols, F.col(value_col).alias("_x"), *wsel)
     x = F.col("_x").cast("double")
     finite_cond, region, key = bucket_exprs(x, alpha)
-    finite = base.where(finite_cond)
-    return finite.select(*cols, region.alias("region"), key.alias("key"), x.alias("_x")).groupBy(
+    if weight_col is None:
+        finite = base.where(finite_cond)
+        return finite.select(*cols, region.alias("region"),
+                             key.alias("key"), x.alias("_x")).groupBy(
+            *by, "region", "key"
+        ).agg(
+            F.count(F.lit(1)).alias("c"),
+            F.sum("_x").alias("s"),
+            F.min("_x").alias("mn"),
+            F.max("_x").alias("mx"),
+        )
+    w = F.col("_w")
+    # keep negative/fractional weights IN the aggregate (so _wmin/_wfrac
+    # catch them — dropping them here would hide caller bugs); only NULL
+    # and exact-zero weights are contribution-free by contract
+    finite = base.where(finite_cond & w.isNotNull() & (w != 0))
+    return finite.select(*cols, region.alias("region"), key.alias("key"),
+                         x.alias("_x"), w.alias("_w")).groupBy(
         *by, "region", "key"
     ).agg(
-        F.count(F.lit(1)).alias("c"),
-        F.sum("_x").alias("s"),
+        F.sum(w.cast("long")).alias("c"),
+        F.sum(F.col("_x") * w).alias("s"),
         F.min("_x").alias("mn"),
         F.max("_x").alias("mx"),
+        F.min(w).alias("_wmin"),
+        F.max(F.abs(w - F.floor(w))).alias("_wfrac"),
     )
+
+
+def _check_weight_cols(wmin: float, wfrac: float) -> None:
+    """Fail fast on invalid weights surfaced by the in-flow validation
+    columns (no extra pass over the data)."""
+    if wfrac and wfrac > 0:
+        raise ValueError(
+            "weights must be integral occurrence counts (a fractional "
+            "weight has no expansion law); found a fractional value")
+    if wmin is not None and wmin < 0:
+        raise ValueError(f"weights must be >= 0, found {wmin}")
 
 
 def sketch_from_key_counts(
@@ -195,8 +235,12 @@ def sketch_from_key_counts(
 def _native_global(
     df: DataFrame, value_col: str, alpha: float, max_bins: int,
     quantiles: Sequence[float], keep_state: bool,
+    weight_col: str | None = None,
 ) -> dict:
-    kc = _native_key_counts(df, value_col, [], alpha).collect()
+    kc = _native_key_counts(df, value_col, [], alpha, weight_col).collect()
+    if weight_col is not None and kc:
+        _check_weight_cols(min(r["_wmin"] for r in kc),
+                           max(r["_wfrac"] for r in kc))
     sk = sketch_from_key_counts(
         np.array([r["region"] for r in kc]),
         np.array([r["key"] for r in kc]),
@@ -307,6 +351,10 @@ def _native_grouped_vectorized(
         if tbl.num_rows == 0:
             return
         gids, uniques = _group_ids(tbl, by)
+        if "_wmin" in tbl.column_names:  # weighted bucket rows: validate
+            _check_weight_cols(
+                float(np.nanmin(tbl.column("_wmin").to_numpy())),
+                float(np.nanmax(tbl.column("_wfrac").to_numpy())))
         regions = tbl.column("region").to_numpy().astype(np.int64)
         keys = tbl.column("key").to_numpy().astype(np.int64)
         counts = tbl.column("c").to_numpy().astype(np.int64)
@@ -359,9 +407,10 @@ def _native_grouped_vectorized(
 def _native_grouped(
     df: DataFrame, value_col: str, by: Sequence[str], alpha: float, max_bins: int,
     quantiles: Sequence[float], keep_state: bool,
+    weight_col: str | None = None,
 ) -> DataFrame:
     by = list(by)
-    kc = _native_key_counts(df, value_col, by, alpha)
+    kc = _native_key_counts(df, value_col, by, alpha, weight_col)
     # one Python call per partition (scales to millions of group keys),
     # with or without per-group state blobs
     return _native_grouped_vectorized(kc, by, alpha, max_bins, quantiles,
@@ -392,6 +441,7 @@ def ddsketch_quantiles(
     fanout: int = 64,
     keep_state: bool = False,
     engine: str = "native",
+    weight_col: str | None = None,
 ):
     """Quantile summary of ``value_col`` (scalar or array column).
 
@@ -400,13 +450,25 @@ def ddsketch_quantiles(
 
     engine="native": JVM-codegen bucketing (fastest, scales with cores).
     engine="arrow": generic mapInArrow two-phase harness (blob merge path).
-    """
+
+    ``weight_col`` (native engine): each row's value counts ``weight``
+    times — the exact expansion law of ``DDSketch.add_weighted_batch``,
+    so quantiles over a pre-aggregated (value, occurrence_count) table
+    match the raw-row sketch while shuffling only O(distinct values).
+    Weights must be integral and >= 0 (NULL/zero rows contribute
+    nothing; negative or fractional weights fail the job loudly)."""
     if engine not in ("native", "arrow"):
         raise ValueError(f"unknown engine {engine!r}")
     if engine == "native":
         if by:
-            return _native_grouped(df, value_col, by, alpha, max_bins, quantiles, keep_state)
-        return _native_global(df, value_col, alpha, max_bins, quantiles, keep_state)
+            return _native_grouped(df, value_col, by, alpha, max_bins, quantiles, keep_state,
+                                   weight_col=weight_col)
+        return _native_global(df, value_col, alpha, max_bins, quantiles, keep_state,
+                              weight_col=weight_col)
+    if weight_col is not None:
+        raise ValueError(
+            "weight_col requires engine='native' (the blob harness ships "
+            "raw values; pre-aggregate with the native engine instead)")
     agg = DDSketchAggregator(value_col, alpha=alpha, max_bins=max_bins, quantiles=quantiles)
     return sketch_aggregate(df, agg, by=by, merge_rounds=merge_rounds, fanout=fanout,
                             keep_state=keep_state)
@@ -421,16 +483,24 @@ def ddsketch_state(
     merge_rounds: int = 1,
     fanout: int = 64,
     engine: str = "native",
+    weight_col: str | None = None,
 ):
     """Return the merged sketch itself (driver-side DDSketch for global, or
-    a DataFrame with a ``state`` blob column per key)."""
+    a DataFrame with a ``state`` blob column per key). ``weight_col`` as in
+    ``ddsketch_quantiles`` (native engine only)."""
     if engine not in ("native", "arrow"):
         raise ValueError(f"unknown engine {engine!r}")
     if engine == "native":
         if by:
-            return _native_grouped(df, value_col, by, alpha, max_bins, (), keep_state=True)
-        out = _native_global(df, value_col, alpha, max_bins, (), keep_state=True)
+            return _native_grouped(df, value_col, by, alpha, max_bins, (),
+                                   keep_state=True, weight_col=weight_col)
+        out = _native_global(df, value_col, alpha, max_bins, (),
+                             keep_state=True, weight_col=weight_col)
         return DDSketch.from_bytes(out["state"])
+    if weight_col is not None:
+        raise ValueError(
+            "weight_col requires engine='native' (the blob harness ships "
+            "raw values; pre-aggregate with the native engine instead)")
     agg = DDSketchAggregator(value_col, alpha=alpha, max_bins=max_bins, quantiles=())
     if by:
         return sketch_aggregate(df, agg, by=by, merge_rounds=merge_rounds, fanout=fanout,

@@ -74,6 +74,20 @@ def main() -> None:
         reject=[r"BatchEvalPython", r"FlatMapGroupsInPandas", r"ArrowEvalPython"],
     )
 
+    # 1b. weighted native DDSketch build (weight_col): the same pruned-
+    # scan + codegen map-side-combine shape, now reading exactly the
+    # value + weight + group columns — weights multiply inside the JVM
+    # hash aggregate, never in Python
+    kcw = _native_key_counts(lineitem, "l_extendedprice", ["l_returnflag"],
+                             0.01, weight_col="l_quantity")
+    results["dds_native_weighted"] = audit(
+        "dds_native_weighted", kcw,
+        want=[r"ReadSchema: struct<l_quantity:double,l_extendedprice:double,l_returnflag:string>",
+              r"HashAggregate[\s\S]*Exchange[\s\S]*HashAggregate"],
+        reject=[r"BatchEvalPython", r"FlatMapGroupsInPandas",
+                r"ArrowEvalPython", r"(MapInArrow|PythonMapInArrow)"],
+    )
+
     # 2. native HLL: same properties over the exploded tokens path
     hll = _hll_native(events, "user_id", [], 14)
     results["hll_native"] = audit(
