@@ -247,6 +247,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         spark, sf, "lineitem", "l_extendedprice", (0.5, 0.9, 0.99),
         by="l_returnflag", weight_col="l_quantity")
 
+    def dds_rollup_events(spark, sf):
+        """Rollup cube from ONE scan (ddsketch_rollup): per-event-type AND
+        global quantiles derived from the same persisted bucket-row frame
+        — summing bucket counts IS merging the sketches. Both levels
+        fully re-derived by the DuckDB bucket-law oracle."""
+        from ddsketchy_spark.spark.ddsketch_agg import ddsketch_rollup
+
+        ev = _load(spark, sf, "events")
+        r = ddsketch_rollup(ev, "value", ["event_type"],
+                            quantiles=(0.5, 0.9), persist=False)
+        return (r.select(
+            F.coalesce("event_type", F.lit("ALL")).alias("event_type"),
+            "rollup_level", F.col("count").alias("cnt"),
+            _r6(F.col("p50")).alias("p50"), _r6(F.col("p90")).alias("p90"))
+            .orderBy("rollup_level", "event_type"))
+
+    q["dds_rollup_events"] = dds_rollup_events
+
     def exact_counts(spark, sf):
         return (
             _load(spark, sf, "events")
@@ -2263,6 +2281,14 @@ def oracle_sql() -> dict[str, str]:
     o["dds_weighted_price_by_returnflag"] = _dds_oracle(
         "lineitem", "l_extendedprice", (0.5, 0.9, 0.99),
         by="l_returnflag", weight="l_quantity")
+    o["dds_rollup_events"] = f"""
+SELECT event_type, CAST(1 AS INTEGER) AS rollup_level, cnt, p50, p90
+FROM ({_dds_oracle("events", "value", (0.5, 0.9), by="event_type")}) g
+UNION ALL
+SELECT 'ALL' AS event_type, CAST(0 AS INTEGER) AS rollup_level, cnt, p50, p90
+FROM ({_dds_oracle("events", "value", (0.5, 0.9))}) t
+ORDER BY rollup_level, event_type
+"""
     o["exact_events_count_by_type"] = """
 SELECT event_type, count(*) AS cnt, count(DISTINCT user_id) AS users
 FROM events GROUP BY event_type ORDER BY event_type

@@ -474,6 +474,118 @@ def ddsketch_quantiles(
                             keep_state=keep_state)
 
 
+def ddsketch_rollup(
+    df: DataFrame,
+    value_col: str,
+    dims: Sequence[str],
+    levels: Sequence[Sequence[str]] | None = None,
+    alpha: float = 0.01,
+    max_bins: int = 4096,
+    quantiles: Sequence[float] = (0.5, 0.9, 0.99, 0.999),
+    keep_state: bool = False,
+    weight_col: str | None = None,
+    persist: bool = True,
+) -> DataFrame:
+    """Every rollup level of a DDSketch summary from ONE scan of the data.
+
+    ``levels`` is a list of dim subsets (default: SQL ROLLUP prefixes —
+    ``[dims, dims[:-1], ..., []]``; ``[]`` is the global row). The finest
+    (region, key, count) bucket-row frame is computed once at ``dims``
+    granularity and PERSISTED; every coarser level re-aggregates those
+    O(groups x (2*max_bins+1)) rows — sketch mergeability means summing
+    bucket counts IS merging the sketches, so each level's estimates are
+    identical to running ``ddsketch_quantiles`` directly at that grouping
+    (the cube never rescans or reshuffles the raw table, which at 10^12
+    rows is the entire cost). Composes with ``weight_col``.
+
+    Output: one DataFrame with ALL dim columns (NULL where rolled up, the
+    SQL ROLLUP convention), ``rollup_level`` (count of active dims), then
+    count/sum/mean/min/max/pXX[/state]. Release the persisted bucket-row
+    intermediate with ``pipeline.cache.release_cached_deps(result)``.
+
+    Laziness note: a ``[]`` (global) level assembles driver-side, which
+    runs one Spark job EAGERLY inside this call (it also materializes the
+    persisted frame, so the later levels reuse it for free)."""
+    from ..pipeline.cache import tag_cached_deps
+
+    dims = list(dims)
+    if not dims:
+        raise ValueError("dims must be non-empty (for a global-only "
+                         "summary use ddsketch_quantiles)")
+    if levels is None:
+        levels = [dims[:i] for i in range(len(dims), -1, -1)]
+    levels = [list(lv) for lv in levels]
+    seen = set()
+    for lv in levels:
+        bad = [c for c in lv if c not in dims]
+        if bad:
+            raise ValueError(f"level {lv} uses columns {bad} not in "
+                             f"dims {dims}")
+        key = tuple(sorted(lv))
+        if key in seen:
+            raise ValueError(f"duplicate level {lv}")
+        seen.add(key)
+    spark = df.sparkSession
+    kc = _native_key_counts(df, value_col, dims, alpha, weight_col)
+    if persist:
+        kc = kc.persist()
+    weighted = weight_col is not None
+    re_aggs = [F.sum("c").alias("c"), F.sum("s").alias("s"),
+               F.min("mn").alias("mn"), F.max("mx").alias("mx")]
+    if weighted:
+        re_aggs += [F.min("_wmin").alias("_wmin"),
+                    F.max("_wfrac").alias("_wfrac")]
+    dim_fields = {f.name: f.dataType for f in df.schema.fields
+                  if f.name in dims}
+    qs = list(quantiles)
+    measure_names = (["count", "sum", "mean", "min", "max"]
+                     + [quantile_label(q) for q in qs]
+                     + (["state"] if keep_state else []))
+    parts = []
+    for lv in levels:
+        lvl_kc = kc if lv == dims else \
+            kc.groupBy(*lv, "region", "key").agg(*re_aggs)
+        if lv:
+            est = _native_grouped_vectorized(lvl_kc, lv, alpha, max_bins,
+                                             qs, keep_state=keep_state)
+        else:
+            rows = lvl_kc.collect()  # already (region, key)-aggregated
+            if weighted and rows:
+                _check_weight_cols(min(r["_wmin"] for r in rows),
+                                   max(r["_wfrac"] for r in rows))
+            sk = sketch_from_key_counts(
+                np.array([r["region"] for r in rows]),
+                np.array([r["key"] for r in rows]),
+                np.array([r["c"] for r in rows]),
+                np.array([r["s"] for r in rows]),
+                np.array([r["mn"] for r in rows]),
+                np.array([r["mx"] for r in rows]),
+                alpha, max_bins) if rows else DDSketch(alpha, max_bins)
+            vals = _estimates(sk, qs)
+            if keep_state:
+                vals["state"] = sk.to_bytes()
+            from pyspark.sql.types import BinaryType
+            schema = StructType(
+                [StructField("count", LongType()),
+                 StructField("sum", DoubleType()),
+                 StructField("mean", DoubleType()),
+                 StructField("min", DoubleType()),
+                 StructField("max", DoubleType())]
+                + [StructField(quantile_label(q), DoubleType()) for q in qs]
+                + ([StructField("state", BinaryType())] if keep_state
+                   else []))
+            est = spark.createDataFrame([tuple(vals.values())], schema)
+        sel = [(F.col(d) if d in lv else
+                F.lit(None).cast(dim_fields[d])).alias(d) for d in dims]
+        sel.append(F.lit(len(lv)).cast("int").alias("rollup_level"))
+        sel += [F.col(m) for m in measure_names]
+        parts.append(est.select(*sel))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return tag_cached_deps(out, [kc]) if persist else out
+
+
 def ddsketch_state(
     df: DataFrame,
     value_col: str,

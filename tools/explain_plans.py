@@ -88,6 +88,22 @@ def main() -> None:
                 r"ArrowEvalPython", r"(MapInArrow|PythonMapInArrow)"],
     )
 
+    # 1c. rollup cube: every level re-aggregates the PERSISTED bucket-row
+    # frame (InMemoryTableScan) — one scan of the data no matter how many
+    # levels; the per-level assembly is the intended mapInArrow
+    from ddsketchy_spark.spark.ddsketch_agg import ddsketch_rollup
+
+    roll = ddsketch_rollup(events, "value", ["event_type"],
+                           quantiles=(0.5,))
+    results["dds_rollup_cube"] = audit(
+        "dds_rollup_cube", roll,
+        want=[r"InMemoryTableScan", r"Union"],
+        reject=[r"BatchEvalPython", r"FlatMapGroupsInPandas",
+                r"ArrowEvalPython"],
+    )
+    from ddsketchy_spark.pipeline.cache import release_cached_deps
+    release_cached_deps(roll)
+
     # 2. native HLL: same properties over the exploded tokens path
     hll = _hll_native(events, "user_id", [], 14)
     results["hll_native"] = audit(
