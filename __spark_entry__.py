@@ -265,6 +265,46 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["dds_rollup_events"] = dds_rollup_events
 
+    def hll_rollup_events(spark, sf):
+        """Generic blob rollup (sketch_rollup): distinct users per
+        event_type AND globally, both levels derived from one pass's
+        per-type HLL blobs. Register-max mergeability makes each level's
+        estimate IDENTICAL to a direct HLL at that grouping (asserted
+        in-query); DuckDB anchors the exact distinct counts, the 5%
+        accuracy boolean rides per row."""
+        from ddsketchy_spark.spark.agg import sketch_aggregate, sketch_rollup
+        from ddsketchy_spark.spark.companions import HLLAggregator
+
+        ev = _load(spark, sf, "events")
+        agg = HLLAggregator("user_id", p=14)
+        rows = sketch_rollup(ev, agg, ["event_type"],
+                             persist=False).collect()
+        d1 = {x["event_type"]: x["distinct_est"] for x in
+              sketch_aggregate(ev, agg, by=["event_type"]).collect()}
+        d0 = sketch_aggregate(ev, agg)["distinct_est"]
+        parity = all(
+            x["distinct_est"] == (d1[x["event_type"]]
+                                  if x["rollup_level"] == 1 else d0)
+            for x in rows)
+        e1 = {x["event_type"]: x["n"] for x in
+              ev.groupBy("event_type").agg(
+                  F.countDistinct("user_id").alias("n")).collect()}
+        e0 = ev.agg(F.countDistinct("user_id")).collect()[0][0]
+        out = []
+        for x in rows:
+            exact = e1[x["event_type"]] if x["rollup_level"] == 1 else e0
+            out.append((
+                x["event_type"] if x["event_type"] is not None else "ALL",
+                int(x["rollup_level"]), int(exact),
+                bool(abs(x["distinct_est"] - exact) <= 0.05 * exact + 2),
+                bool(parity)))
+        return spark.createDataFrame(
+            out, "event_type string, rollup_level int, users_exact long, "
+            "hll_ok boolean, rollup_equals_direct boolean").orderBy(
+            "rollup_level", "event_type")
+
+    q["hll_rollup_events"] = hll_rollup_events
+
     def exact_counts(spark, sf):
         return (
             _load(spark, sf, "events")
@@ -2281,6 +2321,16 @@ def oracle_sql() -> dict[str, str]:
     o["dds_weighted_price_by_returnflag"] = _dds_oracle(
         "lineitem", "l_extendedprice", (0.5, 0.9, 0.99),
         by="l_returnflag", weight="l_quantity")
+    o["hll_rollup_events"] = """
+SELECT event_type, CAST(1 AS INTEGER) AS rollup_level,
+       count(DISTINCT user_id) AS users_exact,
+       TRUE AS hll_ok, TRUE AS rollup_equals_direct
+FROM events GROUP BY event_type
+UNION ALL
+SELECT 'ALL', CAST(0 AS INTEGER), count(DISTINCT user_id), TRUE, TRUE
+FROM events
+ORDER BY rollup_level, event_type
+"""
     o["dds_rollup_events"] = f"""
 SELECT event_type, CAST(1 AS INTEGER) AS rollup_level, cnt, p50, p90
 FROM ({_dds_oracle("events", "value", (0.5, 0.9), by="event_type")}) g

@@ -362,6 +362,97 @@ def merge_global(
     return agg.merge_blobs(blobs)
 
 
+def validate_rollup_levels(dims: Sequence[str],
+                           levels: Sequence[Sequence[str]] | None
+                           ) -> list[list[str]]:
+    """Shared level validation for the rollup cubes: default to the SQL
+    ROLLUP prefixes of ``dims`` (finest first, ``[]`` = global last);
+    reject columns outside ``dims`` and duplicate levels."""
+    dims = list(dims)
+    if not dims:
+        raise ValueError("dims must be non-empty (for a global-only "
+                         "summary aggregate without a rollup)")
+    if levels is None:
+        levels = [dims[:i] for i in range(len(dims), -1, -1)]
+    levels = [list(lv) for lv in levels]
+    seen = set()
+    for lv in levels:
+        bad = [c for c in lv if c not in dims]
+        if bad:
+            raise ValueError(f"level {lv} uses columns {bad} not in "
+                             f"dims {dims}")
+        key = tuple(sorted(lv))
+        if key in seen:
+            raise ValueError(f"duplicate level {lv}")
+        seen.add(key)
+    return levels
+
+
+def sketch_rollup(
+    df: DataFrame,
+    agg: SketchAggregator,
+    dims: Sequence[str],
+    levels: Sequence[Sequence[str]] | None = None,
+    keep_state: bool = False,
+    persist: bool = True,
+) -> DataFrame:
+    """Every rollup level of ANY mergeable sketch from ONE scan.
+
+    The generic twin of ``ddsketch_rollup``: the finest-level state
+    blobs — one KB-scale blob per ``dims`` key — are built once and
+    PERSISTED; every coarser level (default: SQL ROLLUP prefixes, or
+    arbitrary grouping sets via ``levels``) merges THOSE blobs, never
+    the data. Mergeability is the whole contract, so this works for
+    every ``SketchAggregator`` (DDSketch, HLL, CMS, t-digest, KLL,
+    Theta, Misra-Gries, the samplers): register-max sketches (HLL),
+    count sketches (CMS, DDSketch) and min-k sketches (Theta, KMV) give
+    estimates IDENTICAL to a direct aggregate at the coarser grouping;
+    history-dependent summaries (t-digest, KLL, Misra-Gries) stay
+    within their published error bounds (merge order only reshapes
+    their internal structure, never the guarantee).
+
+    Output: all ``dims`` columns (NULL where rolled up), ``rollup_level``
+    (count of active dims), then ``agg.output_fields()`` [+ ``state``].
+    The ``[]`` (global) level tree-reduces driver-side, eagerly.
+    Release the persisted blob frame with
+    ``pipeline.cache.release_cached_deps(result)``."""
+    from ..pipeline.cache import tag_cached_deps
+
+    dims = list(dims)
+    levels = validate_rollup_levels(dims, levels)
+    spark = df.sparkSession
+    states = merge_grouped(build_partials(df, agg, dims), agg, dims,
+                           states_only=True)
+    if persist:
+        states = states.persist()
+    dim_fields = {f.name: f.dataType for f in df.schema.fields
+                  if f.name in dims}
+    measure_names = [f.name for f in agg.output_fields()] \
+        + (["state"] if keep_state else [])
+    parts = []
+    for lv in levels:
+        if lv:
+            est = merge_grouped(states, agg, lv, keep_state=keep_state)
+        else:
+            blob = merge_global(states, agg)
+            vals = agg.finalize(blob)
+            fields = list(agg.output_fields())
+            if keep_state:
+                vals["state"] = blob
+                fields.append(StructField("state", BinaryType()))
+            est = spark.createDataFrame([tuple(vals[f.name] for f in fields)],
+                                        StructType(fields))
+        sel = [(F.col(d) if d in lv else
+                F.lit(None).cast(dim_fields[d])).alias(d) for d in dims]
+        sel.append(F.lit(len(lv)).cast("int").alias("rollup_level"))
+        sel += [F.col(m) for m in measure_names]
+        parts.append(est.select(*sel))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return tag_cached_deps(out, [states]) if persist else out
+
+
 def sketch_build_shuffled(
     df: DataFrame,
     agg: SketchAggregator,

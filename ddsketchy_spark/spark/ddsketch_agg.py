@@ -507,24 +507,10 @@ def ddsketch_rollup(
     runs one Spark job EAGERLY inside this call (it also materializes the
     persisted frame, so the later levels reuse it for free)."""
     from ..pipeline.cache import tag_cached_deps
+    from .agg import validate_rollup_levels
 
     dims = list(dims)
-    if not dims:
-        raise ValueError("dims must be non-empty (for a global-only "
-                         "summary use ddsketch_quantiles)")
-    if levels is None:
-        levels = [dims[:i] for i in range(len(dims), -1, -1)]
-    levels = [list(lv) for lv in levels]
-    seen = set()
-    for lv in levels:
-        bad = [c for c in lv if c not in dims]
-        if bad:
-            raise ValueError(f"level {lv} uses columns {bad} not in "
-                             f"dims {dims}")
-        key = tuple(sorted(lv))
-        if key in seen:
-            raise ValueError(f"duplicate level {lv}")
-        seen.add(key)
+    levels = validate_rollup_levels(dims, levels)
     spark = df.sparkSession
     kc = _native_key_counts(df, value_col, dims, alpha, weight_col)
     if persist:

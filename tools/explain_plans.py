@@ -104,6 +104,22 @@ def main() -> None:
     from ddsketchy_spark.pipeline.cache import release_cached_deps
     release_cached_deps(roll)
 
+    # 1d. generic blob rollup (any SketchAggregator): coarser levels merge
+    # the PERSISTED finest-level blobs (InMemoryTableScan), one data scan
+    # total; the blob merge is the intended mapInArrow
+    from ddsketchy_spark.spark.agg import sketch_rollup
+    from ddsketchy_spark.spark.companions import HLLAggregator
+
+    sroll = sketch_rollup(events, HLLAggregator("user_id", p=12),
+                          ["event_type"], levels=[["event_type"]])
+    results["sketch_rollup_blob"] = audit(
+        "sketch_rollup_blob", sroll,
+        want=[r"InMemoryTableScan", r"(MapInArrow|PythonMapInArrow)"],
+        reject=[r"BatchEvalPython", r"FlatMapGroupsInPandas",
+                r"ArrowEvalPython", r"SortMergeJoin", r"CartesianProduct"],
+    )
+    release_cached_deps(sroll)
+
     # 2. native HLL: same properties over the exploded tokens path
     hll = _hll_native(events, "user_id", [], 14)
     results["hll_native"] = audit(
