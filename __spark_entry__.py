@@ -364,6 +364,45 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["cms_partkey_freq"] = cms_partkey_freq
 
+    def cms_weighted_partkey(spark, sf):
+        """Weighted CMS ingest (weight_col): part frequencies weighted by
+        l_quantity — the pre-aggregated (key, count) table law for the
+        frequency companions. DuckDB anchors the exact weighted counts;
+        the CMS lower/upper bounds hold against them, and the arrow
+        (hash_kind='spark') and native weighted engines produce
+        BIT-identical state blobs."""
+        import math as _math
+
+        import numpy as np
+
+        from ddsketchy_spark.core.cms import CountMinSketch
+        from ddsketchy_spark.spark.companions import cms_state
+
+        df = _load(spark, sf, "lineitem")
+        a = cms_state(df, "l_partkey", depth=5, width=1 << 14,
+                      hash_kind="spark", weight_col="l_quantity")
+        b = cms_state(df, "l_partkey", depth=5, width=1 << 14,
+                      engine="native", weight_col="l_quantity")
+        bit_same = a["state"] == b["state"] and a["total"] == b["total"]
+        cm = CountMinSketch.from_bytes(b["state"])
+        exact = (df.filter(F.col("l_partkey") <= 20).groupBy("l_partkey")
+                 .agg(F.sum(F.col("l_quantity").cast("long")).alias("wcnt"))
+                 .collect())
+        keys = np.asarray([r["l_partkey"] for r in exact], dtype=np.int64)
+        est = cm.query_batch(keys)
+        eps_n = (_math.e / cm.width) * cm.total
+        data = [
+            (int(k), int(c), bool(e >= c), bool(e - c <= eps_n),
+             bool(bit_same))
+            for k, c, e in zip(keys, (r["wcnt"] for r in exact), est)
+        ]
+        return spark.createDataFrame(
+            data, "l_partkey long, wcnt long, cms_lower_ok boolean, "
+            "cms_upper_ok boolean, engines_bit_identical boolean"
+        ).orderBy("l_partkey")
+
+    q["cms_weighted_partkey"] = cms_weighted_partkey
+
     def bloom_orderkeys(spark, sf):
         from ddsketchy_spark.core.bloom import BloomFilter
         from ddsketchy_spark.spark.companions import bloom_state
@@ -2350,6 +2389,13 @@ FROM events GROUP BY event_type ORDER BY event_type
     o["cms_partkey_freq"] = """
 SELECT CAST(l_partkey AS BIGINT) AS l_partkey, count(*) AS cnt,
        TRUE AS cms_lower_ok, TRUE AS cms_upper_ok
+FROM lineitem WHERE l_partkey <= 20 GROUP BY 1 ORDER BY 1
+"""
+    o["cms_weighted_partkey"] = """
+SELECT CAST(l_partkey AS BIGINT) AS l_partkey,
+       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS wcnt,
+       TRUE AS cms_lower_ok, TRUE AS cms_upper_ok,
+       TRUE AS engines_bit_identical
 FROM lineitem WHERE l_partkey <= 20 GROUP BY 1 ORDER BY 1
 """
     o["bloom_lineitem_orderkeys"] = """

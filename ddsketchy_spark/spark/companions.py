@@ -40,6 +40,51 @@ def _keys_from_arrow(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
     return np.asarray(arr.to_pylist(), dtype=object)
 
 
+def _valid_mask(arr: pa.Array) -> np.ndarray:
+    """Row-validity bools from the Arrow validity bitmap — no
+    pyarrow.compute import (it drags pandas into fresh workers, cf. the
+    CLAUDE.md worker-start note)."""
+    n = len(arr)
+    if not arr.null_count:
+        return np.ones(n, dtype=bool)
+    bits = np.unpackbits(np.frombuffer(arr.buffers()[0], dtype=np.uint8),
+                         bitorder="little")
+    return bits[arr.offset:arr.offset + n].astype(bool)
+
+
+def _weighted_pairs(table: pa.Table, value_col: str, weight_col: str):
+    """Aligned (keys, int64 counts) for weighted frequency ingestion.
+
+    NULL-value, NULL-weight and zero-weight rows drop TOGETHER (the
+    flatten-then-drop_null shortcuts in ``_keys_from_arrow`` would
+    misalign the pair); negative or fractional weights raise. Scalar
+    value columns only — an array value with a row weight is an
+    explode-shaped op, which the native engines express in SQL."""
+    varr = raw_column(table.column(value_col))
+    if pa.types.is_list(varr.type) or pa.types.is_large_list(varr.type):
+        raise ValueError(
+            "weight_col requires a scalar value column (for array "
+            "columns use engine='native', where the row weight applies "
+            "to every element)")
+    warr = raw_column(table.column(weight_col))
+    w = warr.to_numpy(zero_copy_only=False).astype(np.float64, copy=False)
+    mask = _valid_mask(varr) & _valid_mask(warr) \
+        & ~np.isnan(w) & (w != 0)
+    if not mask.all():
+        varr = varr.take(pa.array(np.nonzero(mask)[0]))
+        w = w[mask]
+    if len(w) and float(w.min()) < 0:
+        raise ValueError(f"weights must be >= 0, found {float(w.min())}")
+    c = w.astype(np.int64)
+    if (c != w).any():
+        raise ValueError("weights must be integral occurrence counts "
+                         "(a fractional weight has no expansion law)")
+    keys = (varr.to_numpy(zero_copy_only=False)
+            if pa.types.is_integer(varr.type)
+            else np.asarray(varr.to_pylist(), dtype=object))
+    return keys, c
+
+
 class HLLAggregator(SketchAggregator):
     """Distinct-count per group via HyperLogLog."""
 
@@ -73,22 +118,30 @@ class HLLAggregator(SketchAggregator):
 
 
 class CMSAggregator(SketchAggregator):
-    """Frequency sketch per group via Count-Min."""
+    """Frequency sketch per group via Count-Min. ``weight_col``: each
+    row's key counts ``weight`` times (integer adds — bit-identical to
+    the expanded stream; the weighted-frequency-table law)."""
 
     def __init__(self, value_col: str, depth: int = 5, width: int = 1 << 14,
-                 seed: int = 0, hash_kind: str = "generic") -> None:
-        self.value_cols = [value_col]
+                 seed: int = 0, hash_kind: str = "generic",
+                 weight_col: str | None = None) -> None:
+        self.value_cols = [value_col] + ([weight_col] if weight_col else [])
         self.value_col = value_col
         self.depth = depth
         self.width = width
         self.seed = seed
         self.hash_kind = hash_kind
+        self.weight_col = weight_col
 
     def make(self) -> CountMinSketch:
         return CountMinSketch(self.depth, self.width, self.seed, self.hash_kind)
 
     def add_arrow(self, state: CountMinSketch, table: pa.Table) -> None:
-        state.add_batch(_keys_from_arrow(table.column(self.value_col)))
+        if self.weight_col:
+            keys, c = _weighted_pairs(table, self.value_col, self.weight_col)
+            state.add_batch(keys, counts=c)
+        else:
+            state.add_batch(_keys_from_arrow(table.column(self.value_col)))
 
     def merge_blobs(self, blobs) -> bytes:
         it = iter(blobs)
@@ -139,13 +192,18 @@ class BloomAggregator(SketchAggregator):
 
 
 class MisraGriesAggregator(SketchAggregator):
-    """Heavy-hitters summary per group via Misra-Gries."""
+    """Heavy-hitters summary per group via Misra-Gries. ``weight_col``:
+    each row's key counts ``weight`` times — within a batch the core
+    folds uniques identically either way, so the summary equals the
+    expanded stream's at the same batching."""
 
-    def __init__(self, value_col: str, k: int = 256, key_kind: str = "int") -> None:
-        self.value_cols = [value_col]
+    def __init__(self, value_col: str, k: int = 256, key_kind: str = "int",
+                 weight_col: str | None = None) -> None:
+        self.value_cols = [value_col] + ([weight_col] if weight_col else [])
         self.value_col = value_col
         self.k = k
         self.key_kind = key_kind
+        self.weight_col = weight_col
 
     def make(self):
         from ..core.misra_gries import MisraGries
@@ -153,7 +211,11 @@ class MisraGriesAggregator(SketchAggregator):
         return MisraGries(self.k, self.key_kind)
 
     def add_arrow(self, state, table: pa.Table) -> None:
-        state.add_batch(_keys_from_arrow(table.column(self.value_col)))
+        if self.weight_col:
+            keys, c = _weighted_pairs(table, self.value_col, self.weight_col)
+            state.add_batch(keys, counts=c)
+        else:
+            state.add_batch(_keys_from_arrow(table.column(self.value_col)))
 
     def merge_blobs(self, blobs) -> bytes:
         from ..core.misra_gries import MisraGries
@@ -175,9 +237,12 @@ class MisraGriesAggregator(SketchAggregator):
 
 
 def misra_gries_state(df: DataFrame, value_col: str, by: Sequence[str] | None = None,
-                      k: int = 256, key_kind: str = "int", **kw):
+                      k: int = 256, key_kind: str = "int",
+                      weight_col: str | None = None, **kw):
     kw.setdefault("keep_state", True)
-    return sketch_aggregate(df, MisraGriesAggregator(value_col, k, key_kind), by=by, **kw)
+    return sketch_aggregate(df, MisraGriesAggregator(value_col, k, key_kind,
+                                                     weight_col=weight_col),
+                            by=by, **kw)
 
 
 class _QuantileCompanionAggregator(SketchAggregator):
@@ -386,24 +451,38 @@ def hll_distinct(df: DataFrame, value_col: str, by: Sequence[str] | None = None,
 
 
 def _cms_native(df: DataFrame, value_col: str, by: Sequence[str],
-                depth: int, width: int):
+                depth: int, width: int, weight_col: str | None = None):
     from pyspark.sql import functions as F
 
     is_array = dict(df.dtypes)[value_col].startswith("array")
     cols = [F.col(c) for c in by]
+    wsel = ([F.col(weight_col).cast("double").alias("_w")]
+            if weight_col else [])
     if is_array:
-        base = df.select(*cols, F.explode(value_col).alias("_x"))
+        base = df.select(*cols, F.explode(value_col).alias("_x"), *wsel)
     else:
-        base = df.select(*cols, F.col(value_col).alias("_x"))
+        base = df.select(*cols, F.col(value_col).alias("_x"), *wsel)
     base = base.where(F.col("_x").isNotNull())
     rows = F.array(*[
         F.struct(F.lit(j).alias("row"),
                  F.pmod(F.xxhash64(F.col("_x"), F.lit(j)), F.lit(width)).alias("idx"))
         for j in range(depth)
     ])
-    return (base.select(*cols, F.explode(rows).alias("p"))
-            .select(*cols, F.col("p.row"), F.col("p.idx"))
-            .groupBy(*by, "row", "idx").agg(F.count(F.lit(1)).alias("c")))
+    if weight_col is None:
+        return (base.select(*cols, F.explode(rows).alias("p"))
+                .select(*cols, F.col("p.row"), F.col("p.idx"))
+                .groupBy(*by, "row", "idx").agg(F.count(F.lit(1)).alias("c")))
+    # weighted: c = sum(weight); NULL/zero weights contribute nothing,
+    # negative/fractional surface through the same in-flow validation
+    # columns the weighted DDSketch engine uses (checked at assembly)
+    w = F.col("_w")
+    base = base.where(w.isNotNull() & (w != 0))
+    return (base.select(*cols, F.explode(rows).alias("p"), w)
+            .select(*cols, F.col("p.row"), F.col("p.idx"), w)
+            .groupBy(*by, "row", "idx")
+            .agg(F.sum(w.cast("long")).alias("c"),
+                 F.min(w).alias("_wmin"),
+                 F.max(F.abs(w - F.floor(w))).alias("_wfrac")))
 
 
 def _cms_from_rows(rows_i, idx_i, counts_i, depth: int, width: int) -> CountMinSketch:
@@ -418,17 +497,28 @@ def _cms_from_rows(rows_i, idx_i, counts_i, depth: int, width: int) -> CountMinS
 
 def cms_state(df: DataFrame, value_col: str, by: Sequence[str] | None = None,
               depth: int = 5, width: int = 1 << 14, seed: int = 0,
-              engine: str = "arrow", hash_kind: str = "generic", **kw):
+              engine: str = "arrow", hash_kind: str = "generic",
+              weight_col: str | None = None, **kw):
     """Count-Min state per group.
 
     engine="native": JVM xxhash64(key, row) + pmod bucketing; only
     (row, idx, count) cells — at most depth*width per group — leave the JVM;
-    bit-identical to hash_kind='spark' NumPy builds (integer keys)."""
+    bit-identical to hash_kind='spark' NumPy builds (integer keys).
+
+    ``weight_col``: each row's key counts ``weight`` times (integer adds,
+    bit-identical to the expanded stream) — sketch a pre-aggregated
+    (key, count) table without re-expanding it. NULL/zero weights
+    contribute nothing; negative or fractional weights fail loudly."""
     if engine == "native":
+        from .ddsketch_agg import _check_weight_cols
+
         by = list(by or [])
-        kc = _cms_native(df, value_col, by, depth, width)
+        kc = _cms_native(df, value_col, by, depth, width, weight_col)
         if not by:
             rows = kc.collect()
+            if weight_col is not None and rows:
+                _check_weight_cols(min(r["_wmin"] for r in rows),
+                                   max(r["_wfrac"] for r in rows))
             cm = _cms_from_rows([r["row"] for r in rows], [r["idx"] for r in rows],
                                 [r["c"] for r in rows], depth, width)
             return {"total": cm.total, "state": cm.to_bytes()}
@@ -441,6 +531,9 @@ def cms_state(df: DataFrame, value_col: str, by: Sequence[str] | None = None,
         def assemble(pdf):
             import pandas as pd
 
+            if weight_col is not None:
+                _check_weight_cols(float(pdf["_wmin"].min()),
+                                   float(pdf["_wfrac"].max()))
             cm = _cms_from_rows(pdf["row"].to_numpy(), pdf["idx"].to_numpy(),
                                 pdf["c"].to_numpy(), depth, width)
             row = {k: [pdf[k].iloc[0]] for k in by}
@@ -450,7 +543,8 @@ def cms_state(df: DataFrame, value_col: str, by: Sequence[str] | None = None,
 
         return kc.groupBy(*by).applyInPandas(assemble, schema)
     kw.setdefault("keep_state", True)
-    return sketch_aggregate(df, CMSAggregator(value_col, depth, width, seed, hash_kind),
+    return sketch_aggregate(df, CMSAggregator(value_col, depth, width, seed,
+                                              hash_kind, weight_col=weight_col),
                             by=by, **kw)
 
 
