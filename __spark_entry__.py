@@ -403,6 +403,50 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["cms_weighted_partkey"] = cms_weighted_partkey
 
+    def tdigest_weighted_price(spark, sf):
+        """Weighted t-digest quantiles of unit price (weight=l_quantity).
+        The EXACT weighted quantile — value at rank floor(q*(n-1)) of
+        the weight-expanded multiset, computed by cumulative weight —
+        is re-derived on BOTH sides (driver-side NumPy cumsum here, a
+        window cumsum in the DuckDB oracle) and hash-matched; the
+        t-digest estimates are then held to the sketch's actual
+        guarantee: their true RANK sits within 1% of q."""
+        import numpy as np
+
+        from ddsketchy_spark.spark.companions import tdigest_quantiles
+
+        df = _load(spark, sf, "lineitem")
+        out = tdigest_quantiles(df, "l_extendedprice",
+                                weight_col="l_quantity",
+                                quantiles=(0.5, 0.99))
+        rows = (df.select(F.col("l_extendedprice").cast("double").alias("x"),
+                          F.col("l_quantity").cast("long").alias("w"))
+                .where("x IS NOT NULL AND w IS NOT NULL AND w > 0")
+                .collect())
+        x = np.asarray([r["x"] for r in rows])
+        w = np.asarray([r["w"] for r in rows], dtype=np.int64)
+        order = np.argsort(x, kind="stable")
+        xs, cw = x[order], np.cumsum(w[order])
+        n = int(cw[-1])
+        exacts = {}
+        for qv in (0.5, 0.99):
+            rank = int(qv * (n - 1))
+            exacts[qv] = float(xs[np.searchsorted(cw, rank, side="right")])
+
+        def rank_of(est):
+            i = np.searchsorted(xs, est)
+            return (cw[i - 1] if i > 0 else 0) / n
+
+        ok50 = abs(rank_of(out["p50"]) - 0.5) < 0.01
+        ok99 = abs(rank_of(out["p99"]) - 0.99) < 0.01
+        return spark.createDataFrame(
+            [(int(n), round(exacts[0.5], 6), round(exacts[0.99], 6),
+              bool(ok50), bool(ok99))],
+            "wcnt long, p50_exact double, p99_exact double, "
+            "td_p50_rank_ok boolean, td_p99_rank_ok boolean")
+
+    q["tdigest_weighted_price"] = tdigest_weighted_price
+
     def bloom_orderkeys(spark, sf):
         from ddsketchy_spark.core.bloom import BloomFilter
         from ddsketchy_spark.spark.companions import bloom_state
@@ -2397,6 +2441,25 @@ SELECT CAST(l_partkey AS BIGINT) AS l_partkey,
        TRUE AS cms_lower_ok, TRUE AS cms_upper_ok,
        TRUE AS engines_bit_identical
 FROM lineitem WHERE l_partkey <= 20 GROUP BY 1 ORDER BY 1
+"""
+    o["tdigest_weighted_price"] = """
+WITH t AS (
+  SELECT CAST(l_extendedprice AS DOUBLE) AS x,
+         CAST(l_quantity AS BIGINT) AS w
+  FROM lineitem
+  WHERE l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL
+    AND l_quantity > 0
+),
+tot AS (SELECT CAST(sum(w) AS BIGINT) AS n FROM t),
+cum AS (SELECT x, sum(w) OVER (ORDER BY x) AS cw FROM t)
+SELECT (SELECT n FROM tot) AS wcnt,
+  round((SELECT min(x) FROM cum
+         WHERE cw > CAST(floor(0.5 * ((SELECT n FROM tot) - 1)) AS BIGINT)),
+        6) AS p50_exact,
+  round((SELECT min(x) FROM cum
+         WHERE cw > CAST(floor(0.99 * ((SELECT n FROM tot) - 1)) AS BIGINT)),
+        6) AS p99_exact,
+  TRUE AS td_p50_rank_ok, TRUE AS td_p99_rank_ok
 """
     o["bloom_lineitem_orderkeys"] = """
 SELECT count(DISTINCT l_orderkey) AS distinct_keys,

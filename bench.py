@@ -625,6 +625,33 @@ def main() -> None:
     finally:
         shutil.rmtree(tmpd26, ignore_errors=True)
 
+    # q27: rollup cube (new r5) over the full token table — three
+    # grouping levels ((source, bucket), (source), global) of n_tok
+    # quantiles from ONE scan: the finest bucket-row frame persists and
+    # coarser levels re-aggregate it. The control runs the same three
+    # levels as three direct ddsketch_quantiles calls (three scans).
+    from ddsketchy_spark.pipeline.cache import release_cached_deps
+    from ddsketchy_spark.spark.ddsketch_agg import ddsketch_rollup
+
+    t27 = tdf.withColumn(
+        "bucket", F.pmod(F.xxhash64("doc_id"), F.lit(8)))
+    q27_trials = []
+    for _ in range(2):  # best-of-2 (CLAUDE.md bench methodology)
+        t0 = time.perf_counter()
+        roll = ddsketch_rollup(t27, "n_tok", ["source", "bucket"],
+                               alpha=ALPHA)
+        n27 = roll.count()
+        q27_trials.append(time.perf_counter() - t0)
+        release_cached_deps(roll)
+    queries["q27_rollup_3_levels_one_scan"] = round(min(q27_trials), 3)
+    queries["q27_rows"] = int(n27)
+    t0 = time.perf_counter()
+    ddsketch_quantiles(t27, "n_tok", by=["source", "bucket"],
+                       alpha=ALPHA).count()
+    ddsketch_quantiles(t27, "n_tok", by=["source"], alpha=ALPHA).count()
+    ddsketch_quantiles(t27, "n_tok", alpha=ALPHA)
+    queries["q27_control_3_direct_runs"] = round(time.perf_counter() - t0, 3)
+
     # Load-discipline pass (r4 verdict #2): if this run's scan control
     # deviated >1.5x below its documented quiet band, re-probe the control
     # once — if the box has gone quiet, re-run the slowest single-trial

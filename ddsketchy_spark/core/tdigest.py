@@ -59,6 +59,36 @@ class TDigest:
         self._max = max(self._max, float(v.max()))
         self._absorb(v, np.ones(len(v), dtype=np.float64))
 
+    def add_weighted_batch(self, values, weights) -> None:
+        """``values[i]`` carries ``weights[i]`` mass. Unlike the counting
+        sketches (DDSketch/CMS/MG, whose expansion law needs integral
+        occurrence counts), a t-digest ingests (mean, weight) centroids
+        NATIVELY — fractional weights are legitimate importance weights
+        here, so any finite weight >= 0 is accepted (zero-weight and
+        non-finite-value pairs contribute nothing; negatives raise).
+        With integral weights the quantile estimates agree with the
+        expanded stream within the sketch's accuracy (the compressor may
+        split an expanded run across centroids where a single weighted
+        point cannot — count, min and max are exact either way)."""
+        v = np.asarray(values, dtype=np.float64).ravel()
+        w = np.asarray(weights, dtype=np.float64).ravel()
+        if len(v) != len(w):
+            raise ValueError(f"{len(v)} values but {len(w)} weights")
+        if len(v) == 0:
+            return
+        if not np.isfinite(w).all():
+            raise ValueError("weights must be finite")
+        if (w < 0).any():
+            raise ValueError(f"weights must be >= 0, got {float(w.min())}")
+        live = np.isfinite(v) & (w > 0)
+        v, w = v[live], w[live]
+        if len(v) == 0:
+            return
+        v = v + 0.0  # -0.0 -> +0.0, as in add_batch
+        self._min = min(self._min, float(v.min()))
+        self._max = max(self._max, float(v.max()))
+        self._absorb(v, w)
+
     def _absorb(self, means: np.ndarray, weights: np.ndarray) -> None:
         all_means = np.concatenate([self.means, means])
         all_weights = np.concatenate([self.weights, weights])

@@ -85,6 +85,26 @@ def _weighted_pairs(table: pa.Table, value_col: str, weight_col: str):
     return keys, c
 
 
+def _weighted_numeric_pairs(table: pa.Table, value_col: str,
+                            weight_col: str):
+    """Aligned (float64 values, float64 weights) for weighted numeric
+    ingestion (t-digest): NULL-value/NULL-weight/zero-weight rows drop
+    together; negative weights raise; FRACTIONAL weights are allowed —
+    they are native importance weights for a centroid sketch, not
+    occurrence counts."""
+    varr = raw_column(table.column(value_col))
+    if pa.types.is_list(varr.type) or pa.types.is_large_list(varr.type):
+        raise ValueError("weight_col requires a scalar value column")
+    warr = raw_column(table.column(weight_col))
+    v = varr.to_numpy(zero_copy_only=False).astype(np.float64, copy=False)
+    w = warr.to_numpy(zero_copy_only=False).astype(np.float64, copy=False)
+    mask = _valid_mask(varr) & _valid_mask(warr) & ~np.isnan(w) & (w != 0)
+    v, w = v[mask], w[mask]
+    if len(w) and float(w.min()) < 0:
+        raise ValueError(f"weights must be >= 0, found {float(w.min())}")
+    return v, w
+
+
 class HLLAggregator(SketchAggregator):
     """Distinct-count per group via HyperLogLog."""
 
@@ -262,18 +282,28 @@ class _QuantileCompanionAggregator(SketchAggregator):
 
 
 class TDigestAggregator(_QuantileCompanionAggregator):
+    """``weight_col``: each value carries that weight — fractional
+    importance weights welcome (centroids are weight-native)."""
+
     def __init__(self, value_col: str, delta: float = 200.0,
-                 quantiles: Sequence[float] = (0.5, 0.9, 0.99, 0.999)) -> None:
-        self.value_cols = [value_col]
+                 quantiles: Sequence[float] = (0.5, 0.9, 0.99, 0.999),
+                 weight_col: str | None = None) -> None:
+        self.value_cols = [value_col] + ([weight_col] if weight_col else [])
         self.value_col = value_col
         self.delta = delta
         self.quantiles = list(quantiles)
+        self.weight_col = weight_col
 
     def make(self) -> TDigest:
         return TDigest(self.delta)
 
     def add_arrow(self, state: TDigest, table: pa.Table) -> None:
-        state.add_batch(numeric_values(table.column(self.value_col)))
+        if self.weight_col:
+            v, w = _weighted_numeric_pairs(table, self.value_col,
+                                           self.weight_col)
+            state.add_weighted_batch(v, w)
+        else:
+            state.add_batch(numeric_values(table.column(self.value_col)))
 
     def merge_blobs(self, blobs) -> bytes:
         return TDigest.merge_all([TDigest.from_bytes(b) for b in blobs]).to_bytes()
@@ -625,8 +655,11 @@ def bloom_state(df: DataFrame, value_col: str, by: Sequence[str] | None = None,
 
 def tdigest_quantiles(df: DataFrame, value_col: str, by: Sequence[str] | None = None,
                       delta: float = 200.0,
-                      quantiles: Sequence[float] = (0.5, 0.9, 0.99, 0.999), **kw):
-    return sketch_aggregate(df, TDigestAggregator(value_col, delta, quantiles), by=by, **kw)
+                      quantiles: Sequence[float] = (0.5, 0.9, 0.99, 0.999),
+                      weight_col: str | None = None, **kw):
+    return sketch_aggregate(df, TDigestAggregator(value_col, delta, quantiles,
+                                                  weight_col=weight_col),
+                            by=by, **kw)
 
 
 def kll_quantiles(df: DataFrame, value_col: str, by: Sequence[str] | None = None,

@@ -115,3 +115,53 @@ def test_weighted_companion_guards(spark):
     from ddsketchy_spark.core.misra_gries import MisraGries
 
     assert dict(MisraGries.from_bytes(mg["state"]).counters) == {"a": 2}
+
+
+def test_tdigest_weighted_core_and_spark(spark):
+    """t-digest weighted add: count/min/max exact vs the expansion,
+    quantiles within the sketch's accuracy; FRACTIONAL weights are
+    accepted (importance weights are native to centroid sketches) and
+    uniform scaling of all weights leaves quantiles unchanged."""
+    from ddsketchy_spark.core.tdigest import TDigest
+    from ddsketchy_spark.spark.companions import tdigest_quantiles
+
+    rng = np.random.default_rng(2)
+    vals = np.round(rng.lognormal(2, 1.0, 1500), 4)
+    cnts = rng.integers(0, 5, 1500)
+    a = TDigest(200.0)
+    a.add_weighted_batch(vals, cnts.astype(float))
+    b = TDigest(200.0)
+    b.add_batch(np.repeat(vals, cnts))
+    assert a.count == b.count
+    expanded = np.sort(np.repeat(vals, cnts))
+    n = len(expanded)
+
+    def rank_err(est, q):
+        # t-digest's guarantee is in RANK space (value-space error is
+        # unbounded on heavy tails): the estimate's true rank fraction
+        # must sit near q
+        return abs(np.searchsorted(expanded, est) / n - q)
+
+    for q in (0.1, 0.5, 0.9, 0.99):
+        assert rank_err(a.quantile(q), q) < 0.02, q
+        assert rank_err(b.quantile(q), q) < 0.02, q
+    # fractional weights: scaling every weight by 0.5 changes nothing
+    h = TDigest(200.0)
+    h.add_weighted_batch(vals, cnts.astype(float) * 0.5)
+    for q in (0.1, 0.5, 0.9):
+        assert rank_err(h.quantile(q), q) < 0.02, q
+    with pytest.raises(ValueError, match=">= 0"):
+        TDigest().add_weighted_batch([1.0], [-1.0])
+    with pytest.raises(ValueError, match="finite"):
+        TDigest().add_weighted_batch([1.0], [float("inf")])
+    with pytest.raises(ValueError, match="values but"):
+        TDigest().add_weighted_batch([1.0, 2.0], [1.0])
+
+    rows = [(float(v), int(c)) for v, c in zip(vals, cnts)]
+    rows += [(None, 5), (float("nan"), 5), (1.0, None), (2.0, 0)]
+    df = spark.createDataFrame(rows, "x double, w long")
+    out = tdigest_quantiles(df, "x", weight_col="w",
+                            quantiles=(0.5, 0.99))
+    assert out["count"] == int(cnts.sum())
+    for q, lab in ((0.5, "p50"), (0.99, "p99")):
+        assert rank_err(out[lab], q) < 0.02, lab
