@@ -165,3 +165,37 @@ def test_tdigest_weighted_core_and_spark(spark):
     assert out["count"] == int(cnts.sum())
     for q, lab in ((0.5, "p50"), (0.99, "p99")):
         assert rank_err(out[lab], q) < 0.02, lab
+
+
+def test_streaming_weighted_cms_matches_batch(spark, tmp_path):
+    """Weighted aggregators flow through stream_sketch_by_key unchanged
+    (the weight column rides in value_cols): the final streaming CMS
+    state per key is bit-identical to the batch weighted build, even
+    with NULL weights arriving mid-stream (the declared-Arrow-type
+    rebuild keeps the int weight column int)."""
+    from ddsketchy_spark.spark.companions import CMSAggregator, cms_state
+    from ddsketchy_spark.streaming import stream_sketch_by_key
+
+    df = _freq_df(spark)
+    src = str(tmp_path / "wsrc")
+    df.repartition(4).write.parquet(src)
+    stream = (spark.readStream.schema(df.schema)
+              .option("maxFilesPerTrigger", "1").parquet(src))
+    agg = CMSAggregator("key", depth=5, width=256, weight_col="w")
+    out = stream_sketch_by_key(stream, agg, ["grp"])
+    query = (out.writeStream.format("memory").queryName("wcms")
+             .outputMode("update")
+             .option("checkpointLocation", str(tmp_path / "wcmsck"))
+             .trigger(availableNow=True).start())
+    query.awaitTermination(120)
+    rows = spark.sql(
+        "SELECT grp, total FROM ("
+        "  SELECT *, row_number() OVER (PARTITION BY grp ORDER BY total DESC) rn"
+        "  FROM wcms) WHERE rn = 1").collect()
+    got = {r["grp"]: r["total"] for r in rows}
+    batch = {r["grp"]: r for r in cms_state(
+        spark.read.parquet(src), "key", by=["grp"], depth=5, width=256,
+        weight_col="w").collect()}
+    assert got.keys() == batch.keys()
+    for g in got:
+        assert got[g] == batch[g]["total"], g
