@@ -62,6 +62,36 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> None:
     train_bpe_merges(words, "w", n_merges=3).show(truncate=False)
     print("OOV rate per source vs the top-200-word vocab:")
     vocab_coverage(words, "w", 200, by=["source"]).orderBy("source").show(5)
+
+    # 7. weighted ingest: a pre-aggregated (value, count) frequency table
+    # sketches EXACTLY like the expanded rows, shuffling only
+    # O(distinct values) — the 10^12-token shape
+    freq = kept.groupBy("n_chars").agg(F.count(F.lit(1)).alias("occurrences"))
+    weighted = ddsketch_quantiles(freq, "n_chars", weight_col="occurrences",
+                                  quantiles=(0.5, 0.99))
+    print(f"weighted sketch over {freq.count()} frequency rows: "
+          f"count={weighted['count']} p50={weighted['p50']:.1f} "
+          f"p99={weighted['p99']:.1f}")
+
+    # 8. rollup cube: per-(source, lang), per-source AND global quantiles
+    # from ONE scan (coarser levels merge the finest bucket rows)
+    from ddsketchy_spark.pipeline.cache import release_cached_deps
+    from ddsketchy_spark.spark.ddsketch_agg import ddsketch_rollup
+
+    cube = ddsketch_rollup(lang_id(kept), "n_chars",
+                           ["source", "pred_lang"], quantiles=(0.5,))
+    cube.orderBy("rollup_level", "source", "pred_lang").show(8)
+    release_cached_deps(cube)
+
+    # 9. compressed ANN: 8-byte PQ codes (64x smaller than the floats)
+    # answer the same query via one broadcast lookup table
+    from ddsketchy_spark.pipeline.pq import (
+        ann_query_pq, pq_encode, train_pq_codebooks)
+
+    books = train_pq_codebooks(emb, m=8, nbits=8, train_rows=10_000)
+    enc = pq_encode(emb, books)
+    print("PQ/ADC nearest neighbors of vec 0 (from 8-byte codes):")
+    ann_query_pq(enc, books, [qvec], k=4).show()
     spark.stop()
 
 
