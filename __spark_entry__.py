@@ -305,6 +305,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["hll_rollup_events"] = hll_rollup_events
 
+    def dds_cdf_events(spark, sf):
+        """rank/cdf — the inverse sketch query — hash-matched EXACTLY:
+        the bucket law makes rank(x) = count of rows whose bucket key
+        <= key(x), which DuckDB re-derives with the same ceil(ln)
+        arithmetic. Probes sit at bucket midpoints (LogMapping.value of
+        their key) so both engines agree on key(probe) robustly. Runs
+        through the ddsketch_rank/ddsketch_cdf SQL functions on the
+        state blob, pinning those too."""
+        from ddsketchy_spark.spark.ddsketch_agg import ddsketch_state
+        from ddsketchy_spark.spark.functions import register_sql_functions
+
+        register_sql_functions(spark)
+        df = _load(spark, sf, "events")
+        sk = ddsketch_state(df, "value")
+        sdf = spark.createDataFrame([(sk.to_bytes(),)], "state binary")
+        sdf.createOrReplaceTempView("_cdf_state")
+        m = LogMapping(ALPHA)
+        probes = [m.value(m.key(v)) for v in (5.0, 60.0, 240.0)]
+        selects = ", ".join(
+            f"ddsketch_rank(state, {p!r}) AS r{i}, "
+            f"round(ddsketch_cdf(state, {p!r}), 6) AS c{i}"
+            for i, p in enumerate(probes))
+        return spark.sql(f"SELECT {selects} FROM _cdf_state")
+
+    q["dds_cdf_events"] = dds_cdf_events
+
     def exact_counts(spark, sf):
         return (
             _load(spark, sf, "events")
@@ -2404,6 +2430,21 @@ def oracle_sql() -> dict[str, str]:
     o["dds_weighted_price_by_returnflag"] = _dds_oracle(
         "lineitem", "l_extendedprice", (0.5, 0.9, 0.99),
         by="l_returnflag", weight="l_quantity")
+    _m_cdf = LogMapping(ALPHA)
+    _cdf_parts = []
+    for _i, _v in enumerate((5.0, 60.0, 240.0)):
+        _k = _m_cdf.key(_v)
+        _cnt = (f"(SELECT count(*) FROM fin WHERE x < "
+                f"{_m_cdf.min_indexable_value!r} OR (x >= "
+                f"{_m_cdf.min_indexable_value!r} AND CAST(ceil(ln(x) * "
+                f"{_m_cdf.inv_ln_gamma!r}) AS BIGINT) <= {_k}))")
+        _cdf_parts.append(
+            f"CAST({_cnt} AS BIGINT) AS r{_i}, "
+            f"round({_cnt} * 1.0 / (SELECT count(*) FROM fin), 6) AS c{_i}")
+    o["dds_cdf_events"] = (
+        "WITH fin AS (SELECT CAST(value AS DOUBLE) AS x FROM events "
+        "WHERE isfinite(CAST(value AS DOUBLE)))\nSELECT "
+        + ", ".join(_cdf_parts))
     o["hll_rollup_events"] = """
 SELECT event_type, CAST(1 AS INTEGER) AS rollup_level,
        count(DISTINCT user_id) AS users_exact,

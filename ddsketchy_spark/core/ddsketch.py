@@ -410,6 +410,37 @@ class DDSketch:
     def quantiles(self, qs: Iterable[float]) -> list[float]:
         return [self.quantile(q) for q in qs]
 
+    def rank(self, x: float) -> int:
+        """Estimated count of added values <= ``x`` — the inverse query
+        of ``quantile``, by the same bucket law: the ENTIRE bucket
+        containing x is counted (a step function, exact at bucket
+        boundaries; the within-bucket error is at most that bucket's
+        count, and every value in x's bucket is within the alpha
+        guarantee of x). Region walk matches ``quantile``'s ordering:
+        negative store (descending key), zero bucket (counts as exactly
+        0), positive store (ascending key). Exactly re-derivable in SQL
+        from the key law — the ``dds_cdf_events`` oracle does.
+        Non-finite x raises."""
+        x = float(x)
+        if not math.isfinite(x):
+            raise ValueError(f"rank requires a finite value, got {x!r}")
+        miv = self._m.min_indexable_value
+        neg = self.negative_store.count
+        if x >= miv:
+            return neg + self.zero_count + \
+                self.positive_store.count_leq_key(self._m.key(x))
+        if x >= 0:
+            return neg + self.zero_count
+        if x > -miv:
+            return neg
+        # x <= -miv: negatives with |v| >= |x| <=> key(|v|) >= key(-x)
+        return neg - self.negative_store.count_leq_key(self._m.key(-x) - 1)
+
+    def cdf(self, x: float) -> float:
+        """``rank(x) / count``; 0.0 for an empty sketch."""
+        total = self.count
+        return self.rank(x) / total if total else 0.0
+
     def percentiles(self) -> Optional[tuple[float, float, float, float]]:
         """(P50, P90, P95, P99), or None when empty."""
         if self.count == 0:

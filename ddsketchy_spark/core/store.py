@@ -173,6 +173,17 @@ class Store:
             return i + self.offset
         return self.max_key
 
+    def count_leq_key(self, key: int) -> int:
+        """Total count in bins with key' <= ``key`` (0 below the store's
+        range, the full count at/above the top) — the rank/CDF primitive,
+        the cumulative inverse of ``key_at_rank``."""
+        if len(self.bins) == 0 or key < self.offset:
+            return 0
+        i = key - self.offset + 1
+        if i >= len(self.bins):
+            return self.count
+        return int(self.bins[:i].sum())
+
     def nonzero_items(self) -> tuple[np.ndarray, np.ndarray]:
         """(keys, counts) of the non-empty bins, ascending by key."""
         nz = np.nonzero(self.bins)[0]

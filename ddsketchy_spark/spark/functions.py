@@ -42,6 +42,23 @@ def sketch_udfs() -> dict:
             out.append(None if sk.count == 0 else sk.quantile(float(qq)))
         return pd.Series(out, dtype="float64")
 
+    def _dds_cdf(state, x):
+        out = []
+        for blob, xx in zip(state, x):
+            if blob is None or xx is None:
+                out.append(None)
+                continue
+            sk = DDSketch.from_bytes(bytes(blob))
+            out.append(None if sk.count == 0 else sk.cdf(float(xx)))
+        return pd.Series(out, dtype="float64")
+
+    def _dds_rank(state, x):
+        out = []
+        for blob, xx in zip(state, x):
+            out.append(None if blob is None or xx is None else
+                       DDSketch.from_bytes(bytes(blob)).rank(float(xx)))
+        return pd.Series(out, dtype="Int64")
+
     def _dds_count(state):
         return pd.Series(
             [None if b is None else DDSketch.from_bytes(bytes(b)).count for b in state],
@@ -113,6 +130,8 @@ def sketch_udfs() -> dict:
 
     return {
         "ddsketch_quantile": pandas_udf(_dds_quantile, "double"),
+        "ddsketch_cdf": pandas_udf(_dds_cdf, "double"),
+        "ddsketch_rank": pandas_udf(_dds_rank, "long"),
         "ddsketch_count": pandas_udf(_dds_count, "long"),
         "ddsketch_sum": pandas_udf(_dds_sum, "double"),
         "ddsketch_merge_pair": pandas_udf(_dds_merge_pair, "binary"),
