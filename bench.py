@@ -625,11 +625,13 @@ def main() -> None:
     finally:
         shutil.rmtree(tmpd26, ignore_errors=True)
 
-    # q27: rollup cube (new r5) over the full token table — three
-    # grouping levels ((source, bucket), (source), global) of n_tok
-    # quantiles from ONE scan: the finest bucket-row frame persists and
-    # coarser levels re-aggregate it. The control runs the same three
-    # levels as three direct ddsketch_quantiles calls (three scans).
+    # q27: rollup cube (new r5) over the TOKEN VALUES (array column —
+    # every pass explodes all ~529M tokens in-engine, so the scan is the
+    # cost): three grouping levels ((source, bucket), (source), global)
+    # from ONE pass — the finest bucket-row frame persists and coarser
+    # levels re-aggregate its few thousand rows. The control runs the
+    # same three levels as three direct ddsketch_quantiles calls (three
+    # full explode+bucket passes); the gap is the one-scan claim.
     from ddsketchy_spark.pipeline.cache import release_cached_deps
     from ddsketchy_spark.spark.ddsketch_agg import ddsketch_rollup
 
@@ -638,7 +640,7 @@ def main() -> None:
     q27_trials = []
     for _ in range(2):  # best-of-2 (CLAUDE.md bench methodology)
         t0 = time.perf_counter()
-        roll = ddsketch_rollup(t27, "n_tok", ["source", "bucket"],
+        roll = ddsketch_rollup(t27, "tokens", ["source", "bucket"],
                                alpha=ALPHA)
         n27 = roll.count()
         q27_trials.append(time.perf_counter() - t0)
@@ -646,10 +648,10 @@ def main() -> None:
     queries["q27_rollup_3_levels_one_scan"] = round(min(q27_trials), 3)
     queries["q27_rows"] = int(n27)
     t0 = time.perf_counter()
-    ddsketch_quantiles(t27, "n_tok", by=["source", "bucket"],
+    ddsketch_quantiles(t27, "tokens", by=["source", "bucket"],
                        alpha=ALPHA).count()
-    ddsketch_quantiles(t27, "n_tok", by=["source"], alpha=ALPHA).count()
-    ddsketch_quantiles(t27, "n_tok", alpha=ALPHA)
+    ddsketch_quantiles(t27, "tokens", by=["source"], alpha=ALPHA).count()
+    ddsketch_quantiles(t27, "tokens", alpha=ALPHA)
     queries["q27_control_3_direct_runs"] = round(time.perf_counter() - t0, 3)
 
     # Load-discipline pass (r4 verdict #2): if this run's scan control
