@@ -2415,6 +2415,71 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .orderBy("event_type", "band"))
 
     q["interval_join_value_bands"] = interval_join_value_bands
+
+    def bm25_search_documents(spark, sf):
+        """BM25 top-20 for the query "spark scan merge" over documents.
+        Fixed-order arithmetic and the shared split-on-space token law
+        make the double scores reproducible by an independent engine:
+        the DuckDB oracle re-derives every score from scratch
+        (list_filter tf, one stats row, the exact same expression tree)
+        and must select the same 20 docs with hash-equal values."""
+        from ddsketchy_spark.pipeline.search import bm25_topk
+
+        docs = _load(spark, sf, "documents")
+        out = bm25_topk(docs, "spark scan merge", k=20)
+        return out.select(
+            "doc_id", F.col("dl").cast("long").alias("dl"),
+            F.col("matched_terms").cast("long").alias("matched_terms"),
+            "bm25")
+
+    q["bm25_search_documents"] = bm25_search_documents
+
+    def dds_distance_events(spark, sf):
+        """Pairwise KS / 1-Wasserstein distances between the five
+        event-type value distributions, computed entirely from DDSketch
+        bucket atoms (native SQL end to end). The DuckDB oracle rebuilds
+        the atoms from raw values with the same bucket law and runs the
+        same CDF event-sweep — full hash-match re-derivation."""
+        from ddsketchy_spark.spark.distance import ddsketch_distance
+
+        ev = _load(spark, sf, "events")
+        return ddsketch_distance(ev, "value", "event_type", ALPHA)
+
+    q["dds_distance_events"] = dds_distance_events
+
+    def fd_embeddings_spectrum(spark, sf):
+        """Frequent-Directions spectrum of the embeddings table: the
+        matrix-sketch companion (Liberty 2013). The sketch's certified
+        guarantee rides as booleans — each top-5 singular-value estimate
+        must satisfy sv_ex^2 - err_bound <= sv_sk^2 <= sv_ex^2 against
+        the EXACT spectrum from the distributed Gram, and the carried
+        err_bound must respect frob_sq/ell. DuckDB anchors n_vecs; a
+        guarantee violation flips a boolean into a hash mismatch."""
+        from ddsketchy_spark.spark.agg import sketch_aggregate
+        from ddsketchy_spark.spark.matrix import (
+            FDAggregator, exact_gram, exact_singular_values)
+
+        emb = (_load(spark, sf, "embeddings")
+               .where(F.col("embedding").isNotNull()))
+        ell = 32
+        out = sketch_aggregate(emb, FDAggregator("embedding", dim=64,
+                                                 ell=ell, k_out=5))
+        gram, n = exact_gram(emb, "embedding", 64)
+        sv = exact_singular_values(gram, 5)
+        eps = 1e-9 * out["frob_sq"] + 1e-9
+        sv_ok = [bool(out[f"sv_{i + 1}"] ** 2 <= sv[i] ** 2 + eps
+                      and out[f"sv_{i + 1}"] ** 2
+                      >= sv[i] ** 2 - out["err_bound"] - eps)
+                 for i in range(5)]
+        rows = [(int(out["n_rows"]), bool(out["n_rows"] == n),
+                 bool(out["err_bound"] <= out["frob_sq"] / ell + eps),
+                 *sv_ok)]
+        return spark.createDataFrame(
+            rows, "n_vecs long, counts_agree boolean, bound_ok boolean, "
+                  "sv1_ok boolean, sv2_ok boolean, sv3_ok boolean, "
+                  "sv4_ok boolean, sv5_ok boolean")
+
+    q["fd_embeddings_spectrum"] = fd_embeddings_spectrum
     return q
 
 
@@ -3895,7 +3960,111 @@ FROM events e JOIN bands b ON e.value BETWEEN b.lo AND b.hi
 GROUP BY e.event_type, b.band
 ORDER BY e.event_type, b.band
 """
+    o["bm25_search_documents"] = _bm25_oracle(
+        ["spark", "scan", "merge"], k=20)
+    o["dds_distance_events"] = _dds_distance_oracle(
+        "events", "value", "event_type")
+    o["fd_embeddings_spectrum"] = """
+SELECT CAST(count(*) AS BIGINT) AS n_vecs,
+       TRUE AS counts_agree, TRUE AS bound_ok,
+       TRUE AS sv1_ok, TRUE AS sv2_ok, TRUE AS sv3_ok,
+       TRUE AS sv4_ok, TRUE AS sv5_ok
+FROM embeddings WHERE embedding IS NOT NULL
+"""
     return o
+
+
+def _bm25_oracle(terms: list[str], k1: float = 1.2, b: float = 0.75,
+                 k: int = 20) -> str:
+    """Full BM25 re-derivation: per-term tf under the split token law,
+    one corpus-stats row, the exact fixed-order score expression the
+    Spark engine evaluates (pipeline/search.py)."""
+    tf_cols = ",\n         ".join(
+        f"len(list_filter(string_split(text, ' '), x -> x = '{t}')) AS tf{i}"
+        for i, t in enumerate(terms))
+    df_cols = ", ".join(
+        f"CAST(sum(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df{i}"
+        for i in range(len(terms)))
+    score = " + ".join(
+        f"ln(1.0 + (n - df{i} + 0.5) / (df{i} + 0.5)) * CAST(tf{i} AS DOUBLE)"
+        f" * {k1 + 1.0!r} / (CAST(tf{i} AS DOUBLE) + {k1!r} * ({1.0 - b!r}"
+        f" + {b!r} * (CAST(dl AS DOUBLE) / avgdl)))"
+        for i in range(len(terms)))
+    matched = " + ".join(
+        f"CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END"
+        for i in range(len(terms)))
+    return f"""
+WITH d AS (
+  SELECT doc_id,
+         len(list_filter(string_split(text, ' '), x -> x <> '')) AS dl,
+         {tf_cols}
+  FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL
+),
+s AS (
+  SELECT CAST(count(*) AS BIGINT) AS n, avg(dl) AS avgdl, {df_cols} FROM d
+)
+SELECT doc_id, CAST(dl AS BIGINT) AS dl,
+       CAST({matched} AS BIGINT) AS matched_terms,
+       round({score}, 6) AS bm25
+FROM d, s
+ORDER BY bm25 DESC, doc_id ASC
+LIMIT {k}
+"""
+
+
+def _dds_distance_oracle(table: str, col: str, by: str,
+                         alpha: float = ALPHA) -> str:
+    """KS / W1 between every two groups, re-derived from raw values: the
+    same bucket-atom law (key = ceil(ln|x| * ilg), atom at
+    exp(key*ln_gamma)*2/(1+gamma), zero bucket at 0.0) and the same CDF
+    event-sweep as spark/distance.py."""
+    m = LogMapping(alpha)
+    ilg = repr(m.inv_ln_gamma)
+    gl = repr(1.0 / m.inv_ln_gamma)
+    coef = repr(2.0 / (1.0 + m.gamma))
+    miv = repr(m.min_indexable_value)
+    return f"""
+WITH fin AS (
+  SELECT {by} AS g, CAST({col} AS DOUBLE) AS x FROM {table}
+  WHERE {by} IS NOT NULL AND {col} IS NOT NULL
+    AND isfinite(CAST({col} AS DOUBLE))
+),
+vals AS (
+  SELECT g,
+    CASE WHEN x >= {miv}
+           THEN exp(CAST(ceil(ln(x) * {ilg}) AS BIGINT) * {gl}) * {coef}
+         WHEN x <= -{miv}
+           THEN -(exp(CAST(ceil(ln(-x) * {ilg}) AS BIGINT) * {gl}) * {coef})
+         ELSE 0.0 END AS v
+  FROM fin
+),
+atoms AS (SELECT g, v, CAST(count(*) AS BIGINT) AS c FROM vals GROUP BY g, v),
+tot AS (SELECT g, CAST(sum(c) AS BIGINT) AS n FROM atoms GROUP BY g),
+pairs AS (
+  SELECT ta.g AS g_a, ta.n AS n_a, tb.g AS g_b, tb.n AS n_b
+  FROM tot ta JOIN tot tb ON ta.g < tb.g
+),
+ev AS (
+  SELECT p.g_a, p.g_b, any_value(p.n_a) AS n_a, any_value(p.n_b) AS n_b, a.v,
+         sum(CASE WHEN a.g = p.g_a THEN a.c ELSE 0 END) AS da,
+         sum(CASE WHEN a.g = p.g_b THEN a.c ELSE 0 END) AS db
+  FROM pairs p JOIN atoms a ON a.g = p.g_a OR a.g = p.g_b
+  GROUP BY p.g_a, p.g_b, a.v
+),
+st AS (
+  SELECT g_a, g_b, n_a, n_b, v,
+         CAST(sum(da) OVER w AS DOUBLE) / CAST(n_a AS DOUBLE) AS fa,
+         CAST(sum(db) OVER w AS DOUBLE) / CAST(n_b AS DOUBLE) AS fb,
+         lead(v) OVER (PARTITION BY g_a, g_b ORDER BY v) AS vn
+  FROM ev
+  WINDOW w AS (PARTITION BY g_a, g_b ORDER BY v ROWS UNBOUNDED PRECEDING)
+)
+SELECT g_a, g_b, CAST(any_value(n_a) AS BIGINT) AS n_a,
+       CAST(any_value(n_b) AS BIGINT) AS n_b,
+       round(max(abs(fa - fb)), 6) AS ks,
+       round(sum(abs(fa - fb) * COALESCE(vn - v, 0.0)), 6) AS w1
+FROM st GROUP BY g_a, g_b ORDER BY g_a, g_b
+"""
 
 
 def _dds_three_region_oracle(table: str, expr: str, qs: tuple[float, ...],

@@ -1,0 +1,191 @@
+"""Frequent Directions: certified bound law, mergeability, serialization,
+and the Spark aggregation path vs the exact distributed Gram."""
+
+import numpy as np
+import pytest
+
+from ddsketchy_spark.core.fd import FrequentDirections
+from ddsketchy_spark.spark.matrix import (
+    FDAggregator, exact_gram, exact_singular_values)
+
+
+def _spec_norm_diff(A: np.ndarray, B: np.ndarray) -> float:
+    d = A.T @ A - B.T @ B
+    return float(np.abs(np.linalg.eigvalsh(d)).max())
+
+
+def _rand(n, d, seed):
+    rng = np.random.default_rng(seed)
+    # low-rank + noise: the regime FD is for
+    U = rng.normal(size=(n, 4))
+    V = rng.normal(size=(4, d))
+    return U @ V * 3.0 + rng.normal(size=(n, d)) * 0.3
+
+
+def test_fd_bound_certificate_and_psd():
+    A = _rand(500, 24, 1)
+    sk = FrequentDirections(24, ell=16)
+    sk.add_batch(A)
+    B = sk.sketch_matrix()
+    err = _spec_norm_diff(A, B)
+    assert err <= sk.cov_error_bound() + 1e-6
+    assert sk.cov_error_bound() <= sk.frob_sq / sk.ell + 1e-6
+    # A^T A - B^T B is PSD (shrinking only removes mass)
+    d = A.T @ A - B.T @ B
+    assert np.linalg.eigvalsh(d).min() >= -1e-6
+    assert sk.n_rows == 500
+    assert sk.frob_sq == pytest.approx(float((A * A).sum()))
+
+
+def test_fd_singular_value_estimates_within_bound():
+    A = _rand(400, 16, 2)
+    sk = FrequentDirections(16, ell=12)
+    sk.add_batch(A)
+    sv_sk = sk.singular_values(6)
+    sv_ex = np.linalg.svd(A, compute_uv=False)[:6]
+    for i in range(6):
+        # Weyl on the PSD difference: sigma_i(A)^2 - delta <= sigma_i(B)^2
+        assert sv_sk[i] ** 2 <= sv_ex[i] ** 2 + 1e-6
+        assert sv_sk[i] ** 2 >= sv_ex[i] ** 2 - sk.cov_error_bound() - 1e-6
+
+
+def test_fd_merge_preserves_bound_and_counts():
+    A = _rand(600, 20, 3)
+    chunks = np.array_split(A, 4)
+    parts = []
+    for c in chunks:
+        s = FrequentDirections(20, ell=14)
+        s.add_batch(c)
+        parts.append(s)
+    acc = FrequentDirections.from_bytes(parts[0].to_bytes())
+    for p in parts[1:]:
+        acc.merge(p)
+    assert acc.n_rows == 600
+    assert acc.frob_sq == pytest.approx(sum(p.frob_sq for p in parts))
+    assert _spec_norm_diff(A, acc.sketch_matrix()) <= acc.cov_error_bound() + 1e-6
+    assert acc.cov_error_bound() <= acc.frob_sq / acc.ell + 1e-6
+    # merge in a different tree shape: bound still certified
+    acc2 = FrequentDirections(20, ell=14)
+    for p in (parts[2], parts[0], parts[3], parts[1]):
+        acc2.merge(p)
+    assert _spec_norm_diff(A, acc2.sketch_matrix()) <= acc2.cov_error_bound() + 1e-6
+
+
+def test_fd_serialization_roundtrip_and_determinism():
+    A = _rand(300, 12, 4)
+    s1 = FrequentDirections(12, ell=8)
+    s1.add_batch(A)
+    blob = s1.to_bytes()
+    s2 = FrequentDirections.from_bytes(blob)
+    assert s2.to_bytes() == blob
+    assert np.array_equal(s1.sketch_matrix(), s2.sketch_matrix())
+    # continue adding after restore == continue on the original
+    more = _rand(100, 12, 5)
+    s1.add_batch(more)
+    s2.add_batch(more)
+    assert s1.to_bytes() == s2.to_bytes()
+    # same input order -> bit-identical sketch
+    s3 = FrequentDirections(12, ell=8)
+    s3.add_batch(A)
+    s3.add_batch(more)
+    assert s3.to_bytes() == s1.to_bytes()
+
+
+def test_fd_guards():
+    sk = FrequentDirections(8, ell=4)
+    with pytest.raises(ValueError, match=r"expected \(m, 8\)"):
+        sk.add_batch(np.zeros((3, 5)))
+    with pytest.raises(ValueError, match="finite"):
+        sk.add_batch(np.full((2, 8), np.nan))
+    with pytest.raises(ValueError, match="cannot merge"):
+        sk.merge(FrequentDirections(8, ell=5))
+    with pytest.raises(ValueError, match="cannot merge"):
+        sk.merge(FrequentDirections(9, ell=4))
+    with pytest.raises(ValueError, match="not a FrequentDirections blob"):
+        FrequentDirections.from_bytes(b"XXXXGARBAGE")
+    with pytest.raises(ValueError):
+        FrequentDirections(0, 4)
+    with pytest.raises(ValueError):
+        FrequentDirections(4, 0)
+    assert FrequentDirections(4, 2).is_empty()
+
+
+def test_fd_empty_and_small():
+    sk = FrequentDirections(6, ell=4)
+    assert np.array_equal(sk.singular_values(3), np.zeros(3))
+    sk.add_batch(np.eye(6)[:2])
+    sv = sk.singular_values(4)
+    assert sv[0] == pytest.approx(1.0) and sv[1] == pytest.approx(1.0)
+    assert sv[2] == 0.0 and sk.cov_error_bound() == 0.0
+
+
+# ---------------------------------------------------------------------------
+# Spark path
+# ---------------------------------------------------------------------------
+
+
+def _vec_df(spark, A, with_nulls=False):
+    rows = [(i, [float(x) for x in A[i]], "g%d" % (i % 2)) for i in range(len(A))]
+    if with_nulls:
+        rows += [(None, None, "g0"), (len(A) + 1, None, "g1")]
+    return spark.createDataFrame(
+        rows, "id long, vec array<double>, grp string")
+
+
+def test_fd_spark_global_matches_certificate(spark):
+    from ddsketchy_spark.spark.agg import sketch_aggregate
+
+    A = _rand(800, 16, 7)
+    df = _vec_df(spark, A, with_nulls=True).repartition(6)
+    agg = FDAggregator("vec", dim=16, ell=12, k_out=5)
+    out = sketch_aggregate(df.where("vec is not null"), agg)
+    assert out["n_rows"] == 800
+    assert out["frob_sq"] == pytest.approx(float((A * A).sum()))
+    sv_ex = np.linalg.svd(A, compute_uv=False)[:5]
+    for i in range(5):
+        assert out[f"sv_{i+1}"] ** 2 <= sv_ex[i] ** 2 + 1e-6
+        assert out[f"sv_{i+1}"] ** 2 >= sv_ex[i] ** 2 - out["err_bound"] - 1e-6
+    assert out["err_bound"] <= out["frob_sq"] / 12 + 1e-6
+
+
+def test_fd_spark_single_partition_bit_identical_to_driver(spark):
+    from ddsketchy_spark.spark.agg import sketch_aggregate
+
+    A = _rand(200, 8, 8)
+    df = _vec_df(spark, A).coalesce(1)
+    agg = FDAggregator("vec", dim=8, ell=6, k_out=4)
+    out = sketch_aggregate(df, agg)
+    ref = FrequentDirections(8, ell=6)
+    ref.add_batch(A)
+    svs = ref.singular_values(4)
+    for i in range(4):
+        assert out[f"sv_{i+1}"] == pytest.approx(float(svs[i]), abs=1e-12)
+    assert out["err_bound"] == pytest.approx(ref.cov_error_bound(), abs=1e-12)
+
+
+def test_fd_spark_grouped(spark):
+    from ddsketchy_spark.spark.agg import sketch_aggregate
+
+    A = _rand(400, 10, 9)
+    df = _vec_df(spark, A).repartition(5)
+    agg = FDAggregator("vec", dim=10, ell=8, k_out=3)
+    rows = {r["grp"]: r for r in
+            sketch_aggregate(df, agg, by=["grp"]).collect()}
+    for g in ("g0", "g1"):
+        sub = A[[i for i in range(len(A)) if i % 2 == int(g[1])]]
+        assert rows[g]["n_rows"] == len(sub)
+        sv_ex = np.linalg.svd(sub, compute_uv=False)[:3]
+        for i in range(3):
+            assert rows[g][f"sv_{i+1}"] ** 2 >= sv_ex[i] ** 2 - rows[g]["err_bound"] - 1e-6
+            assert rows[g][f"sv_{i+1}"] ** 2 <= sv_ex[i] ** 2 + 1e-6
+
+
+def test_exact_gram_distributed(spark):
+    A = _rand(300, 12, 10)
+    df = _vec_df(spark, A, with_nulls=True).repartition(7)
+    g, n = exact_gram(df, "vec", 12)
+    assert n == 300
+    np.testing.assert_allclose(g, A.T @ A, rtol=1e-10)
+    sv = exact_singular_values(g, 4)
+    np.testing.assert_allclose(
+        sv, np.linalg.svd(A, compute_uv=False)[:4], rtol=1e-8)

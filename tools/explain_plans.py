@@ -780,6 +780,57 @@ def main() -> None:
     finally:
         shutil.rmtree(tmpd, ignore_errors=True)
 
+    # 26. BM25 scoring: tf via regexp_count in codegen over a 2-column
+    # pruned scan; corpus stats are ONE 1-row aggregate broadcast back
+    # (BroadcastNestedLoopJoin on a 1-row side is the intended scalar
+    # attach); no Python, no explode-shuffle of tokens
+    from ddsketchy_spark.pipeline.search import bm25_scores
+
+    bm = bm25_scores(docs, "spark scan merge")
+    results["bm25_scores"] = audit(
+        "bm25_scores", bm,
+        want=[r"ReadSchema: struct<doc_id:bigint,text:string>",
+              r"HashAggregate[\s\S]*Exchange[\s\S]*HashAggregate",
+              r"BroadcastNestedLoopJoin"],
+        reject=[r"BatchEvalPython", r"ArrowEvalPython",
+                r"FlatMapGroupsInPandas", r"(MapInArrow|PythonMapInArrow)",
+                r"Generate", r"SortMergeJoin", r"CartesianProduct"],
+    )
+
+    # 27. DDSketch distance matrix: the only data-sized stage is the
+    # native bucket aggregate (map-side combine); pair fan-out joins are
+    # broadcast equi-joins over O(groups x buckets) rows, the CDF sweep
+    # is a window — no Python anywhere, no cartesian on data rows
+    from ddsketchy_spark.spark.distance import ddsketch_distance
+
+    dist = ddsketch_distance(events, "value", "event_type", 0.01)
+    results["dds_distance"] = audit(
+        "dds_distance", dist,
+        want=[r"ReadSchema: struct<event_type:string,value:double>",
+              r"HashAggregate[\s\S]*Exchange[\s\S]*HashAggregate",
+              r"BroadcastHashJoin", r"Window"],
+        reject=[r"BatchEvalPython", r"ArrowEvalPython",
+                r"FlatMapGroupsInPandas", r"(MapInArrow|PythonMapInArrow)",
+                r"SortMergeJoin", r"CartesianProduct"],
+    )
+
+    # 28. Frequent-Directions partial build: vectors fold into ell x d
+    # states INSIDE the scan pipeline (mapInArrow), no shuffle of vectors
+    # — the only moving bytes are KB-scale state blobs
+    from ddsketchy_spark.spark.agg import build_partials
+    from ddsketchy_spark.spark.matrix import FDAggregator
+
+    emb_t = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    fdp = build_partials(emb_t, FDAggregator("embedding", dim=64, ell=16))
+    results["fd_partial_build"] = audit(
+        "fd_partial_build", fdp,
+        want=[r"(MapInArrow|PythonMapInArrow)",
+              r"ReadSchema: struct<embedding"],
+        reject=[r"Exchange", r"BatchEvalPython", r"ArrowEvalPython",
+                r"FlatMapGroupsInPandas", r"SortMergeJoin",
+                r"CartesianProduct"],
+    )
+
     print("\nsummary:", {k: ("OK" if v else "FAIL") for k, v in results.items()})
     spark.stop()
     sys.exit(0 if all(results.values()) else 1)
