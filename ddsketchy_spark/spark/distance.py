@@ -140,6 +140,117 @@ def _sketch_atoms(sk: DDSketch) -> tuple[np.ndarray, np.ndarray]:
     return v[order], c[order]
 
 
+def ddsketch_rollup_distance(
+    spark,
+    root: str,
+    agg,
+    by,
+    v_old: int | None = None,
+    v_new: int | None = None,
+    other_root: str | None = None,
+) -> DataFrame:
+    """Per-key (ks, w1) between two DDSketch rollup snapshots — corpus
+    drift between crawls as ONE number per key, from the snapshots' state
+    blobs alone (no data rescan; the complement of ``rollup_drift``'s
+    per-quantile deltas: KS/W1 see the WHOLE distribution move, not just
+    the probed quantiles).
+
+    ``agg`` must be a ``DDSketchAggregator`` (its states are the bucket
+    atoms the distance is defined on). ``v_new`` defaults to the latest
+    version of ``root``; the old side reads ``other_root`` at its latest
+    (cross-lineage comparison) when given, else ``root`` at ``v_new - 1``.
+    Output per key: ``status`` ('added'/'removed'/'both' — like
+    ``rollup_drift``), ``n_old``/``n_new``, and ``ks``/``w1`` rounded to
+    6 dp for 'both' keys with two non-empty sketches, else the ``-1.0``
+    sentinel (never NULL doubles — oracle-comparator convention).
+
+    Scale shape: two state-table reads, one key-only full-outer join,
+    one vectorized pass decoding two KB-scale blobs per key."""
+    import pyarrow as pa
+
+    from pyspark.sql.types import (
+        DoubleType, LongType, StringType, StructField, StructType)
+
+    from .agg import to_arrow_schema
+    from .ddsketch_agg import DDSketchAggregator
+    from .rollup import latest_version, read_rollup_version
+
+    if not isinstance(agg, DDSketchAggregator):
+        # fail driver-side with the real reason — any other aggregator's
+        # blobs would only die executor-side inside DDSketch.from_bytes
+        raise TypeError(
+            f"ddsketch_rollup_distance needs a DDSketchAggregator (the "
+            f"distance is defined on its bucket atoms), got "
+            f"{type(agg).__name__}")
+    by = list(by)
+    if v_new is None:
+        v_new = latest_version(spark, root)
+        if v_new < 0:
+            raise FileNotFoundError(f"no rollup snapshots under {root!r}")
+    old_root = other_root or root
+    if v_old is None:
+        v_old = (latest_version(spark, old_root) if other_root
+                 else v_new - 1)
+    if v_old < 0:
+        raise ValueError(
+            f"v_old={v_old}: need two snapshots to compare (update the "
+            "rollup at least twice, or pass other_root)")
+    if other_root is None and v_old == v_new:
+        raise ValueError("v_old == v_new — nothing to compare")
+    old = (read_rollup_version(spark, old_root, v_old)
+           .select(*by, F.col("state").alias("_s_old")))
+    new = (read_rollup_version(spark, root, v_new)
+           .select(*by, F.col("state").alias("_s_new")))
+    j = old.join(new, by, "full_outer") if by else old.crossJoin(new)
+
+    key_fields = [f for f in j.schema.fields if f.name in by]
+    out_schema = StructType(key_fields + [
+        StructField("status", StringType()),
+        StructField("n_old", LongType()),
+        StructField("n_new", LongType()),
+        StructField("ks", DoubleType()),
+        StructField("w1", DoubleType()),
+    ])
+    out_arrow = to_arrow_schema(out_schema)
+    in_cols = list(j.columns)  # the DataFrame itself must not be captured
+
+    def dist(batches):
+        for batch in batches:
+            n = batch.num_rows
+            if not n:
+                continue
+            olds = batch.column(in_cols.index("_s_old")).to_pylist()
+            news = batch.column(in_cols.index("_s_new")).to_pylist()
+            cols: dict[str, list] = {f.name: [] for f in out_schema.fields}
+            for i in range(n):
+                a = (DDSketch.from_bytes(olds[i])
+                     if olds[i] is not None else None)
+                b = (DDSketch.from_bytes(news[i])
+                     if news[i] is not None else None)
+                status = ("added" if a is None
+                          else "removed" if b is None else "both")
+                cols["status"].append(status)
+                cols["n_old"].append(a.count if a is not None else 0)
+                cols["n_new"].append(b.count if b is not None else 0)
+                if (a is not None and b is not None
+                        and a.count > 0 and b.count > 0):
+                    ks, w1 = sketch_distance(a, b)
+                    cols["ks"].append(round(ks, 6))
+                    cols["w1"].append(round(w1, 6))
+                else:
+                    cols["ks"].append(-1.0)
+                    cols["w1"].append(-1.0)
+            for kf in key_fields:
+                cols[kf.name] = batch.column(
+                    in_cols.index(kf.name)).to_pylist()
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(cols[f.name], type=out_arrow.field(f.name).type)
+                 for f in out_schema.fields],
+                schema=out_arrow)
+
+    return j.mapInArrow(dist, out_schema)
+
+
 def sketch_distance(a: DDSketch, b: DDSketch) -> tuple[float, float]:
     """(ks, w1) between two DDSketches — the NumPy twin of the SQL
     engine, bit-compatible modulo summation order (parity pinned in

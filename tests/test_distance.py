@@ -126,3 +126,80 @@ def test_sql_engine_ignores_nulls_and_nonfinite(spark):
     ks, w1 = sketch_distance(_sk([1.0, 2.0]), _sk([4.0, 8.0]))
     assert r["ks"] == pytest.approx(round(ks, 6), abs=1e-6)
     assert r["w1"] == pytest.approx(round(w1, 6), abs=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# Rollup distance (blob-level drift between snapshot versions)
+# ---------------------------------------------------------------------------
+
+
+def test_rollup_distance_between_versions(spark, tmp_path):
+    """Per-key KS/W1 between rollup v0 and v1 == sketch_distance between
+    reference sketches built from the raw data (v1 folds d2 forward);
+    added keys get sentinels; guards fire driver-side."""
+    from ddsketchy_spark.spark.ddsketch_agg import DDSketchAggregator
+    from ddsketchy_spark.spark.distance import ddsketch_rollup_distance
+    from ddsketchy_spark.spark.rollup import update_rollup
+
+    rng = np.random.default_rng(17)
+    d1 = {"a": rng.lognormal(2.0, 0.8, 500), "c": rng.lognormal(1.0, 0.3, 200)}
+    d2 = {"a": rng.lognormal(3.0, 1.0, 400), "b": np.array([7.0, 9.0])}
+    agg = DDSketchAggregator("v", alpha=ALPHA, quantiles=(0.5,))
+    root = str(tmp_path / "roll_dist")
+    for d in (d1, d2):
+        df = spark.createDataFrame(
+            [(k, float(x)) for k, vs in d.items() for x in vs],
+            "k string, v double")
+        update_rollup(spark, root, df, agg, ["k"])
+
+    out = {r["k"]: r for r in
+           ddsketch_rollup_distance(spark, root, agg, ["k"]).collect()}
+    assert set(out) == {"a", "b", "c"}
+    # key a: v0 = d1, v1 = d1 + d2 (rollup folds forward)
+    ks, w1 = sketch_distance(_sk(d1["a"]),
+                             _sk(np.concatenate([d1["a"], d2["a"]])))
+    assert out["a"]["status"] == "both"
+    assert out["a"]["ks"] == pytest.approx(round(ks, 6), abs=1e-9)
+    assert out["a"]["w1"] == pytest.approx(round(w1, 6), abs=1e-9)
+    assert (out["a"]["n_old"], out["a"]["n_new"]) == (500, 900)
+    # key c: unchanged by d2 -> identical sketch -> zero distance
+    assert out["c"]["status"] == "both"
+    assert out["c"]["ks"] == 0.0 and out["c"]["w1"] == 0.0
+    # key b: only in v1 -> sentinel distances, never NULL doubles
+    assert out["b"]["status"] == "added"
+    assert out["b"]["ks"] == -1.0 and out["b"]["w1"] == -1.0
+    assert out["b"]["n_old"] == 0 and out["b"]["n_new"] == 2
+
+    # guards
+    from ddsketchy_spark.spark.companions import HLLAggregator
+
+    with pytest.raises(TypeError, match="DDSketchAggregator"):
+        ddsketch_rollup_distance(spark, root, HLLAggregator("v"), ["k"])
+    with pytest.raises(ValueError, match="nothing to compare"):
+        ddsketch_rollup_distance(spark, root, agg, ["k"], v_old=1, v_new=1)
+    with pytest.raises(ValueError, match="two snapshots"):
+        ddsketch_rollup_distance(spark, root, agg, ["k"], v_old=-1, v_new=0)
+
+
+def test_rollup_distance_cross_root(spark, tmp_path):
+    """other_root compares two independent rollup lineages (e.g. two
+    crawls rolled up separately) at their latest versions."""
+    from ddsketchy_spark.spark.ddsketch_agg import DDSketchAggregator
+    from ddsketchy_spark.spark.distance import ddsketch_rollup_distance
+    from ddsketchy_spark.spark.rollup import update_rollup
+
+    rng = np.random.default_rng(23)
+    xa = rng.lognormal(2.0, 0.5, 300)
+    xb = rng.lognormal(2.6, 0.7, 400)
+    agg = DDSketchAggregator("v", alpha=ALPHA, quantiles=(0.5,))
+    ra, rb = str(tmp_path / "lin_a"), str(tmp_path / "lin_b")
+    update_rollup(spark, ra, spark.createDataFrame(
+        [("k", float(x)) for x in xa], "k string, v double"), agg, ["k"])
+    update_rollup(spark, rb, spark.createDataFrame(
+        [("k", float(x)) for x in xb], "k string, v double"), agg, ["k"])
+    out = ddsketch_rollup_distance(spark, rb, agg, ["k"],
+                                   other_root=ra).collect()
+    assert len(out) == 1
+    ks, w1 = sketch_distance(_sk(xa), _sk(xb))
+    assert out[0]["ks"] == pytest.approx(round(ks, 6), abs=1e-9)
+    assert out[0]["w1"] == pytest.approx(round(w1, 6), abs=1e-9)

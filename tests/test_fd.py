@@ -189,3 +189,79 @@ def test_exact_gram_distributed(spark):
     sv = exact_singular_values(g, 4)
     np.testing.assert_allclose(
         sv, np.linalg.svd(A, compute_uv=False)[:4], rtol=1e-8)
+
+
+def test_fd_through_rollup_and_drift(spark, tmp_path):
+    """FDAggregator rides the generic rollup harness: two snapshot
+    updates fold forward, read_rollup's spectrum obeys the certificate
+    against the exact union Gram, and rollup_drift emits delta_sv_*
+    columns for the spectral drift report."""
+    from ddsketchy_spark.spark.rollup import (
+        read_rollup, rollup_drift, update_rollup)
+
+    A1 = _rand(300, 12, 20)
+    A2 = _rand(200, 12, 21) * 2.0
+    agg = FDAggregator("vec", dim=12, ell=10, k_out=3)
+    root = str(tmp_path / "fd_roll")
+    for A in (A1, A2):
+        df = spark.createDataFrame(
+            [("k", [float(x) for x in row]) for row in A],
+            "grp string, vec array<double>")
+        update_rollup(spark, root, df, agg, ["grp"])
+
+    est = read_rollup(spark, root, agg, ["grp"]).collect()[0]
+    both = np.vstack([A1, A2])
+    assert est["n_rows"] == 500
+    assert est["frob_sq"] == pytest.approx(float((both * both).sum()))
+    sv_ex = np.linalg.svd(both, compute_uv=False)[:3]
+    for i in range(3):
+        assert est[f"sv_{i+1}"] ** 2 <= sv_ex[i] ** 2 + 1e-6
+        assert est[f"sv_{i+1}"] ** 2 >= sv_ex[i] ** 2 - est["err_bound"] - 1e-6
+
+    drift = rollup_drift(spark, root, agg, ["grp"]).collect()[0]
+    assert drift["status"] == "both"
+    assert drift["delta_n_rows"] == 200
+    # the spectrum grew (A2 doubles the scale), and the drift sees it
+    assert drift["delta_sv_1"] > 0
+    assert drift["sv_1_old"] > 0 and drift["sv_1_new"] > drift["sv_1_old"]
+
+
+def test_fd_through_streaming_generic_operator(spark, tmp_path):
+    """stream_sketch_by_key is generic over aggregators: a streamed FD
+    converges to a state whose spectrum satisfies the same certificate
+    as a batch build over all the data."""
+    from ddsketchy_spark.streaming import stream_sketch_by_key
+
+    A = _rand(600, 10, 22)
+    src = str(tmp_path / "fd_stream_src")
+    df = spark.createDataFrame(
+        [(("g%d" % (i % 2)), [float(x) for x in A[i]])
+         for i in range(len(A))],
+        "grp string, vec array<double>")
+    df.repartition(6).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", "2").parquet(src))
+    agg = FDAggregator("vec", dim=10, ell=8, k_out=3)
+    out = stream_sketch_by_key(stream, agg, ["grp"])
+    q = (out.writeStream.format("memory").queryName("fd_stream")
+         .outputMode("update")
+         .option("checkpointLocation", str(tmp_path / "fd_ck"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    rows = spark.sql(
+        "SELECT * FROM (SELECT *, row_number() OVER ("
+        "  PARTITION BY grp ORDER BY n_rows DESC) rn FROM fd_stream) "
+        "WHERE rn = 1").collect()
+    got = {r["grp"]: r for r in rows}
+    for g in ("g0", "g1"):
+        sub = A[[i for i in range(len(A)) if i % 2 == int(g[1])]]
+        r = got[g]
+        assert r["n_rows"] == len(sub)
+        assert r["frob_sq"] == pytest.approx(float((sub * sub).sum()))
+        sv_ex = np.linalg.svd(sub, compute_uv=False)[:3]
+        for i in range(3):
+            assert r[f"sv_{i+1}"] ** 2 <= sv_ex[i] ** 2 + 1e-6
+            assert (r[f"sv_{i+1}"] ** 2
+                    >= sv_ex[i] ** 2 - r["err_bound"] - 1e-6)
+        assert r["err_bound"] <= r["frob_sq"] / 8 + 1e-6
