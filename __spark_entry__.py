@@ -2480,6 +2480,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                   "sv4_ok boolean, sv5_ok boolean")
 
     q["fd_embeddings_spectrum"] = fd_embeddings_spectrum
+
+    def tfidf_keywords_documents(spark, sf):
+        """Top-3 TF-IDF keywords per document under the shared token law
+        and the smoothed idf = ln((1+N)/(1+df))+1. The (score DESC,
+        term ASC) total order makes the per-doc selection
+        bit-reproducible; DuckDB re-derives every (rank, term, score)
+        from scratch — full hash match on ~1500 rows."""
+        from ddsketchy_spark.pipeline.search import tfidf_keywords
+
+        docs = _load(spark, sf, "documents")
+        out = tfidf_keywords(docs, k=3)
+        return out.select("doc_id", "rank", "term",
+                          _r6(F.col("score")).alias("score"))
+
+    q["tfidf_keywords_documents"] = tfidf_keywords_documents
     return q
 
 
@@ -3964,6 +3979,34 @@ ORDER BY e.event_type, b.band
         ["spark", "scan", "merge"], k=20)
     o["dds_distance_events"] = _dds_distance_oracle(
         "events", "value", "event_type")
+    o["tfidf_keywords_documents"] = """
+WITH d AS (
+  SELECT doc_id, text FROM documents
+  WHERE doc_id IS NOT NULL AND text IS NOT NULL
+),
+nn AS (SELECT count(*) AS n FROM d),
+tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM d),
+tf AS (
+  SELECT doc_id, t, CAST(count(*) AS BIGINT) AS tfc
+  FROM tok WHERE t <> '' GROUP BY doc_id, t
+),
+dfreq AS (SELECT t, CAST(count(*) AS BIGINT) AS dfc FROM tf GROUP BY t),
+sc AS (
+  SELECT tf.doc_id, tf.t,
+         CAST(tf.tfc AS DOUBLE)
+           * (ln((1.0 + nn.n) / (1.0 + dfc)) + 1.0) AS score
+  FROM tf JOIN dfreq USING (t) CROSS JOIN nn
+),
+rk AS (
+  SELECT doc_id, t, score,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY score DESC, t ASC) AS rnk
+  FROM sc
+)
+SELECT doc_id, CAST(rnk AS BIGINT) AS rank, t AS term,
+       round(score, 6) AS score
+FROM rk WHERE rnk <= 3 ORDER BY doc_id, rank
+"""
     o["fd_embeddings_spectrum"] = """
 SELECT CAST(count(*) AS BIGINT) AS n_vecs,
        TRUE AS counts_agree, TRUE AS bound_ok,

@@ -110,6 +110,74 @@ def bm25_scores(
         F.round(score, 6).alias("bm25"))
 
 
+def tfidf_keywords(
+    df: DataFrame,
+    k: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    persist: bool = False,
+) -> DataFrame:
+    """Top-k characteristic terms per document by TF-IDF — the corpus
+    summarization / topical-tagging primitive (what is each doc about,
+    relative to THIS corpus?).
+
+    Law (deterministic, fully DuckDB-re-derivable):
+      - tokens: non-empty ``split(text, ' ')`` (the shared token law);
+        scoreable docs have non-NULL id and text; N = their count.
+      - ``tf(d,t)`` = tokens of d equal to t; ``df_t`` = docs containing
+        t; ``idf_t = ln((1 + N) / (1 + df_t)) + 1`` (the smoothed,
+        never-negative variant) — ``score = tf * idf`` in that exact
+        arithmetic order.
+      - per doc: top-k by (score DESC, term ASC) — a total order, so the
+        selection is bit-reproducible.
+
+    Output: one row per kept term — (id, rank 1..k, term, score).
+    Docs with no non-empty tokens emit nothing.
+
+    Scale shape: one explode into a map-side-combining (doc, term) count
+    (shuffle O(doc-term pairs) — inherent to the statistic), a term-keyed
+    aggregate for df (shuffle O(distinct terms), Zipf-friendly), one
+    term-keyed join back (AQE picks broadcast when the vocabulary is
+    small), and the per-doc top-k is collect_list + sort_array + slice
+    inside ONE aggregate — no window, no per-doc full sort of anything
+    but its own term list. The df branch and the score branch both
+    derive from the tf frame; with the default ``persist=False`` Spark
+    recomputes tf's explode for each (two scans of (id, text), plus a
+    cheap 2-column count for N — the ``unigram_logprob_scores``
+    multi-pass precedent). ``persist=True`` caches the tf frame so the
+    corpus text is scanned ONCE; release it afterwards via
+    ``pipeline.cache.release_cached_deps(result)``."""
+    from .cache import tag_cached_deps
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    toks = (df.where(F.col(id_col).isNotNull() & F.col(text_col).isNotNull())
+            .select(id_col, F.explode(_words(text_col)).alias("_t"))
+            .where(F.col("_t") != ""))
+    tf = toks.groupBy(id_col, "_t").agg(F.count(F.lit(1)).alias("_tf"))
+    if persist:
+        tf = tf.persist()
+    n = (df.where(F.col(id_col).isNotNull()
+                  & F.col(text_col).isNotNull())
+         .agg(F.count(F.lit(1)).alias("_n")))
+    dfreq = tf.groupBy("_t").agg(F.count(F.lit(1)).alias("_df"))
+    idf = (F.log((F.lit(1.0) + F.col("_n"))
+                 / (F.lit(1.0) + F.col("_df"))) + F.lit(1.0))
+    scored = (tf.join(dfreq, "_t").crossJoin(F.broadcast(n))
+              .select(id_col,
+                      F.struct(
+                          (-(F.col("_tf").cast("double") * idf)).alias("s"),
+                          F.col("_t").alias("t")).alias("_st")))
+    top = scored.groupBy(id_col).agg(
+        F.slice(F.sort_array(F.collect_list("_st")), 1, int(k)).alias("_ks"))
+    ex = top.select(id_col, F.posexplode("_ks").alias("_pos", "_kw"))
+    out = ex.select(
+        id_col, (F.col("_pos") + 1).cast("long").alias("rank"),
+        F.col("_kw.t").alias("term"),
+        (-F.col("_kw.s")).alias("score"))
+    return tag_cached_deps(out, [tf]) if persist else out
+
+
 def bm25_topk(
     df: DataFrame,
     query: str | list[str],

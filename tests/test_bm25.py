@@ -99,3 +99,92 @@ def test_bm25_guards(spark):
         bm25_scores(df, [""])
     with pytest.raises(ValueError, match="k must be"):
         bm25_topk(df, "a", k=0)
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF keywords
+# ---------------------------------------------------------------------------
+
+
+def _ref_tfidf(docs, k):
+    toks = {i: [w for w in t.split(" ") if w] for i, t in docs.items()}
+    toks = {i: tk for i, tk in toks.items()}
+    n = len(docs)
+    dfreq = {}
+    for tk in toks.values():
+        for t in set(tk):
+            dfreq[t] = dfreq.get(t, 0) + 1
+    out = {}
+    for i, tk in toks.items():
+        if not tk:
+            continue
+        scores = {}
+        for t in set(tk):
+            tf = sum(1 for w in tk if w == t)
+            scores[t] = tf * (math.log((1.0 + n) / (1.0 + dfreq[t])) + 1.0)
+        ranked = sorted(scores.items(), key=lambda x: (-x[1], x[0]))[:k]
+        out[i] = [(r + 1, t, s) for r, (t, s) in enumerate(ranked)]
+    return out
+
+
+def test_tfidf_matches_hand_reference(spark):
+    from ddsketchy_spark.pipeline.search import tfidf_keywords
+
+    docs = {
+        1: "apple apple banana cherry",
+        2: "banana banana banana",
+        3: "cherry apple  date",          # doubled space
+        4: "",                            # no tokens -> absent
+        5: "unique",
+    }
+    df = spark.createDataFrame(
+        [(i, t) for i, t in docs.items()] + [(None, "x"), (9, None)],
+        "doc_id long, text string")
+    got = {}
+    for r in tfidf_keywords(df, k=2).collect():
+        got.setdefault(r["doc_id"], []).append(
+            (r["rank"], r["term"], r["score"]))
+    ref = _ref_tfidf(docs, 2)
+    assert set(got) == set(ref)  # doc 4 absent, NULLs excluded
+    for i in ref:
+        got[i].sort()
+        assert [(r, t) for r, t, _ in got[i]] == [(r, t) for r, t, _ in ref[i]]
+        for (_, _, s_got), (_, _, s_ref) in zip(got[i], ref[i]):
+            assert s_got == pytest.approx(s_ref, rel=1e-12)
+
+
+def test_tfidf_tiebreak_and_k_overrun(spark):
+    from ddsketchy_spark.pipeline.search import tfidf_keywords
+
+    # both terms appear once in both docs: identical scores -> term ASC
+    df = spark.createDataFrame(
+        [(1, "zeta alpha"), (2, "alpha zeta")], "doc_id long, text string")
+    got = {}
+    for r in tfidf_keywords(df, k=10).collect():
+        got.setdefault(r["doc_id"], []).append((r["rank"], r["term"]))
+    for i in (1, 2):
+        assert sorted(got[i]) == [(1, "alpha"), (2, "zeta")]
+    with pytest.raises(ValueError, match="k must be"):
+        tfidf_keywords(df, k=0)
+
+
+def test_tfidf_persist_parity_and_release(spark):
+    from ddsketchy_spark.pipeline.cache import (
+        cached_deps, release_cached_deps)
+    from ddsketchy_spark.pipeline.search import tfidf_keywords
+
+    df = spark.createDataFrame(
+        [(i, "w%d common shared" % (i % 7)) for i in range(60)],
+        "doc_id long, text string")
+    base = {(r["doc_id"], r["rank"]): (r["term"], round(r["score"], 9))
+            for r in tfidf_keywords(df, k=3).collect()}
+    p = tfidf_keywords(df, k=3, persist=True)
+    got = {(r["doc_id"], r["rank"]): (r["term"], round(r["score"], 9))
+           for r in p.collect()}
+    assert got == base
+    # the persisted tf frame is reused by both branches...
+    assert "InMemoryTableScan" in p._jdf.queryExecution().executedPlan().toString() or \
+           len(cached_deps(p)) == 1
+    # ...and releasable through the registry
+    release_cached_deps(p)
+    assert all(not d.is_cached for d in cached_deps(p))

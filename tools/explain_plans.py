@@ -797,6 +797,23 @@ def main() -> None:
                 r"Generate", r"SortMergeJoin", r"CartesianProduct"],
     )
 
+    # 26b. TF-IDF keywords: per-doc top-k via collect_list + sort_array +
+    # slice inside ONE ObjectHashAggregate — no Window ranking pass; the
+    # df-side joins back as a broadcast at this vocabulary size; all
+    # JVM-side
+    from ddsketchy_spark.pipeline.search import tfidf_keywords
+
+    tfk = tfidf_keywords(docs, k=3)
+    results["tfidf_keywords"] = audit(
+        "tfidf_keywords", tfk,
+        want=[r"ReadSchema: struct<doc_id:bigint,text:string>",
+              r"ObjectHashAggregate", r"Generate",
+              r"HashAggregate[\s\S]*Exchange[\s\S]*HashAggregate"],
+        reject=[r"Window", r"BatchEvalPython", r"ArrowEvalPython",
+                r"FlatMapGroupsInPandas", r"(MapInArrow|PythonMapInArrow)",
+                r"SortMergeJoin", r"CartesianProduct"],
+    )
+
     # 27. DDSketch distance matrix: the only data-sized stage is the
     # native bucket aggregate (map-side combine); pair fan-out joins are
     # broadcast equi-joins over O(groups x buckets) rows, the CDF sweep
