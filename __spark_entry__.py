@@ -2495,6 +2495,40 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                           _r6(F.col("score")).alias("score"))
 
     q["tfidf_keywords_documents"] = tfidf_keywords_documents
+
+    def jl_reduce_embeddings(spark, sf):
+        """JL random projection 64 -> 16 over the embeddings table. The
+        engine's reduced vectors are re-derived driver-side with the
+        same deterministic matrix and fixed-order kernel — exact parity
+        boolean — plus the JL norm-preservation statistic; DuckDB
+        anchors n_vecs."""
+        import numpy as np
+
+        from ddsketchy_spark.pipeline.similarity import (
+            jl_project_rows, jl_projection, reduce_dim)
+
+        emb = (_load(spark, sf, "embeddings")
+               .where(F.col("embedding").isNotNull()))
+        red = {r["vec_id"]: np.array(r["embedding"]) for r in
+               reduce_dim(emb, 16, 64, seed=5).select(
+                   "vec_id", "embedding").collect()}
+        orig = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+                for r in emb.select("vec_id", "embedding").collect()}
+        R = jl_projection(64, 16, seed=5)
+        ids = sorted(orig)
+        X = np.stack([orig[i] for i in ids])
+        want = jl_project_rows(X, R)
+        parity = (set(red) == set(ids) and all(
+            np.array_equal(red[i], want[j]) for j, i in enumerate(ids)))
+        norms_in = np.linalg.norm(X, axis=1)
+        norms_out = np.linalg.norm(want, axis=1)
+        ratio = float(np.mean(norms_out[norms_in > 0]
+                              / norms_in[norms_in > 0]))
+        rows = [(len(red), bool(parity), bool(abs(ratio - 1.0) < 0.15))]
+        return spark.createDataFrame(
+            rows, "n_vecs long, parity boolean, norms_ok boolean")
+
+    q["jl_reduce_embeddings"] = jl_reduce_embeddings
     return q
 
 
@@ -4006,6 +4040,11 @@ rk AS (
 SELECT doc_id, CAST(rnk AS BIGINT) AS rank, t AS term,
        round(score, 6) AS score
 FROM rk WHERE rnk <= 3 ORDER BY doc_id, rank
+"""
+    o["jl_reduce_embeddings"] = """
+SELECT CAST(count(*) AS BIGINT) AS n_vecs,
+       TRUE AS parity, TRUE AS norms_ok
+FROM embeddings WHERE embedding IS NOT NULL
 """
     o["fd_embeddings_spectrum"] = """
 SELECT CAST(count(*) AS BIGINT) AS n_vecs,

@@ -900,3 +900,101 @@ def ann_query_batch(
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc(id_col))
     return (scored.withColumn("rk", F.row_number().over(w))
             .filter(F.col("rk") <= k).drop("rk"))
+
+
+# ---------------------------------------------------------------------------
+# Johnson-Lindenstrauss random projection (dimension reduction)
+# ---------------------------------------------------------------------------
+
+
+def jl_projection(in_dim: int, out_dim: int, seed: int = 0) -> np.ndarray:
+    """The deterministic (in_dim, out_dim) Gaussian JL matrix, scaled by
+    1/sqrt(out_dim) so E[||x R||^2] = ||x||^2 — a pure function of
+    (in_dim, out_dim, seed), so every worker regenerates it identically
+    and nothing needs to ride a broadcast or sidecar."""
+    if out_dim < 1 or in_dim < 1:
+        raise ValueError(f"dims must be >= 1, got ({in_dim}, {out_dim})")
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((in_dim, out_dim)) / np.sqrt(out_dim)
+
+
+def jl_project_rows(X: np.ndarray, R: np.ndarray) -> np.ndarray:
+    """``X @ R`` with a FIXED per-row accumulation order (sum over input
+    dims j in order), so a row's projection is bit-identical no matter
+    how rows are batched — BLAS gemm blocking varies with the batch
+    shape and would make `reduce_dim` partitioning-dependent in the last
+    ulp. Cost is the same O(n * in_dim * out_dim) vectorized flops."""
+    X = np.asarray(X, dtype=np.float64)
+    Y = np.zeros((X.shape[0], R.shape[1]), dtype=np.float64)
+    for j in range(R.shape[0]):
+        Y += X[:, j, None] * R[j][None, :]
+    return Y
+
+
+def reduce_dim(
+    df: DataFrame,
+    out_dim: int,
+    in_dim: int,
+    vec_col: str = "embedding",
+    seed: int = 0,
+) -> DataFrame:
+    """Johnson-Lindenstrauss dimension reduction of an embedding column:
+    ``vec -> vec @ R`` with the deterministic Gaussian ``jl_projection``
+    matrix (Johnson & Lindenstrauss 1984; Gaussian form e.g. Indyk &
+    Motwani 1998). Pairwise distances/inner products are preserved within
+    (1 +- eps) w.h.p. for out_dim = O(ln n / eps^2) — the standard
+    preprocessing step before LSH / IVF / PQ when raw embeddings are
+    wider than the similarity task needs (4x narrower vectors = 4x less
+    shuffle and index footprint for the downstream engines in this
+    module, which all take the projected column unchanged).
+
+    Rows with a NULL vector are dropped (the `pq_encode` convention);
+    every other column passes through untouched. One vectorized
+    fixed-order matmul (``jl_project_rows``) per Arrow batch against the
+    worker-regenerated R — no shuffle, no broadcast, a pure
+    pipeline-local projection of the scan, bit-identical under any
+    partitioning. A ragged row (wrong ``in_dim``) fails the job with a
+    clear error."""
+    import pyarrow as pa
+
+    from pyspark.sql.types import ArrayType, DoubleType, StructField, StructType
+
+    if out_dim > in_dim:
+        raise ValueError(
+            f"out_dim {out_dim} must be <= in_dim {in_dim} (JL reduces)")
+    jl_projection(in_dim, out_dim, seed)  # validate dims eagerly
+    names = df.columns
+    if vec_col not in names:
+        raise ValueError(f"no column {vec_col!r} in {names}")
+    vi = names.index(vec_col)
+    v = df.where(F.col(vec_col).isNotNull()) \
+          .withColumn(vec_col, F.col(vec_col).cast("array<double>"))
+    out_schema = StructType([
+        f if f.name != vec_col
+        else StructField(vec_col, ArrayType(DoubleType()), True)
+        for f in v.schema.fields])
+    in_dim = int(in_dim)
+    out_dim = int(out_dim)
+
+    def project(batches):
+        R = jl_projection(in_dim, out_dim, seed)
+        for batch in batches:
+            n = batch.num_rows
+            if not n:
+                continue
+            col = batch.column(vi)
+            flat = col.flatten().to_numpy(zero_copy_only=False)
+            if flat.size != n * in_dim:
+                raise ValueError(
+                    f"expected {n} vectors of dim {in_dim}, got "
+                    f"{flat.size} values — ragged or wrong-dim input")
+            Y = jl_project_rows(flat.reshape(n, in_dim), R)
+            offs = np.arange(n + 1, dtype=np.int32) * out_dim
+            new = pa.ListArray.from_arrays(
+                pa.array(offs, type=pa.int32()),
+                pa.array(Y.reshape(-1), type=pa.float64()))
+            arrays = [new if i == vi else batch.column(i)
+                      for i in range(batch.num_columns)]
+            yield pa.RecordBatch.from_arrays(arrays, names=names)
+
+    return v.mapInArrow(project, out_schema)

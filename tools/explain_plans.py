@@ -848,6 +848,19 @@ def main() -> None:
                 r"CartesianProduct"],
     )
 
+    # 29. JL projection: a pure pipeline-local mapInArrow projection of
+    # the scan — no shuffle, no join, nothing but the one Python stage
+    from ddsketchy_spark.pipeline.similarity import reduce_dim
+
+    jl = reduce_dim(emb_t, 16, 64, seed=5)
+    results["jl_reduce_dim"] = audit(
+        "jl_reduce_dim", jl,
+        want=[r"(MapInArrow|PythonMapInArrow)"],
+        reject=[r"Exchange", r"BatchEvalPython", r"ArrowEvalPython",
+                r"FlatMapGroupsInPandas", r"SortMergeJoin",
+                r"BroadcastHashJoin", r"CartesianProduct", r"Window"],
+    )
+
     print("\nsummary:", {k: ("OK" if v else "FAIL") for k, v in results.items()})
     spark.stop()
     sys.exit(0 if all(results.values()) else 1)
