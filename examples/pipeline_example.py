@@ -1,6 +1,8 @@
 """End-to-end training-data pipeline demo over the documents/embeddings
 tables: quality filtering -> language ID -> exact + near dedup -> similarity
-search -> per-source sequence-length sketches -> BPE tokenizer fit.
+search -> per-source sequence-length sketches -> BPE tokenizer fit ->
+BM25 search + TF-IDF keywords -> source drift distances -> FD spectrum ->
+JL-reduced PQ codes.
 Run: python examples/pipeline_example.py [sf_dir]"""
 
 import os
@@ -92,6 +94,44 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> None:
     enc = pq_encode(emb, books)
     print("PQ/ADC nearest neighbors of vec 0 (from 8-byte codes):")
     ann_query_pq(enc, books, [qvec], k=4).show()
+
+    # 10. corpus retrieval + summarization: BM25 search for a probe query
+    # (2 scans, zero token shuffle) and per-doc TF-IDF keywords
+    from ddsketchy_spark.pipeline.search import bm25_topk, tfidf_keywords
+
+    print("BM25 top-3 docs for 'spark scan merge':")
+    bm25_topk(kept, "spark scan merge", k=3).show()
+    print("TF-IDF keywords of the first docs:")
+    tfidf_keywords(kept, k=2).orderBy("doc_id", "rank").show(6)
+
+    # 11. distribution drift: how far apart are the sources' doc-length
+    # distributions? (KS / Wasserstein from DDSketch bucket atoms alone)
+    from ddsketchy_spark.spark.distance import ddsketch_distance
+
+    print("pairwise KS/W1 between sources' n_chars distributions:")
+    ddsketch_distance(kept, "n_chars", "source").show(5)
+
+    # 12. embedding spectrum: Frequent Directions sketch of the whole
+    # embedding matrix (vectors never shuffle; the certified err_bound
+    # rides in the output) — calibrates PQ m / JL out_dim choices
+    from ddsketchy_spark.spark.agg import sketch_aggregate
+    from ddsketchy_spark.spark.matrix import FDAggregator
+
+    spec = sketch_aggregate(emb.where(F.col("embedding").isNotNull()),
+                            FDAggregator("embedding", dim=64, ell=32,
+                                         k_out=3))
+    print(f"FD spectrum: sv1={spec['sv_1']:.2f} sv2={spec['sv_2']:.2f} "
+          f"sv3={spec['sv_3']:.2f} (err_bound={spec['err_bound']:.2f}, "
+          f"n={spec['n_rows']})")
+
+    # 13. JL reduction: 64 -> 16 dims before indexing (4x less shuffle
+    # and index footprint; deterministic matrix, no sidecar)
+    from ddsketchy_spark.pipeline.similarity import reduce_dim
+
+    red = reduce_dim(emb, 16, 64, seed=5)
+    books16 = train_pq_codebooks(red, m=4, nbits=8, train_rows=10_000)
+    print(f"JL 64->16 + PQ: {pq_encode(red, books16).count()} vectors "
+          f"at 4 bytes/code")
     spark.stop()
 
 
