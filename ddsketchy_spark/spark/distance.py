@@ -112,6 +112,29 @@ def ddsketch_distance(
             .orderBy("g_a", "g_b"))
 
 
+def ddsketch_distance_between(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    value_col: str,
+    alpha: float = DEFAULT_ALPHA,
+    labels: tuple[str, str] = ("a", "b"),
+) -> DataFrame:
+    """KS / W1 between the SAME column of two tables (old crawl vs new
+    crawl, train vs eval, before vs after a filter) — the two-frame face
+    of ``ddsketch_distance``: tag each side with a literal group label
+    and run the grouped engine on the union, so both scans feed one
+    bucket aggregate and the distance math is shared. Returns one row
+    (g_a, g_b, n_a, n_b, ks, w1) with g_a/g_b = ``labels``."""
+    la, lb = labels
+    if la == lb:
+        raise ValueError(f"labels must differ, got {labels!r}")
+    a = df_a.select(F.lit(la).alias("_side"),
+                    F.col(value_col).alias("_val"))
+    b = df_b.select(F.lit(lb).alias("_side"),
+                    F.col(value_col).alias("_val"))
+    return ddsketch_distance(a.unionByName(b), "_val", "_side", alpha)
+
+
 # ---------------------------------------------------------------------------
 # Blob-level twin (two sketches in hand, e.g. rollup snapshot states)
 # ---------------------------------------------------------------------------

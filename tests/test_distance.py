@@ -203,3 +203,23 @@ def test_rollup_distance_cross_root(spark, tmp_path):
     ks, w1 = sketch_distance(_sk(xa), _sk(xb))
     assert out[0]["ks"] == pytest.approx(round(ks, 6), abs=1e-9)
     assert out[0]["w1"] == pytest.approx(round(w1, 6), abs=1e-9)
+
+
+def test_distance_between_two_frames(spark):
+    from ddsketchy_spark.spark.distance import ddsketch_distance_between
+
+    rng = np.random.default_rng(29)
+    xa = rng.lognormal(2.0, 0.6, 600)
+    xb = rng.lognormal(2.4, 0.8, 500)
+    da = spark.createDataFrame([(float(v),) for v in xa], "value double")
+    db = spark.createDataFrame([(float(v),) for v in xb], "value double")
+    out = ddsketch_distance_between(da, db, "value",
+                                    labels=("old", "new")).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert {r["g_a"], r["g_b"]} == {"old", "new"}
+    ks, w1 = sketch_distance(_sk(xa), _sk(xb))
+    assert r["ks"] == pytest.approx(round(ks, 6), abs=2e-6)
+    assert r["w1"] == pytest.approx(round(w1, 6), abs=2e-6)
+    with pytest.raises(ValueError, match="labels must differ"):
+        ddsketch_distance_between(da, db, "value", labels=("x", "x"))
