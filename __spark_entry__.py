@@ -2529,6 +2529,55 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             rows, "n_vecs long, parity boolean, norms_ok boolean")
 
     q["jl_reduce_embeddings"] = jl_reduce_embeddings
+
+    def tpch_q10_returned_items(spark, sf):
+        """TPC-H Q10 shape (returned-item reporting): revenue lost to
+        'R'-flag lineitems per customer over one quarter, 4-table join,
+        deterministic top-20 via TakeOrdered. orders/customer scale with
+        the fact table — no forced broadcasts; nation broadcasts."""
+        li = _load(spark, sf, "lineitem")
+        orders = _load(spark, sf, "orders")
+        cust = _load(spark, sf, "customer")
+        nation = _load(spark, sf, "nation").select("n_nationkey", "n_name")
+        op = (orders
+              .where((F.col("o_orderdate") >= "1996-01-01")
+                     & (F.col("o_orderdate") < "1996-07-01"))
+              .select("o_orderkey", "o_custkey"))
+        return (
+            li.where(F.col("l_returnflag") == "R")
+            .join(op, li.l_orderkey == op.o_orderkey)
+            .join(cust, op.o_custkey == cust.c_custkey)
+            .join(F.broadcast(nation),
+                  cust.c_nationkey == nation.n_nationkey)
+            .groupBy("c_custkey", "c_name", "n_name")
+            .agg(_r2(F.sum(F.col("l_extendedprice")
+                           * (1 - F.col("l_discount")))).alias("revenue"),
+                 F.count(F.lit(1)).alias("n_items"))
+            .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+            .limit(20)
+            .select("c_custkey", "c_name", "n_name", "revenue", "n_items"))
+
+    q["tpch_q10_returned_items"] = tpch_q10_returned_items
+
+    def tpch_q14_promo_effect(spark, sf):
+        """TPC-H Q14 shape (promotion effect): the PROMO share of one
+        month's revenue — a fact-dim key join folded into ONE scalar
+        aggregate (conditional partial sums, map-side combined)."""
+        li = _load(spark, sf, "lineitem")
+        part = _load(spark, sf, "part").select("p_partkey", "p_type")
+        rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        promo = F.when(F.col("p_type").startswith("PROMO"), rev) \
+                 .otherwise(F.lit(0.0))
+        out = (li.where((F.col("l_shipdate") >= "1996-03-01")
+                        & (F.col("l_shipdate") < "1996-04-01"))
+               .join(part, li.l_partkey == part.p_partkey)
+               .agg((F.lit(100.0) * F.sum(promo) / F.sum(rev))
+                    .alias("raw"),
+                    F.count(F.lit(1)).alias("n_items")))
+        return out.select(_r6(F.col("raw")).alias("promo_revenue_pct"),
+                          "n_items")
+
+    q["tpch_q14_promo_effect"] = tpch_q14_promo_effect
     return q
 
 
@@ -4040,6 +4089,32 @@ rk AS (
 SELECT doc_id, CAST(rnk AS BIGINT) AS rank, t AS term,
        round(score, 6) AS score
 FROM rk WHERE rnk <= 3 ORDER BY doc_id, rank
+"""
+    o["tpch_q10_returned_items"] = """
+SELECT c.c_custkey, c.c_name, n.n_name,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+       CAST(count(*) AS BIGINT) AS n_items
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+WHERE l.l_returnflag = 'R'
+  AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o.o_orderdate < TIMESTAMP '1996-07-01'
+GROUP BY c.c_custkey, c.c_name, n.n_name
+ORDER BY revenue DESC, c.c_custkey ASC
+LIMIT 20
+"""
+    o["tpch_q14_promo_effect"] = """
+SELECT round(100.0 * sum(CASE WHEN p.p_type LIKE 'PROMO%'
+                              THEN l.l_extendedprice * (1 - l.l_discount)
+                              ELSE 0.0 END)
+             / sum(l.l_extendedprice * (1 - l.l_discount)), 6)
+         AS promo_revenue_pct,
+       CAST(count(*) AS BIGINT) AS n_items
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+WHERE l.l_shipdate >= TIMESTAMP '1996-03-01'
+  AND l.l_shipdate < TIMESTAMP '1996-04-01'
 """
     o["jl_reduce_embeddings"] = """
 SELECT CAST(count(*) AS BIGINT) AS n_vecs,

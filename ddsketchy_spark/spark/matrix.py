@@ -53,14 +53,24 @@ class FDAggregator(SketchAggregator):
     Output: ``n_rows``, ``frob_sq`` (total squared Frobenius mass),
     ``err_bound`` (certified ||A^T A - B^T B||_2), and ``sv_1..sv_k``
     singular-value estimates (descending; zero-padded when rank < k).
+
+    ``weight_col``: each row's outer product counts ``weight`` times —
+    the row scales by sqrt(weight), which makes the sketched Gram
+    EXACTLY the weighted Gram sum(w * x x^T) for any non-negative
+    weight (fractional importance weights included, the t-digest
+    convention), and the certificate holds against that weighted Gram
+    with frob_sq = sum(w * ||x||^2). NULL and zero weights contribute
+    nothing; a negative weight fails the job with a clear error.
+    ``n_rows`` counts ingested physical rows, not weight mass.
     """
 
     def __init__(self, vec_col: str, dim: int, ell: int = 64,
-                 k_out: int = 8) -> None:
+                 k_out: int = 8, weight_col: str | None = None) -> None:
         if k_out < 1:
             raise ValueError(f"k_out must be >= 1, got {k_out}")
-        self.value_cols = [vec_col]
+        self.value_cols = ([vec_col] + ([weight_col] if weight_col else []))
         self.vec_col = vec_col
+        self.weight_col = weight_col
         self.dim = int(dim)
         self.ell = int(ell)
         self.k_out = int(k_out)
@@ -69,9 +79,33 @@ class FDAggregator(SketchAggregator):
         return FrequentDirections(self.dim, self.ell)
 
     def add_arrow(self, state: FrequentDirections, table: pa.Table) -> None:
-        rows = _vectors_from_arrow(table.column(self.vec_col), self.dim)
-        if len(rows):
-            state.add_batch(rows)
+        if self.weight_col is None:
+            rows = _vectors_from_arrow(table.column(self.vec_col), self.dim)
+            if len(rows):
+                state.add_batch(rows)
+            return
+        vec = table.column(self.vec_col)
+        if isinstance(vec, pa.ChunkedArray):
+            vec = vec.combine_chunks()
+        wcol = table.column(self.weight_col)
+        if isinstance(wcol, pa.ChunkedArray):
+            wcol = wcol.combine_chunks()
+        # arrow-native NULL -> NaN -> 0 (never to_pandas: pulls the pandas
+        # import into every fresh worker, CLAUDE.md)
+        w = np.nan_to_num(
+            wcol.to_numpy(zero_copy_only=False).astype(np.float64),
+            nan=0.0)
+        if np.any(w < 0):
+            raise ValueError(
+                f"weights must be >= 0, found {float(w.min())}")
+        valid = ~np.asarray(vec.is_null()) & (w != 0)
+        if not valid.any():
+            return
+        idx = np.flatnonzero(valid)
+        rows = _vectors_from_arrow(
+            vec.take(pa.array(idx, type=pa.int64())), self.dim)
+        # not in-place: _vectors_from_arrow may be a read-only arrow view
+        state.add_batch(rows * np.sqrt(w[idx])[:, None])
 
     def merge_blobs(self, blobs: Iterable[bytes]) -> bytes:
         it = iter(blobs)

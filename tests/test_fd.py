@@ -265,3 +265,51 @@ def test_fd_through_streaming_generic_operator(spark, tmp_path):
             assert (r[f"sv_{i+1}"] ** 2
                     >= sv_ex[i] ** 2 - r["err_bound"] - 1e-6)
         assert r["err_bound"] <= r["frob_sq"] / 8 + 1e-6
+
+
+def test_fd_weighted_ingest(spark):
+    """weight_col: the sketched Gram is exactly sum(w * x x^T) — the
+    certificate holds against the weighted Gram; integral weights match
+    the expanded stream's exact spectrum within the bound; NULL/zero
+    weights contribute nothing; negative weights fail loudly."""
+    from ddsketchy_spark.spark.agg import sketch_aggregate
+
+    rng = np.random.default_rng(40)
+    A = _rand(150, 10, 41)
+    w = rng.integers(0, 4, size=150)  # includes zeros
+    rows = [(i, [float(x) for x in A[i]], int(w[i])) for i in range(150)]
+    rows += [(900, None, 5), (901, [0.0] * 10, None)]  # NULL vec / NULL w
+    df = spark.createDataFrame(
+        rows, "id long, vec array<double>, w long").repartition(4)
+    agg = FDAggregator("vec", dim=10, ell=8, k_out=3, weight_col="w")
+    out = sketch_aggregate(df, agg)
+
+    expanded = np.repeat(A, w, axis=0)
+    assert out["n_rows"] == int((w > 0).sum())  # physical rows ingested
+    assert out["frob_sq"] == pytest.approx(float((expanded ** 2).sum()))
+    sv_ex = np.linalg.svd(expanded, compute_uv=False)[:3]
+    for i in range(3):
+        assert out[f"sv_{i+1}"] ** 2 <= sv_ex[i] ** 2 + 1e-6
+        assert out[f"sv_{i+1}"] ** 2 >= sv_ex[i] ** 2 - out["err_bound"] - 1e-6
+    assert out["err_bound"] <= out["frob_sq"] / 8 + 1e-6
+
+    # fractional importance weights: certificate vs the weighted Gram
+    wf = rng.uniform(0.1, 2.0, size=150)
+    dff = spark.createDataFrame(
+        [(i, [float(x) for x in A[i]], float(wf[i])) for i in range(150)],
+        "id long, vec array<double>, w double").repartition(3)
+    outf = sketch_aggregate(
+        dff, FDAggregator("vec", dim=10, ell=8, k_out=3, weight_col="w"))
+    gram_w = (A * wf[:, None]).T @ A
+    assert outf["frob_sq"] == pytest.approx(float(np.trace(gram_w)))
+    sv_w = np.sqrt(np.maximum(np.linalg.eigvalsh(gram_w)[::-1][:3], 0.0))
+    for i in range(3):
+        assert outf[f"sv_{i+1}"] ** 2 <= sv_w[i] ** 2 + 1e-6
+        assert outf[f"sv_{i+1}"] ** 2 >= sv_w[i] ** 2 - outf["err_bound"] - 1e-6
+
+    # negative weights fail the job with the real reason
+    bad = spark.createDataFrame(
+        [(1, [0.0] * 10, -1.0)], "id long, vec array<double>, w double")
+    with pytest.raises(Exception, match="weights must be >= 0"):
+        sketch_aggregate(
+            bad, FDAggregator("vec", dim=10, ell=8, weight_col="w"))
