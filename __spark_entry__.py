@@ -2578,6 +2578,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                           "n_items")
 
     q["tpch_q14_promo_effect"] = tpch_q14_promo_effect
+
+    def corr_lineitem_columns(spark, sf):
+        """All pairwise Pearson correlations between four lineitem
+        measures in ONE aggregate pass (profiler companion). DuckDB's
+        native corr re-derives every value — full hash match."""
+        from ddsketchy_spark.spark.profile import column_correlations
+
+        li = _load(spark, sf, "lineitem")
+        return column_correlations(
+            li, ["l_discount", "l_extendedprice", "l_quantity", "l_tax"])
+
+    q["corr_lineitem_columns"] = corr_lineitem_columns
     return q
 
 
@@ -4116,6 +4128,8 @@ FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
 WHERE l.l_shipdate >= TIMESTAMP '1996-03-01'
   AND l.l_shipdate < TIMESTAMP '1996-04-01'
 """
+    o["corr_lineitem_columns"] = _corr_oracle(
+        "lineitem", ["l_discount", "l_extendedprice", "l_quantity", "l_tax"])
     o["jl_reduce_embeddings"] = """
 SELECT CAST(count(*) AS BIGINT) AS n_vecs,
        TRUE AS parity, TRUE AS norms_ok
@@ -4167,6 +4181,22 @@ FROM d, s
 ORDER BY bm25 DESC, doc_id ASC
 LIMIT {k}
 """
+
+
+def _corr_oracle(table: str, cols: list[str]) -> str:
+    """Long-format pairwise corr re-derivation via DuckDB's native
+    corr() (sample Pearson, pairwise-complete — the same law the Spark
+    engine assembles from covar_samp/stddev_samp); constant columns ->
+    the -2.0 sentinel."""
+    selects = []
+    for i, a in enumerate(cols):
+        for b in cols[i + 1:]:
+            selects.append(
+                f"SELECT '{a}' AS col_a, '{b}' AS col_b,\n"
+                f"  COALESCE(round(corr({a}, {b}), 6), -2.0) AS corr,\n"
+                f"  (SELECT CAST(count(*) AS BIGINT) FROM {table}) AS n_rows\n"
+                f"FROM {table}")
+    return "\nUNION ALL\n".join(selects) + "\nORDER BY col_a, col_b"
 
 
 def _dds_distance_oracle(table: str, col: str, by: str,

@@ -122,3 +122,56 @@ def profile_table(
 
 def _f(v):
     return None if v is None else float(v)
+
+
+def column_correlations(
+    df: DataFrame,
+    cols: Sequence[str],
+) -> DataFrame:
+    """Pairwise Pearson correlations between numeric columns, all
+    computed in ONE scalar aggregate pass (Catalyst fuses the
+    C(n,2) `corr` co-moment aggregates into a single job with map-side
+    partials — at 10^12 rows the cost is one scan, KB of state).
+
+    The schema-discovery companion to `profile_table`: which measures
+    move together (e.g. quantity vs price before choosing a mixture
+    weight or a partition key). Output is long-format (col_a, col_b,
+    corr, n_rows) with col_a < col_b, corr rounded to 6 dp and the
+    ``-2.0`` sentinel when undefined (a constant column — never NULL
+    doubles, oracle-comparator convention). Pairs use Spark's
+    ``corr`` (pairwise-complete rows: both sides non-NULL); ``n_rows``
+    is the table row count anchor."""
+    cols = list(cols)
+    if len(cols) < 2:
+        raise ValueError(f"need at least 2 columns, got {cols!r}")
+    if len(set(cols)) != len(cols):
+        raise ValueError(f"duplicate columns in {cols!r}")
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    pairs = []
+    for i, a in enumerate(cols):
+        for b in cols[i + 1:]:
+            j = len(pairs)
+            pairs.append((a, b))
+            # pairwise-complete masking: NULL either side excludes the
+            # row from ALL three co-moments (Spark's `corr` semantics,
+            # but assembled from Welford aggregates + try_divide so a
+            # constant column yields NULL instead of ANSI-mode
+            # DIVIDE_BY_ZERO)
+            m = F.col(a).isNotNull() & F.col(b).isNotNull()
+            aa = F.when(m, F.col(a).cast("double"))
+            bb = F.when(m, F.col(b).cast("double"))
+            aggs += [F.covar_samp(aa, bb).alias(f"_cv{j}"),
+                     F.stddev_samp(aa).alias(f"_sa{j}"),
+                     F.stddev_samp(bb).alias(f"_sb{j}")]
+    wide = df.agg(*aggs)
+    rows = []
+    for j, (a, b) in enumerate(pairs):
+        corr = F.try_divide(F.col(f"_cv{j}"),
+                            F.col(f"_sa{j}") * F.col(f"_sb{j}"))
+        rows.append(F.struct(F.lit(a).alias("col_a"), F.lit(b).alias("col_b"),
+                             F.coalesce(F.round(corr, 6),
+                                        F.lit(-2.0)).alias("corr"),
+                             F.col("_n").alias("n_rows")))
+    return (wide.select(F.explode(F.array(*rows)).alias("_r"))
+            .select("_r.col_a", "_r.col_b", "_r.corr", "_r.n_rows")
+            .orderBy("col_a", "col_b"))

@@ -51,3 +51,41 @@ def test_profile_array_and_string_columns(prof):
     assert p["tokens"]["p50"] is not None        # element-level quantiles
     assert p["doc_id"]["avg_len"] is not None    # string length
     assert p["doc_id"]["p50"] is None            # strings have no quantiles
+
+
+def test_column_correlations(spark):
+    import numpy as np
+    import pytest
+
+    from ddsketchy_spark.spark.profile import column_correlations
+
+    rng = np.random.default_rng(47)
+    x = rng.normal(size=400)
+    y = 2.0 * x + rng.normal(size=400) * 0.5   # strongly correlated
+    z = rng.normal(size=400)                   # independent
+    rows = [(float(x[i]), float(y[i]), float(z[i]), 1.0) for i in range(400)]
+    rows += [(None, 1.0, 2.0, 1.0), (1.0, None, 3.0, 1.0)]  # pairwise-complete
+    df = spark.createDataFrame(rows, "x double, y double, z double, c double")
+    out = {(r["col_a"], r["col_b"]): r for r in
+           column_correlations(df, ["x", "y", "z", "c"]).collect()}
+    assert set(out) == {("x", "y"), ("x", "z"), ("x", "c"),
+                        ("y", "z"), ("y", "c"), ("z", "c")}
+    # pairwise-complete references: each NULL row drops only from the
+    # pairs it has a NULL in, so (x,z) includes the (1.0, 3.0) row and
+    # (y,z) includes the (1.0, 2.0) row
+    assert out[("x", "y")]["corr"] == pytest.approx(
+        float(np.corrcoef(x, y)[0, 1]), abs=1e-6)
+    assert out[("x", "z")]["corr"] == pytest.approx(
+        float(np.corrcoef(np.append(x, 1.0), np.append(z, 3.0))[0, 1]),
+        abs=1e-6)
+    assert out[("y", "z")]["corr"] == pytest.approx(
+        float(np.corrcoef(np.append(y, 1.0), np.append(z, 2.0))[0, 1]),
+        abs=1e-6)
+    # constant column: undefined -> -2.0 sentinel, never NULL
+    assert out[("x", "c")]["corr"] == -2.0
+    assert out[("y", "c")]["corr"] == -2.0
+    assert all(r["n_rows"] == 402 for r in out.values())
+    with pytest.raises(ValueError, match="at least 2"):
+        column_correlations(df, ["x"])
+    with pytest.raises(ValueError, match="duplicate"):
+        column_correlations(df, ["x", "x"])

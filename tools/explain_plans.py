@@ -848,6 +848,23 @@ def main() -> None:
                 r"CartesianProduct"],
     )
 
+    # 28b. pairwise correlations: every C(4,2) co-moment rides ONE
+    # scalar aggregate over a pruned 4-column scan (map-side combine);
+    # the long-format explode runs on the single result row
+    from ddsketchy_spark.spark.profile import column_correlations
+
+    cor = column_correlations(
+        lineitem, ["l_discount", "l_extendedprice", "l_quantity", "l_tax"])
+    results["column_correlations"] = audit(
+        "column_correlations", cor,
+        want=[r"ReadSchema: struct<l_quantity:double,l_extendedprice:double,l_discount:double,l_tax:double>",
+              r"HashAggregate[\s\S]*Exchange[\s\S]*HashAggregate"],
+        reject=[r"BatchEvalPython", r"ArrowEvalPython",
+                r"FlatMapGroupsInPandas", r"(MapInArrow|PythonMapInArrow)",
+                r"SortMergeJoin", r"BroadcastHashJoin", r"CartesianProduct",
+                r"Window"],
+    )
+
     # 29. JL projection: a pure pipeline-local mapInArrow projection of
     # the scan — no shuffle, no join, nothing but the one Python stage
     from ddsketchy_spark.pipeline.similarity import reduce_dim
