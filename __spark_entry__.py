@@ -2590,6 +2590,48 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             li, ["l_discount", "l_extendedprice", "l_quantity", "l_tax"])
 
     q["corr_lineitem_columns"] = corr_lineitem_columns
+
+    def tpch_q12_priority_by_status(spark, sf):
+        """TPC-H Q12 shape (adapted to this schema: l_linestatus stands
+        in for l_shipmode): per line status, how many urgent/high
+        priority vs other orders shipped in one year — a fact-dim key
+        join folded into conditional counts, map-side combined."""
+        li = _load(spark, sf, "lineitem")
+        orders = _load(spark, sf, "orders").select("o_orderkey",
+                                                   "o_orderpriority")
+        hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+        return (li.where((F.col("l_shipdate") >= "1996-01-01")
+                         & (F.col("l_shipdate") < "1997-01-01"))
+                .join(orders, li.l_orderkey == orders.o_orderkey)
+                .groupBy("l_linestatus")
+                .agg(F.sum(hi.cast("long")).alias("high_priority"),
+                     F.sum((~hi).cast("long")).alias("low_priority"))
+                .orderBy("l_linestatus"))
+
+    q["tpch_q12_priority_by_status"] = tpch_q12_priority_by_status
+
+    def tpch_q18_large_volume_orders(spark, sf):
+        """TPC-H Q18 shape (large-volume customers): orders whose total
+        lineitem quantity exceeds a threshold — a HAVING aggregate
+        semi-joined back to orders/customer, deterministic top-20. The
+        quantity aggregate shuffles (orderkey, qty) only."""
+        li = _load(spark, sf, "lineitem")
+        orders = _load(spark, sf, "orders")
+        cust = _load(spark, sf, "customer").select("c_custkey", "c_name")
+        big = (li.groupBy("l_orderkey")
+               .agg(F.sum("l_quantity").alias("total_qty"))
+               .where(F.col("total_qty") > 300))
+        return (orders.join(big, orders.o_orderkey == big.l_orderkey)
+                .join(cust, orders.o_custkey == cust.c_custkey)
+                .select("c_custkey", "c_name", "o_orderkey",
+                        F.col("o_orderdate").cast("string")
+                        .alias("o_orderdate"),
+                        _r2(F.col("o_totalprice")).alias("o_totalprice"),
+                        _r2(F.col("total_qty")).alias("total_qty"))
+                .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+                .limit(20))
+
+    q["tpch_q18_large_volume_orders"] = tpch_q18_large_volume_orders
     return q
 
 
@@ -4127,6 +4169,32 @@ SELECT round(100.0 * sum(CASE WHEN p.p_type LIKE 'PROMO%'
 FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
 WHERE l.l_shipdate >= TIMESTAMP '1996-03-01'
   AND l.l_shipdate < TIMESTAMP '1996-04-01'
+"""
+    o["tpch_q12_priority_by_status"] = """
+SELECT l.l_linestatus,
+       CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_priority,
+       CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 0 ELSE 1 END) AS BIGINT) AS low_priority
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l.l_shipdate < TIMESTAMP '1997-01-01'
+GROUP BY l.l_linestatus ORDER BY l.l_linestatus
+"""
+    o["tpch_q18_large_volume_orders"] = """
+WITH big AS (
+  SELECT l_orderkey, sum(l_quantity) AS total_qty
+  FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 300
+)
+SELECT c.c_custkey, c.c_name, o.o_orderkey,
+       CAST(o.o_orderdate AS VARCHAR) AS o_orderdate,
+       round(o.o_totalprice, 2) AS o_totalprice,
+       round(b.total_qty, 2) AS total_qty
+FROM orders o
+JOIN big b ON o.o_orderkey = b.l_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+ORDER BY o_totalprice DESC, o.o_orderkey ASC
+LIMIT 20
 """
     o["corr_lineitem_columns"] = _corr_oracle(
         "lineitem", ["l_discount", "l_extendedprice", "l_quantity", "l_tax"])
