@@ -143,18 +143,52 @@ def train_bpe_merges(
     spark = df.sparkSession
     if validate:
         _validate_symbols(df, arr_col)
-    cur = (_to_string_form(df, arr_col)
-           .repartition(n_partitions
-                        or spark.sparkContext.defaultParallelism)
+    arr = F.col(arr_col)
+    # the rebalance shuffle moves the NARROW native arrays, not the wider
+    # delimited strings; the string form is then a shuffle-free projection
+    # of this cached frame, first materialized (and persisted) only when a
+    # round >= 2 needs it — a 1-merge train (or an early stop) never
+    # builds the string form at all
+    base = (df.where(arr.isNotNull() & (F.size(arr) >= 2))
+            .select(arr.alias(arr_col))
+            .repartition(n_partitions
+                         or spark.sparkContext.defaultParallelism)
+            .persist(StorageLevel.MEMORY_AND_DISK))
+    cur = (_to_string_form(base, arr_col)
            .persist(StorageLevel.MEMORY_AND_DISK))
-    pinned = [cur]
+    pinned = [base, cur]
     merges: list[tuple] = []
     try:
         for r in range(1, n_merges + 1):
-            toks = F.split(
-                F.expr("substring(s, 2, length(s) - 2)"), SEP + SEP)
-            best = array_pair_counts(
-                cur.select(toks.alias("t")), "t", top_k=1).collect()
+            if r == 1:
+                # Round 1 counts pairs straight off the ORIGINAL arrays:
+                # same symbols (the string cast is applied after the
+                # aggregate, and tie order uses that cast, so the result
+                # is identical), but the hash aggregate groups on the
+                # narrow native element type and never splits a string.
+                n = F.size(arr)
+                prs = F.when(n >= 2, F.arrays_zip(
+                    F.slice(arr, 1, n - 1).alias("a"),
+                    F.slice(arr, 2, n - 1).alias("b")))
+                best = (base
+                        .select(F.explode(prs).alias("p"))
+                        .select(F.col("p.a").alias("a"),
+                                F.col("p.b").alias("b"))
+                        .groupBy("a", "b")
+                        .agg(F.count(F.lit(1)).alias("cnt"))
+                        .orderBy(F.desc("cnt"),
+                                 F.col("a").cast("string").asc(),
+                                 F.col("b").cast("string").asc())
+                        .limit(1)
+                        .select(F.col("a").cast("string").alias("a"),
+                                F.col("b").cast("string").alias("b"),
+                                "cnt")
+                        .collect())
+            else:
+                toks = F.split(
+                    F.expr("substring(s, 2, length(s) - 2)"), SEP + SEP)
+                best = array_pair_counts(
+                    cur.select(toks.alias("t")), "t", top_k=1).collect()
             if not best or best[0]["cnt"] < min_count:
                 break
             a, b, cnt = best[0]["a"], best[0]["b"], int(best[0]["cnt"])

@@ -84,7 +84,8 @@ def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 
 def word_jaccard_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
                        threshold: float = 0.8, method: str = "allpairs",
-                       positional: bool = True) -> DataFrame:
+                       positional: bool = True,
+                       broadcast_docs: int = 100_000) -> DataFrame:
     """EXACT word-set Jaccard pairs at ``jaccard >= threshold``.
 
     ``method="allpairs"`` (default, the scale path): prefix-filtered
@@ -92,7 +93,16 @@ def word_jaccard_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc
     self-join on each document's PREFIX tokens only, then exact Jaccard is
     verified natively. Same results as the cartesian path, no O(n^2) blowup.
     ``method="cartesian"``: the all-pairs self-join, kept as the test-scale
-    oracle baseline."""
+    oracle baseline.
+
+    ``broadcast_docs``: corpora at or under this many documents run the
+    join plan in BROADCAST form — the (id, tok) token table is persisted
+    once and broadcast into every join (candidate self-join, overlap
+    verification), so the whole verify chain is one streaming codegen
+    pass with no wide shuffles (measured ~2.5x at 5k template docs, where
+    the shuffle plan sorts the |pairs| x |doc| expansion). Above the
+    threshold the original all-shuffle plan runs unchanged — the probe is
+    a bounded ``limit(n+1).count()``, identical results either way."""
     sets = df.select(
         F.col(id_col).alias("id"),
         F.array_distinct(F.split(F.col(text_col), " ")).alias("ws"),
@@ -113,11 +123,15 @@ def word_jaccard_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc
         )
     if method != "allpairs":
         raise ValueError(f"unknown method {method!r}")
-    return _word_jaccard_allpairs(sets, threshold, positional=positional)
+    small = (broadcast_docs is not None
+             and df.limit(broadcast_docs + 1).count() <= broadcast_docs)
+    return _word_jaccard_allpairs(sets, threshold, positional=positional,
+                                  broadcast=small)
 
 
 def _word_jaccard_allpairs(sets: DataFrame, threshold: float,
-                           positional: bool = True) -> DataFrame:
+                           positional: bool = True,
+                           broadcast: bool = False) -> DataFrame:
     """Prefix-filtered exact similarity join — distributed, no cartesian.
 
     Completeness argument (Jaccard >= t => the pair survives filtering):
@@ -160,11 +174,29 @@ def _word_jaccard_allpairs(sets: DataFrame, threshold: float,
     joins and a map-side-combining count — the document arrays themselves
     never replicate per pair. The per-doc window sort partitions by doc
     id: bounded by document length, no hot keys. Everything stays in
-    codegen; no Python, no driver collect, no interpreted set ops."""
+    codegen; no Python, no driver collect, no interpreted set ops.
+
+    ``broadcast=True`` (bounded corpora only — the caller gates on a doc
+    count): the (id, tok) token table is persisted once (it otherwise
+    recomputes for each of its four consumers) and hash-broadcast into
+    the candidate self-join and both verification joins, so candidate
+    generation and the |pairs| x |doc| overlap expansion run as ONE
+    whole-stage-codegen pipeline — the only wide shuffles left are the
+    candidate dropDuplicates and the map-side-combined overlap count.
+    The expansion sides also drop df=1 tokens first (a token in exactly
+    one document can never be common to a pair, so the overlap count is
+    unchanged). Release the persisted token table with
+    ``pipeline.cache.release_cached_deps(result)``."""
     from pyspark.sql import Window
 
     sets = sets.where(F.col("ws").isNotNull()).withColumn("sz", F.size("ws"))
     toks = sets.select("id", "sz", F.explode("ws").alias("tok"))
+    pinned: list[DataFrame] = []
+    if broadcast:
+        from pyspark import StorageLevel
+
+        toks = toks.persist(StorageLevel.MEMORY_AND_DISK)
+        pinned.append(toks)
     dfreq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
     w = Window.partitionBy("id").orderBy(F.asc("df"), F.asc("tok"))
     # fp guard: 0.8*5 = 4.000000000000001 would ceil to 5 and shorten the
@@ -174,6 +206,13 @@ def _word_jaccard_allpairs(sets: DataFrame, threshold: float,
             .withColumn("pos", F.row_number().over(w))
             .where(F.col("pos") <= F.col("sz") - need + 1)
             .select("tok", "id", "sz", "pos"))
+    if broadcast:
+        from pyspark import StorageLevel
+
+        # prefix-sized (a few % of tokens): both sides of the self-join
+        # read it — persist or the join+window run twice
+        pref = pref.persist(StorageLevel.MEMORY_AND_DISK)
+        pinned.append(pref)
     a, b = pref.alias("a"), pref.alias("b")
     eps = 1e-9
     # PPJoin positional filter: overlap upper bound at this matching token
@@ -193,7 +232,7 @@ def _word_jaccard_allpairs(sets: DataFrame, threshold: float,
     if positional:
         cond = cond & (overlap_ub >= overlap_need)
     cand = (
-        a.join(b, cond)
+        a.join(F.broadcast(b) if broadcast else b, cond)
         .select(F.col("a.id").alias("id_a"), F.col("a.sz").alias("_sza"),
                 F.col("b.id").alias("id_b"), F.col("b.sz").alias("_szb"))
         .dropDuplicates(["id_a", "id_b"])
@@ -208,17 +247,29 @@ def _word_jaccard_allpairs(sets: DataFrame, threshold: float,
     # measured 2.5x slower than this on 1.9M candidates. Every candidate
     # shares >= 1 (prefix) token, so the inner join never drops a pair.
     # |A∪B| = |A| + |B| - |A∩B| (ws is distinct) avoids union entirely.
-    ta = toks.select(F.col("id").alias("id_a"), "tok")
-    tb = toks.select(F.col("id").alias("id_b"), "tok")
-    return (cand.join(ta, "id_a")
-            .join(tb, ["id_b", "tok"])
-            .groupBy("id_a", "id_b", "_sza", "_szb")
-            .agg(F.count(F.lit(1)).alias("_inter"))
-            .select("id_a", "id_b",
-                    (F.col("_inter")
-                     / (F.col("_sza") + F.col("_szb") - F.col("_inter")))
-                    .alias("jaccard"))
-            .filter(F.col("jaccard") >= threshold))
+    shared = toks
+    if broadcast:
+        # df=1 tokens can never be common to a pair — dropping them from
+        # BOTH expansion sides leaves every pair's overlap count intact
+        # while shrinking the |pairs| x |doc| expansion
+        shared = toks.join(
+            F.broadcast(dfreq.where(F.col("df") >= 2).select("tok")), "tok")
+    ta = shared.select(F.col("id").alias("id_a"), "tok")
+    tb = shared.select(F.col("id").alias("id_b"), "tok")
+    verified = (cand.join(F.broadcast(ta) if broadcast else ta, "id_a")
+                .join(F.broadcast(tb) if broadcast else tb, ["id_b", "tok"])
+                .groupBy("id_a", "id_b", "_sza", "_szb")
+                .agg(F.count(F.lit(1)).alias("_inter"))
+                .select("id_a", "id_b",
+                        (F.col("_inter")
+                         / (F.col("_sza") + F.col("_szb") - F.col("_inter")))
+                        .alias("jaccard"))
+                .filter(F.col("jaccard") >= threshold))
+    if pinned:
+        from .cache import tag_cached_deps
+
+        return tag_cached_deps(verified, pinned)
+    return verified
 
 
 def dedup_paragraphs(
@@ -888,11 +939,27 @@ def connected_components(
         return (df.checkpoint() if checkpoint_dir is not None
                 else df.localCheckpoint())
 
+    spark = edges.sparkSession
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
     sym = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-    sym = sym.union(sym.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct()
+    # hash-partition the (deduplicated) edge list by join key ONCE before
+    # the checkpoint: every round's join then reuses this partitioning
+    # instead of re-shuffling the edges per round (the checkpointed frame
+    # keeps its outputPartitioning)
+    # repartition FIRST: identical (a, b) rows land in one a-partition, so
+    # the dedup reuses that clustering (ClusteredDistribution(a, b) is
+    # satisfied by HashPartitioning(a)) — one exchange, not two
+    sym = (sym.union(sym.select(F.col("b").alias("a"), F.col("a").alias("b")))
+           .repartition(n_parts, "a").dropDuplicates())
     sym = _save(sym)
-    labels = (sym.select(F.col("a").alias("node")).distinct()
-              .withColumn("comp", F.col("node")))
+    # seed labels one round ahead: min(node, min neighbor) is exactly the
+    # state after round 1 of plain min-label propagation, computed in the
+    # same aggregate that would otherwise just build the distinct node
+    # list — one fewer join round for the same fixpoint
+    labels = (sym.groupBy(F.col("a").alias("node"))
+              .agg(F.min("b").alias("_mn"))
+              .select("node", F.least(F.col("node"), F.col("_mn"))
+                      .alias("comp")))
     changed = -1
     for _ in range(max_iter):
         msgs = sym.join(labels, sym["a"] == labels["node"]).select(

@@ -100,10 +100,11 @@ def train_pq_codebooks(
     v = df.where(F.col(vec_col).isNotNull()).select(
         F.col(id_col).alias("id"),
         F.col(vec_col).cast("array<double>").alias("vec"))
-    sample = np.asarray(
-        [r["vec"] for r in
-         deterministic_sample(v, train_rows, "id", salt=seed).collect()],
-        dtype=np.float64)
+    # Arrow-path driver transfer (toPandas), NOT a row collect: same rows
+    # in the same deterministic order, ~3x faster for array columns
+    pdf = deterministic_sample(v, train_rows, "id", salt=seed).toPandas()
+    sample = np.asarray([np.asarray(x) for x in pdf["vec"]],
+                        dtype=np.float64)
     if sample.size == 0:
         raise ValueError("cannot train PQ codebooks: no non-null "
                          f"({id_col}, {vec_col}) rows")
@@ -410,15 +411,25 @@ def ivf_pq_index(
     dim = cents.shape[1]
     if dim % m:
         raise ValueError(f"dim {dim} is not divisible by m={m} subspaces")
-    assigned = _ivf_assign(v, cents, df.schema[id_col])
+    from pyspark import StorageLevel
+
+    from .cache import tag_cached_deps
+
+    # two consumers (residual-sample collect + the encode pass): persist
+    # or the assignment mapInArrow over the whole corpus runs twice;
+    # release via pipeline.cache.release_cached_deps on the returned frame
+    assigned = _ivf_assign(v, cents, df.schema[id_col]).persist(
+        StorageLevel.MEMORY_AND_DISK)
     # residual codebooks from the SAME deterministic sample law: the
-    # sampled rows' (nvec - centroid[cluster]) matrix
+    # sampled rows' (nvec - centroid[cluster]) matrix (Arrow toPandas
+    # transfer — same rows, same deterministic order as a row collect)
     samp = deterministic_sample(assigned, train_rows, "id",
-                                salt=seed).collect()
-    R = np.asarray([r["nvec"] for r in samp], dtype=np.float64) \
-        - cents[np.asarray([r["cluster"] for r in samp], dtype=np.int64)]
+                                salt=seed).toPandas()
+    R = np.asarray([np.asarray(x) for x in samp["nvec"]], dtype=np.float64) \
+        - cents[samp["cluster"].to_numpy().astype(np.int64)]
     books = _kmeans_subspaces(R, m, nbits, kmeans_iters, seed)
-    return _encode_residuals(assigned, cents, books), cents, books
+    return (tag_cached_deps(_encode_residuals(assigned, cents, books),
+                            [assigned]), cents, books)
 
 
 def _encode_residuals(assigned: DataFrame, cents: np.ndarray,
@@ -481,7 +492,11 @@ def write_ivf_pq_index(
     meta["n_clusters"] = int(C.shape[0])
     meta["centroids"] = [[float(x) for x in row] for row in C]
     _check_extra(extra_meta, set(meta))
-    index_df.write.partitionBy("cluster").mode(mode).parquet(path)
+    # cluster-clustered write: without it every task opens one file per
+    # cluster it sees (tasks x clusters tiny files); repartitioned, the
+    # layout is ~one file per cluster and the commit is file-count-bound
+    (index_df.repartition("cluster")
+     .write.partitionBy("cluster").mode(mode).parquet(path))
     meta.update(extra_meta or {})
     meta.setdefault("generation", 1)
     write_json_sidecar(index_df.sparkSession, path, _IVFPQ_SIDECAR, meta)

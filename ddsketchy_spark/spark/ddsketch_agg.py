@@ -38,7 +38,12 @@ from pyspark.sql.types import DoubleType, LongType, StructField, StructType
 
 from ..core.ddsketch import DDSketch
 from ..core.mapping import LogMapping
-from .agg import SketchAggregator, numeric_values, sketch_aggregate
+from .agg import (
+    SketchAggregator,
+    numeric_values,
+    numeric_values_native,
+    sketch_aggregate,
+)
 
 
 def quantile_label(q: float) -> str:
@@ -65,7 +70,10 @@ class DDSketchAggregator(SketchAggregator):
         return DDSketch(self.alpha, self.max_bins)
 
     def add_arrow(self, state: DDSketch, table: pa.Table) -> None:
-        vals = numeric_values(table.column(self.value_col))
+        # dtype-preserving flatten: integer columns (e.g. token ids) hit
+        # DDSketch.add_batch's exact bincount fast path instead of paying
+        # the per-element log chain on the float cast
+        vals = numeric_values_native(table.column(self.value_col))
         state.add_batch(vals)
 
     def merge_blobs(self, blobs) -> bytes:
@@ -191,13 +199,15 @@ def _native_key_counts(
 
 def _check_weight_cols(wmin: float, wfrac: float) -> None:
     """Fail fast on invalid weights surfaced by the in-flow validation
-    columns (no extra pass over the data)."""
+    columns (no extra pass over the data). Negativity is checked FIRST:
+    a negative fractional weight (e.g. -1.5) is a negative-weight bug,
+    not a fractional-weight one."""
+    if wmin is not None and wmin < 0:
+        raise ValueError(f"weights must be >= 0, found {wmin}")
     if wfrac and wfrac > 0:
         raise ValueError(
             "weights must be integral occurrence counts (a fractional "
             "weight has no expansion law); found a fractional value")
-    if wmin is not None and wmin < 0:
-        raise ValueError(f"weights must be >= 0, found {wmin}")
 
 
 def sketch_from_key_counts(

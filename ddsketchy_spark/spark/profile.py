@@ -63,6 +63,49 @@ def _classify(dtype: str) -> str:
     return "other"
 
 
+_ENTRY_T = ("array<struct<cid:int,kind:int,k1:bigint,k2:bigint,"
+            "vl:bigint,x:double>>")
+
+
+def _sketch_entries(c: str, cid: int, kind: str, alpha: float, p: int):
+    """Per-row entry array for the one-pass sketch scan: every non-null
+    value (array columns: every non-null element) contributes one HLL
+    register entry (kind 0: k1 = register index, vl = sign-flipped
+    unsigned rest — exactly ``_hll_native``'s expressions, hashed on the
+    RAW value so registers are bit-identical) and, for finite numeric
+    values, one DDSketch bucket entry (kind 1: k1 = region, k2 = key —
+    exactly ``bucket_exprs``)."""
+    from .ddsketch_agg import bucket_exprs
+
+    src = F.col(c) if kind == "numeric_array" else F.array(F.col(c))
+    src = F.filter(src, lambda e: e.isNotNull())
+    numeric = kind in ("numeric", "numeric_array")
+
+    def to_entries(e):
+        h = F.xxhash64(e)
+        hll = F.struct(
+            F.lit(cid).alias("cid"), F.lit(0).alias("kind"),
+            F.shiftrightunsigned(h, 64 - p).alias("k1"),
+            F.lit(0).cast("bigint").alias("k2"),
+            F.shiftleft(h, p).bitwiseXOR(F.lit(-(1 << 63))).alias("vl"),
+            F.lit(None).cast("double").alias("x"))
+        if not numeric:
+            return F.array(hll)
+        x = e.cast("double")
+        finite, region, key = bucket_exprs(x, alpha)
+        dds = F.struct(
+            F.lit(cid).alias("cid"), F.lit(1).alias("kind"),
+            region.cast("bigint").alias("k1"),
+            key.cast("bigint").alias("k2"),
+            F.lit(None).cast("bigint").alias("vl"), x.alias("x"))
+        # the CaseWhen guard keeps the bucket-key arithmetic off
+        # non-finite values (ANSI overflow on cast(ceil(inf)))
+        return F.when(finite, F.array(hll, dds)).otherwise(F.array(hll))
+
+    return F.coalesce(F.flatten(F.transform(src, to_entries)),
+                      F.array().cast(_ENTRY_T))
+
+
 def profile_table(
     df: DataFrame,
     columns: Sequence[str] | None = None,
@@ -71,7 +114,23 @@ def profile_table(
     quantiles: tuple[float, ...] = (0.5, 0.9, 0.99),
 ) -> DataFrame:
     """One row per profiled column (see ``profile_schema(quantiles)``).
-    Columns of unsupported types are reported with exact count/nulls only."""
+    Columns of unsupported types are reported with exact count/nulls only.
+
+    Scan shape: exactly TWO passes over the table at any column count —
+    one fused exact-stats aggregate (as before), and ONE sketch pass
+    whose projection emits (column id, HLL register entry | DDSketch
+    bucket entry) rows for every profiled column at once, folded by a
+    single map-side-combining aggregate; the shuffle carries at most
+    ``cols x (2^hll_p + buckets)`` rows. (Previously each column issued
+    its own HLL scan and its own DDSketch scan: 2C+1 passes.) Register
+    and bucket rows reuse ``_hll_native``'s and ``bucket_exprs``'s
+    expressions verbatim, so every estimate is identical to the
+    per-column engines'."""
+    import numpy as np
+
+    from .companions import _hll_from_rows
+    from .ddsketch_agg import _estimates, sketch_from_key_counts
+
     dtypes = dict(df.dtypes)
     cols = list(columns) if columns else list(dtypes)
     schema = profile_schema(quantiles)
@@ -93,17 +152,46 @@ def profile_table(
     exact = df.agg(*exprs).first()
     n_total = exact["__total"]
 
+    # ONE sketch pass for every eligible column: HLL register rows and
+    # DDSketch bucket rows ride the same explode + hash aggregate
+    kinds = {c: _classify(dtypes[c]) for c in cols}
+    eligible = [c for c in cols
+                if kinds[c] in ("numeric", "string", "numeric_array")]
+    by_cid: dict[int, dict[str, list]] = {}
+    if eligible:
+        entries = [_sketch_entries(c, i, kinds[c], alpha, hll_p)
+                   for i, c in enumerate(eligible)]
+        cat = entries[0] if len(entries) == 1 else F.concat(*entries)
+        kc = (df.select(F.explode(cat).alias("e")).select("e.*")
+              .groupBy("cid", "kind", "k1", "k2")
+              .agg(F.min("vl").alias("minu"), F.count("x").alias("c"),
+                   F.sum("x").alias("s"), F.min("x").alias("mn"),
+                   F.max("x").alias("mx"))
+              .collect())
+        for r in kc:
+            d = by_cid.setdefault(r["cid"], {"hll": [], "dds": []})
+            if r["kind"] == 0:
+                d["hll"].append((r["k1"], r["minu"]))
+            else:
+                d["dds"].append((r["k1"], r["k2"], r["c"], r["s"],
+                                 r["mn"], r["mx"]))
+
     rows = []
     for c in cols:
-        kind = _classify(dtypes[c])
+        kind = kinds[c]
         row = {f.name: None for f in schema.fields}
         row["column"] = c
         row["dtype"] = dtypes[c]
         row["count"] = exact[f"{c}__cnt"]
         row["nulls"] = n_total - exact[f"{c}__cnt"]
+        got = (by_cid.get(eligible.index(c), {"hll": [], "dds": []})
+               if c in eligible else {"hll": [], "dds": []})
         if kind in ("numeric", "string", "numeric_array") and row["count"] > 0:
-            row["distinct_est"] = int(round(
-                hll_distinct(df, c, p=hll_p, engine="native")["distinct_est"]))
+            h = _hll_from_rows(
+                np.asarray([t[0] for t in got["hll"]], dtype=np.int64),
+                np.asarray([t[1] for t in got["hll"]], dtype=np.int64),
+                hll_p)
+            row["distinct_est"] = int(round(h.cardinality()))
         if kind == "numeric":
             row["min"] = _f(exact[f"{c}__min"])
             row["max"] = _f(exact[f"{c}__max"])
@@ -111,8 +199,15 @@ def profile_table(
         elif kind in ("string", "numeric_array"):
             row["avg_len"] = _f(exact[f"{c}__avglen"])
         if kind in ("numeric", "numeric_array") and row["count"] > 0:
-            est = ddsketch_quantiles(df, c, alpha=alpha, quantiles=quantiles,
-                                     engine="native")
+            d = got["dds"]
+            sk = sketch_from_key_counts(
+                np.asarray([t[0] for t in d]), np.asarray([t[1] for t in d]),
+                np.asarray([t[2] for t in d]),
+                np.asarray([t[3] for t in d], dtype=np.float64),
+                np.asarray([t[4] for t in d], dtype=np.float64),
+                np.asarray([t[5] for t in d], dtype=np.float64),
+                alpha, 4096)
+            est = _estimates(sk, quantiles)
             for q in quantiles:
                 row[quantile_label(q)] = _f(est[quantile_label(q)])
         rows.append(tuple(row[f.name] for f in schema.fields))
