@@ -441,3 +441,29 @@ def test_accuracy_10k_linear():
     for q in [0.5, 0.9, 0.95, 0.99]:
         exact = vals[int(q * (len(vals) - 1))]
         assert abs(sk.quantile(q) - exact) / exact <= 0.01
+
+
+def test_add_batch_integer_fast_path_parity():
+    """r6: the narrow-int bincount fast path is byte-identical to the
+    float batch path (keys, counts, sum, min/max, zero bucket)."""
+    import numpy as np
+
+    from ddsketchy_spark.core.ddsketch import DDSketch
+
+    rng = np.random.default_rng(11)
+    cases = [
+        rng.integers(-1000, 50000, size=30000).astype(np.int32),
+        rng.zipf(1.5, size=50000).clip(1, 40000).astype(np.int32),
+        np.zeros(100, dtype=np.int32),
+        rng.integers(-3, 3, size=500).astype(np.int16),
+        np.array([], dtype=np.int32),
+        # span wider than _INT_FAST_SPAN -> generic fallback
+        rng.integers(-2**30, 2**30, size=5000).astype(np.int32),
+    ]
+    for arr in cases:
+        a = DDSketch(0.01)
+        a.add_batch(arr)
+        b = DDSketch(0.01)
+        b.add_batch(arr.astype(np.float64))
+        assert a.to_bytes() == b.to_bytes()
+        assert a._sum == b._sum and a.count == b.count

@@ -2264,3 +2264,42 @@ def test_dedup_substring_clusters(spark):
     out2 = {r["doc_id"]: r["keep"]
             for r in dedup_substring(df, min_len=64, keep_by="q").collect()}
     assert out2[11] and not out2[10] and not out2[12] and out2[13]
+
+
+def test_word_jaccard_broadcast_matches_shuffle_plan(spark, sf001_dir):
+    """r6: the bounded-corpus broadcast plan and the all-shuffle plan of
+    the AllPairs join return identical pairs and jaccard values."""
+    from pyspark.sql import functions as F
+
+    from ddsketchy_spark.pipeline.cache import release_cached_deps
+    from ddsketchy_spark.pipeline.dedup import word_jaccard_pairs
+
+    docs = spark.read.parquet(f"{sf001_dir}/documents.parquet")
+    dup = docs.unionByName(
+        docs.filter("doc_id < 20")
+        .withColumn("doc_id", F.col("doc_id") + 100000))
+    bro = word_jaccard_pairs(dup, threshold=0.8)          # broadcast plan
+    shf = word_jaccard_pairs(dup, threshold=0.8, broadcast_docs=0)
+    got = sorted(map(tuple, bro.collect()))
+    want = sorted(map(tuple, shf.collect()))
+    assert got == want and len(got) > 0
+    release_cached_deps(bro)
+
+
+def test_bpe_round1_cast_invariance(spark):
+    """r6: round 1 counts pairs off the native arrays; training on int
+    arrays must produce exactly the merges of the same data as strings
+    (same counts, same tie order via the string cast)."""
+    from pyspark.sql import functions as F
+
+    from ddsketchy_spark.pipeline.bpe import train_bpe_merges
+
+    rows = [([1, 2, 1, 2, 3, 9, 10],), ([2, 1, 2, 1, 2],),
+            ([9, 10, 9, 10],), ([5],), (None,)]
+    ints = spark.createDataFrame(rows, "tokens array<int>")
+    strs = ints.withColumn("tokens", F.col("tokens").cast("array<string>"))
+    mi = [tuple(r) for r in train_bpe_merges(
+        ints, "tokens", n_merges=3, min_count=2, validate=False).collect()]
+    ms = [tuple(r) for r in train_bpe_merges(
+        strs, "tokens", n_merges=3, min_count=2, validate=False).collect()]
+    assert mi == ms and len(mi) >= 2
