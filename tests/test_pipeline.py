@@ -1962,7 +1962,8 @@ def test_clean_corpus_null_and_dup_ids(spark, sf001_dir):
 def test_release_cached_deps(spark, docs_with_dups, sf001_dir):
     """The verify='local' engines tag their persisted intermediates on the
     (lazy) result so long-lived drivers can release them deterministically
-    after materializing; the broadcast engine caches nothing."""
+    after materializing; since r6 the broadcast engine shares the
+    distributed banding pipeline and tags its persisted signatures too."""
     from ddsketchy_spark.pipeline.cache import cached_deps, release_cached_deps
     from ddsketchy_spark.pipeline.dedup import dedup_near_text
 
@@ -1976,7 +1977,10 @@ def test_release_cached_deps(spark, docs_with_dups, sf001_dir):
     assert release_cached_deps(pairs) == 0  # idempotent
     bp = minhash_lsh_pairs(docs_with_dups, verify="broadcast",
                            num_perm=32, bands=8)
-    assert cached_deps(bp) == [] and release_cached_deps(bp) == 0
+    bdeps = cached_deps(bp)
+    assert len(bdeps) == 1  # r6: persisted signatures, released the same way
+    assert release_cached_deps(bp) == 1
+    assert not bdeps[0].storageLevel.useMemory
     # composition propagates the tag end to end
     res = dedup_near_text(docs_with_dups, verify="local", num_perm=32,
                           bands=8)
