@@ -169,33 +169,16 @@ def _native_key_counts(
         base = df.select(*cols, F.col(value_col).alias("_x"), *wsel)
     x = F.col("_x").cast("double")
     finite_cond, region, key = bucket_exprs(x, alpha)
-    if weight_col is None and not by and dtype in (
-            "array<int>", "array<smallint>", "array<tinyint>"):
-        # GLOBAL token-array fast plan: count DISTINCT values first
-        # (narrow int hash aggregate — per-value counts,
-        # Zipf-concentrated for the token-id arrays this shape
-        # declares), then run the log/ceil bucketing over the
-        # O(vocabulary) distinct rows only. Bucket rows are identical:
-        # the per-value count expansion is exact (integral values, sums
-        # of < 2^53 stay exact), min/max over distinct values equal
-        # min/max over all. Measured 1.5x on the 529M-token build
-        # (2.2 s -> 1.5 s at local[32]); gated to <= 32-bit integer
-        # ELEMENT types so an id-like unique-valued column can never
-        # turn the first aggregate into an O(rows) shuffle, and to
-        # GLOBAL aggregates only (grouped: the (dims x vocabulary) key
-        # space made the first aggregate slower than direct bucketing —
-        # measured 4.2 s -> 7.8 s on the 160-group rollup shape).
-        vc = base.groupBy(*by, "_x").agg(F.count(F.lit(1)).alias("_vc"))
-        return vc.where(finite_cond).select(
-            *cols, region.alias("region"), key.alias("key"),
-            x.alias("_x"), F.col("_vc")).groupBy(
-            *by, "region", "key"
-        ).agg(
-            F.sum("_vc").alias("c"),
-            F.sum(x * F.col("_vc")).alias("s"),
-            F.min("_x").alias("mn"),
-            F.max("_x").alias("mx"),
-        )
+    # NOTE (r6, tried and reverted): a two-level plan — count DISTINCT
+    # values first, bucket only the O(vocab) distinct rows — is 1.5x
+    # faster wall-clock for global int-token-array builds (2.2 -> 1.5 s
+    # on 529M tokens at local[32], bucket rows bit-identical), but its
+    # per-task ~50k-entry value hash map (~2.4 MB x 32 tasks) blows the
+    # shared L3, so 8 -> 32-thread scaling efficiency drops to
+    # 0.64-0.85 (measured at 1x AND 4x input) versus ~0.95-1.0 for this
+    # direct compute-bound plan. The north rule pins scaling >= 0.8, so
+    # the direct plan stays; on a multi-NODE cluster (per-node cache and
+    # bandwidth scale with nodes) the two-level plan would be the win.
     if weight_col is None:
         finite = base.where(finite_cond)
         return finite.select(*cols, region.alias("region"),
