@@ -563,6 +563,7 @@ def _minhash_lsh_pairs_local(
     shingle_k: int,
     seed: int,
     max_bucket_size: int | None,
+    broadcast_sigs: bool = False,
 ) -> DataFrame:
     """Fully distributed LSH verification — no driver collect, no broadcast
     matrix, no document-count ceiling.
@@ -579,7 +580,16 @@ def _minhash_lsh_pairs_local(
     before the self-join: a degenerate bucket of m identical docs costs
     O(m^2) pairs, and at web scale the boilerplate-text buckets are exactly
     the low-information ones (their members are already caught by exact
-    dedup). None = keep all buckets (bit-parity with the broadcast path)."""
+    dedup). None = keep all buckets (bit-parity with the broadcast path).
+
+    ``broadcast_sigs`` (the caller gates it on a BOUNDED doc-count probe,
+    never on this 100-TB default): hash-broadcast the persisted signature
+    table into the two verification join-backs instead of shuffling
+    |pairs| * num_perm * 8 bytes of signature rows — a broadcast hash join
+    returns the same rows as the shuffle join, so scored pairs are
+    bit-identical (regression-tested). The broadcast relation costs
+    ~num_perm * 8 bytes per doc per side, which is why the gate is a doc
+    count, not a flag default."""
     from pyspark import StorageLevel
 
     sigs = minhash_signatures(df, text_col, id_col, num_perm, shingle_k, seed)
@@ -613,6 +623,8 @@ def _minhash_lsh_pairs_local(
     )
     sa = sigs.select(F.col(id_col).alias("id_a"), F.col("sig").alias("_sig_a"))
     sb = sigs.select(F.col(id_col).alias("id_b"), F.col("sig").alias("_sig_b"))
+    if broadcast_sigs:
+        sa, sb = F.broadcast(sa), F.broadcast(sb)
     paired = (cand.join(sa, "id_a").join(sb, "id_b")
               .select("id_a", "id_b", "_sig_a", "_sig_b"))
     # slot agreement vectorized per Arrow batch — NOT a zip_with/filter
@@ -671,6 +683,7 @@ def minhash_lsh_pairs(
     max_broadcast_rows: int = 2_000_000,
     max_bucket_size: int | None = None,
     auto_local_rows: int = 20_000,
+    broadcast_docs: int | None = 100_000,
 ) -> DataFrame:
     """Candidate near-duplicate pairs via banded LSH over MinHash signatures,
     with the estimated Jaccard (fraction of agreeing signature slots).
@@ -698,6 +711,16 @@ def minhash_lsh_pairs(
       bounded ``limit(n+1).count()`` — it early-stops after n+1 rows
       instead of paying a full count of a possibly-100-TB corpus.
 
+    ``broadcast_docs``: corpora at or under this many documents run the
+    LOCAL engine's signature join-back as a broadcast hash join (the
+    persisted signature table is ~num_perm*8 bytes/doc, so the default
+    gate caps each broadcast side at ~100 MB) instead of shuffling
+    |pairs| signature rows — measured ~2x on the 50k-doc verify chain,
+    with scored pairs bit-identical (a broadcast join returns the same
+    rows). The probe is the same bounded ``limit(n+1).count()`` pattern;
+    above the gate (or with ``broadcast_docs=None``) the all-shuffle
+    join-back runs unchanged, so the 100-TB plan shape is untouched.
+
     NULL-id rows never enter the pair graph (a pair with a NULL id could
     not be clustered or canonicalized downstream) — filtered here so BOTH
     engines share the law explicitly; the broadcast engine additionally
@@ -710,16 +733,22 @@ def minhash_lsh_pairs(
     if verify not in ("auto", "broadcast", "local"):
         raise ValueError(f"unknown verify mode {verify!r}")
     df = df.where(F.col(id_col).isNotNull())
+
+    def _bounded_sig_broadcast() -> bool:
+        # bounded probe, never a full count (the corpus may be 100 TB)
+        return (broadcast_docs is not None
+                and df.limit(broadcast_docs + 1).count() <= broadcast_docs)
+
     if verify == "local":
         return _minhash_lsh_pairs_local(
             df, text_col, id_col, num_perm, bands, r, shingle_k, seed,
-            max_bucket_size)
+            max_bucket_size, broadcast_sigs=_bounded_sig_broadcast())
     if verify == "auto":
         thr = min(auto_local_rows, max_broadcast_rows)
         if df.limit(thr + 1).count() > thr:
             return _minhash_lsh_pairs_local(
                 df, text_col, id_col, num_perm, bands, r, shingle_k, seed,
-                max_bucket_size)
+                max_bucket_size, broadcast_sigs=_bounded_sig_broadcast())
     elif df.limit(max_broadcast_rows + 1).count() > max_broadcast_rows:
         raise ValueError(
             f"corpus exceeds max_broadcast_rows={max_broadcast_rows}; "

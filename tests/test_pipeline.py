@@ -309,6 +309,25 @@ def test_minhash_lsh_local_parity(spark, docs_with_dups):
                           max_broadcast_rows=10, **kw)
 
 
+def test_minhash_lsh_local_sig_broadcast_gate_parity(spark, docs_with_dups):
+    """The local engine's gated broadcast signature join-back (r6) must
+    produce the exact pair set and est values of the all-shuffle join-back
+    (broadcast_docs=None disables the gate; above-gate corpora take the
+    same disabled path)."""
+    kw = dict(num_perm=64, bands=16, verify="local")
+    on = {(r["id_a"], r["id_b"]): r["est_jaccard"] for r in
+          minhash_lsh_pairs(docs_with_dups, **kw).collect()}
+    off = {(r["id_a"], r["id_b"]): r["est_jaccard"] for r in
+           minhash_lsh_pairs(docs_with_dups, broadcast_docs=None,
+                             **kw).collect()}
+    assert on == off and len(on) > 0
+    # a gate smaller than the corpus must also take the shuffle path
+    low = {(r["id_a"], r["id_b"]): r["est_jaccard"] for r in
+           minhash_lsh_pairs(docs_with_dups, broadcast_docs=3,
+                             **kw).collect()}
+    assert low == off
+
+
 def test_minhash_lsh_max_bucket_size(spark):
     """The degenerate-bucket cap drops exactly the oversized buckets'
     pairs, identically in both engines: a 12-doc boilerplate clique is
