@@ -85,7 +85,8 @@ def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 def word_jaccard_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
                        threshold: float = 0.8, method: str = "allpairs",
                        positional: bool = True,
-                       broadcast_docs: int = 100_000) -> DataFrame:
+                       broadcast_docs: int = 100_000,
+                       collect_verify_tokens: int = 3_000_000) -> DataFrame:
     """EXACT word-set Jaccard pairs at ``jaccard >= threshold``.
 
     ``method="allpairs"`` (default, the scale path): prefix-filtered
@@ -102,7 +103,15 @@ def word_jaccard_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc
     pass with no wide shuffles (measured ~2.5x at 5k template docs, where
     the shuffle plan sorts the |pairs| x |doc| expansion). Above the
     threshold the original all-shuffle plan runs unchanged — the probe is
-    a bounded ``limit(n+1).count()``, identical results either way."""
+    a bounded ``limit(n+1).count()``, identical results either way.
+
+    ``collect_verify_tokens``: within the broadcast gate, corpora whose
+    (id, token) table has at most this many rows additionally verify the
+    candidate pairs with a vectorized NumPy overlap kernel against a
+    collected token CSR (one searchsorted pass per Arrow batch) instead
+    of the |pairs| x |doc| expansion joins — same pairs, bit-identical
+    jaccard doubles (the kernel computes the same int64 overlap count
+    and the same IEEE double division)."""
     sets = df.select(
         F.col(id_col).alias("id"),
         F.array_distinct(F.split(F.col(text_col), " ")).alias("ws"),
@@ -126,12 +135,14 @@ def word_jaccard_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc
     small = (broadcast_docs is not None
              and df.limit(broadcast_docs + 1).count() <= broadcast_docs)
     return _word_jaccard_allpairs(sets, threshold, positional=positional,
-                                  broadcast=small)
+                                  broadcast=small,
+                                  collect_verify_tokens=collect_verify_tokens)
 
 
 def _word_jaccard_allpairs(sets: DataFrame, threshold: float,
                            positional: bool = True,
-                           broadcast: bool = False) -> DataFrame:
+                           broadcast: bool = False,
+                           collect_verify_tokens: int | None = 3_000_000) -> DataFrame:
     """Prefix-filtered exact similarity join — distributed, no cartesian.
 
     Completeness argument (Jaccard >= t => the pair survives filtering):
@@ -192,11 +203,16 @@ def _word_jaccard_allpairs(sets: DataFrame, threshold: float,
     sets = sets.where(F.col("ws").isNotNull()).withColumn("sz", F.size("ws"))
     toks = sets.select("id", "sz", F.explode("ws").alias("tok"))
     pinned: list[DataFrame] = []
+    use_collect = False
     if broadcast:
         from pyspark import StorageLevel
 
         toks = toks.persist(StorageLevel.MEMORY_AND_DISK)
         pinned.append(toks)
+        # the count doubles as the eager materialization of the persist;
+        # it gates the NumPy verify kernel (bounded driver collect) below
+        use_collect = (collect_verify_tokens is not None
+                       and toks.count() <= collect_verify_tokens)
     dfreq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
     w = Window.partitionBy("id").orderBy(F.asc("df"), F.asc("tok"))
     # fp guard: 0.8*5 = 4.000000000000001 would ceil to 5 and shorten the
@@ -254,6 +270,88 @@ def _word_jaccard_allpairs(sets: DataFrame, threshold: float,
         # while shrinking the |pairs| x |doc| expansion
         shared = toks.join(
             F.broadcast(dfreq.where(F.col("df") >= 2).select("tok")), "tok")
+    if use_collect:
+        # NumPy overlap verification (bounded corpora only): collect the
+        # df>=2 token table ONCE and broadcast it as a CSR of dense token
+        # codes; each Arrow batch of candidate pairs expands id_a's codes
+        # via the CSR and membership-tests them against id_b's sorted
+        # segment with one int64 searchsorted — the same overlap count
+        # the expansion joins aggregate, without the |pairs| x |doc|
+        # shuffle rows or the |pairs|-group hash aggregate. Every
+        # candidate pair shares >= 1 prefix token (df >= 2), so both ids
+        # are present in the CSR and the count is >= 1 — exactly the
+        # pairs the inner join keeps. jaccard is the identical int64
+        # count through the identical IEEE double division (long/long
+        # division is double division in Spark too).
+        import pandas as pd
+
+        pdf = (shared.where(F.col("id").isNotNull())
+               .select("id", "tok").toPandas())
+        spark = sets.sparkSession
+        if len(pdf):
+            id_codes, id_uniques = pd.factorize(pdf["id"].to_numpy())
+            tok_codes, _ = pd.factorize(pdf["tok"].to_numpy())
+            n_tok = int(tok_codes.max()) + 1
+            keys = np.sort(id_codes.astype(np.int64) * np.int64(n_tok)
+                           + tok_codes.astype(np.int64))
+            counts = np.bincount(id_codes,
+                                 minlength=len(id_uniques)).astype(np.int64)
+            offsets = np.concatenate(
+                [np.zeros(1, dtype=np.int64), np.cumsum(counts)])
+            payload = (list(id_uniques), keys, offsets, counts, n_tok)
+        else:  # no df>=2 token anywhere => cand is empty; keep kernel safe
+            payload = ([], np.empty(0, np.int64), np.zeros(1, np.int64),
+                       np.empty(0, np.int64), 1)
+        bc = spark.sparkContext.broadcast(payload)
+        id_t = sets.schema["id"].dataType.simpleString()
+        thr = float(threshold)
+
+        def verify_pairs(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+            idlist, keys, offsets, counts, n_tok = bc.value
+            pos = {v: i for i, v in enumerate(idlist)}
+            nkeys = len(keys)
+            vtok = np.int64(n_tok)
+            for batch in batches:
+                n = batch.num_rows
+                if not n:
+                    continue
+                a_vals = batch.column(0).to_pylist()
+                b_vals = batch.column(2).to_pylist()
+                ca = np.array([pos[x] for x in a_vals], dtype=np.int64)
+                cb = np.array([pos[x] for x in b_vals], dtype=np.int64)
+                la = counts[ca]
+                total = int(la.sum())
+                pair_idx = np.repeat(np.arange(n, dtype=np.int64), la)
+                cum = np.cumsum(la) - la
+                idx = (np.arange(total, dtype=np.int64)
+                       - np.repeat(cum, la) + np.repeat(offsets[ca], la))
+                tokc = keys[idx] - np.repeat(ca, la) * vtok
+                queries = np.repeat(cb, la) * vtok + tokc
+                p = np.searchsorted(keys, queries)
+                hit = p < nkeys
+                hit[hit] = keys[p[hit]] == queries[hit]
+                inter = np.bincount(pair_idx[hit], minlength=n)
+                sza = (batch.column(1).to_numpy(zero_copy_only=False)
+                       .astype(np.int64))
+                szb = (batch.column(3).to_numpy(zero_copy_only=False)
+                       .astype(np.int64))
+                jac = inter / (sza + szb - inter)
+                sel = np.flatnonzero(jac >= thr)
+                yield pa.RecordBatch.from_arrays(
+                    [pa.array([a_vals[i] for i in sel],
+                              type=batch.column(0).type),
+                     pa.array([b_vals[i] for i in sel],
+                              type=batch.column(2).type),
+                     pa.array(jac[sel], type=pa.float64())],
+                    names=["id_a", "id_b", "jaccard"])
+
+        verified = cand.mapInArrow(
+            verify_pairs, f"id_a {id_t}, id_b {id_t}, jaccard double")
+        if pinned:
+            from .cache import tag_cached_deps
+
+            return tag_cached_deps(verified, pinned)
+        return verified
     ta = shared.select(F.col("id").alias("id_a"), "tok")
     tb = shared.select(F.col("id").alias("id_b"), "tok")
     verified = (cand.join(F.broadcast(ta) if broadcast else ta, "id_a")
@@ -940,12 +1038,63 @@ def simhash_near_pairs(
 # ---------------------------------------------------------------------------
 
 
+def _driver_min_label(pdf):
+    """Min-label connected components of a collected edge list (pandas
+    columns ``a``, ``b``): returns (nodes, comps) arrays with comp = min
+    node id reachable, or None when any node id is NULL (the caller
+    falls back to the distributed rounds rather than guessing at pandas'
+    NULL coercions).
+
+    Vectorized NumPy contraction: nodes are ranked so index order = id
+    order (argsort; Python string order == Spark's UTF8String binary
+    order — UTF-8 encoding preserves codepoint order), labels start as
+    self-indices, and each round takes the min label across every edge
+    in both directions (``np.minimum.at``, unbuffered so duplicate
+    indices accumulate) followed by pointer jumping
+    (``labels = labels[labels]``) to a round-local fixpoint — O(E) work
+    per round, rounds ~ log(diameter). At the fixpoint every edge has
+    equal labels and every label is a self-labeled node, which forces
+    label = component min (any smaller member would have kept a smaller
+    self-label)."""
+    import pandas as pd
+
+    both = pd.concat([pdf["a"], pdf["b"]], ignore_index=True)
+    if both.isna().any():
+        return None
+    codes, uniques = pd.factorize(both.to_numpy())
+    m = len(pdf)
+    n = len(uniques)
+    if n == 0:
+        return uniques, uniques
+    order = np.argsort(uniques, kind="stable")
+    rank = np.empty(n, dtype=np.int64)
+    rank[order] = np.arange(n, dtype=np.int64)
+    ids_sorted = uniques[order]
+    ea = rank[codes[:m]]
+    eb = rank[codes[m:]]
+    labels = np.arange(n, dtype=np.int64)
+    while True:
+        new = labels.copy()
+        np.minimum.at(new, ea, labels[eb])
+        np.minimum.at(new, eb, labels[ea])
+        while True:
+            jumped = new[new]
+            if np.array_equal(jumped, new):
+                break
+            new = jumped
+        if np.array_equal(new, labels):
+            break
+        labels = new
+    return ids_sorted, ids_sorted[labels]
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "src",
     dst: str = "dst",
     max_iter: int = 25,
     checkpoint_dir: str | None = None,
+    driver_collect_edges: int | None = 2_000_000,
 ) -> DataFrame:
     """Connected components of an undirected edge list -> (node, component),
     component = min node id reachable.
@@ -972,7 +1121,20 @@ def connected_components(
     one FS write + read per round (labels are two ints/row, so the volume
     is tiny next to the round's own shuffles) vs surviving a 100-TB dedup
     run's worth of executor churn. Sets the session's checkpoint dir as a
-    side effect (Spark has one global checkpoint location per context)."""
+    side effect (Spark has one global checkpoint location per context).
+
+    ``driver_collect_edges``: near-dup pair graphs are tiny next to their
+    corpora (KB-scale per TB of text), so edge lists at or under this
+    many rows — a bounded ``limit(n+1).count()`` probe on the persisted
+    edge projection — are collected ONCE and labeled on the driver with
+    a vectorized min-label contraction (NumPy pointer jumping), replacing
+    the per-round join + checkpoint + convergence-count jobs with one
+    collect and one small local result relation. Labels are identical:
+    min reachable node id, with string nodes compared in the same
+    (UTF-8-order-preserving) order Spark uses. The driver path is
+    skipped when ``checkpoint_dir`` is set (the caller asked for
+    fault-tolerant distributed rounds) or when a node id is NULL; above
+    the gate the distributed plan runs unchanged."""
     if checkpoint_dir is not None:
         edges.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
 
@@ -983,6 +1145,28 @@ def connected_components(
     spark = edges.sparkSession
     n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
     sym = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    pinned_e = None
+    if driver_collect_edges is not None and checkpoint_dir is None:
+        from pyspark import StorageLevel
+
+        e = sym.persist(StorageLevel.MEMORY_AND_DISK)
+        if e.limit(driver_collect_edges + 1).count() <= driver_collect_edges:
+            pdf = e.toPandas()
+            e.unpersist()
+            labeled = _driver_min_label(pdf)
+            if labeled is not None:
+                nodes, comps = labeled
+                node_t = edges.schema[src].dataType
+                out_schema = StructType([StructField("node", node_t),
+                                         StructField("comp", node_t)])
+                import pandas as pd
+
+                return spark.createDataFrame(
+                    pd.DataFrame({"node": nodes, "comp": comps}), out_schema)
+            # NULL node ids: fall through to the distributed path
+        else:
+            sym = e  # reuse the probe's cache for the sym union below
+            pinned_e = e
     # hash-partition the (deduplicated) edge list by join key ONCE before
     # the checkpoint: every round's join then reuses this partitioning
     # instead of re-shuffling the edges per round (the checkpointed frame
@@ -993,6 +1177,8 @@ def connected_components(
     sym = (sym.union(sym.select(F.col("b").alias("a"), F.col("a").alias("b")))
            .repartition(n_parts, "a").dropDuplicates())
     sym = _save(sym)
+    if pinned_e is not None:  # _save is eager; the probe cache is done
+        pinned_e.unpersist()
     # seed labels one round ahead: min(node, min neighbor) is exactly the
     # state after round 1 of plain min-label propagation, computed in the
     # same aggregate that would otherwise just build the distinct node

@@ -2290,8 +2290,9 @@ def test_dedup_substring_clusters(spark):
 
 
 def test_word_jaccard_broadcast_matches_shuffle_plan(spark, sf001_dir):
-    """r6: the bounded-corpus broadcast plan and the all-shuffle plan of
-    the AllPairs join return identical pairs and jaccard values."""
+    """r6: the bounded-corpus broadcast plan (with its NumPy collect-verify
+    kernel), the broadcast plan with JOIN verification, and the all-shuffle
+    plan of the AllPairs join return identical pairs and jaccard values."""
     from pyspark.sql import functions as F
 
     from ddsketchy_spark.pipeline.cache import release_cached_deps
@@ -2301,12 +2302,49 @@ def test_word_jaccard_broadcast_matches_shuffle_plan(spark, sf001_dir):
     dup = docs.unionByName(
         docs.filter("doc_id < 20")
         .withColumn("doc_id", F.col("doc_id") + 100000))
-    bro = word_jaccard_pairs(dup, threshold=0.8)          # broadcast plan
+    bro = word_jaccard_pairs(dup, threshold=0.8)          # collect-verify
+    jon = word_jaccard_pairs(dup, threshold=0.8,          # broadcast joins
+                             collect_verify_tokens=None)
     shf = word_jaccard_pairs(dup, threshold=0.8, broadcast_docs=0)
     got = sorted(map(tuple, bro.collect()))
+    join_got = sorted(map(tuple, jon.collect()))
     want = sorted(map(tuple, shf.collect()))
     assert got == want and len(got) > 0
+    assert join_got == want
     release_cached_deps(bro)
+    release_cached_deps(jon)
+
+
+def test_connected_components_driver_matches_distributed(spark):
+    """r6: the bounded-graph driver labeling (collected edges, NumPy
+    min-label contraction) must produce exactly the distributed rounds'
+    labels on randomized graphs, string-id graphs, and chains."""
+    import numpy as np
+
+    from ddsketchy_spark.pipeline.dedup import connected_components
+
+    rng = np.random.default_rng(7)
+    for trial in range(4):
+        n = int(rng.integers(2, 40))
+        m = int(rng.integers(1, 80))
+        edges = [(int(rng.integers(0, n)), int(rng.integers(0, n)))
+                 for _ in range(m)] + [(i, i + 1) for i in range(0, n - 1, 3)]
+        df = spark.createDataFrame(edges, "src long, dst long")
+        drv = {r["node"]: r["comp"] for r in
+               connected_components(df).collect()}
+        dist = {r["node"]: r["comp"] for r in
+                connected_components(df, driver_collect_edges=None).collect()}
+        assert drv == dist, trial
+    sdf = spark.createDataFrame([("a", "b"), ("b", "c"), ("x", "y")],
+                                "src string, dst string")
+    drv = {r["node"]: r["comp"] for r in connected_components(sdf).collect()}
+    assert drv == {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x"}
+    # a NULL node id falls back to the distributed path (same labels)
+    ndf = spark.createDataFrame([(1, 2), (None, 3)], "src long, dst long")
+    drv = {tuple(r) for r in connected_components(ndf).collect()}
+    dist = {tuple(r) for r in
+            connected_components(ndf, driver_collect_edges=None).collect()}
+    assert drv == dist
 
 
 def test_bpe_round1_cast_invariance(spark):
