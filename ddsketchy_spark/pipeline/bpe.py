@@ -48,7 +48,15 @@ import numpy as np
 import pyarrow as pa
 
 from pyspark.sql import DataFrame, Window, functions as F
-from pyspark.sql.types import ArrayType, IntegerType, StructField, StructType
+from pyspark.sql.types import (
+    ArrayType,
+    ByteType,
+    IntegerType,
+    LongType,
+    ShortType,
+    StructField,
+    StructType,
+)
 
 SEP = "\x1f"   # unit separator: symbol boundary
 JOIN = "\x1e"  # record separator: glues the two halves of a merged symbol
@@ -69,6 +77,154 @@ def _to_string_form(df: DataFrame, arr_col: str) -> DataFrame:
                 F.lit(SEP),
                 F.array_join(a.cast("array<string>"), SEP + SEP),
                 F.lit(SEP)).alias("s")))
+
+
+def _make_pair_merge(ca: int, cb: int, mcode: int, col_name: str):
+    """mapInArrow kernel fusing every greedy left-to-right non-overlapping
+    adjacent ``(ca, cb)`` occurrence in an integer token array into the
+    fresh code ``mcode`` — the BPE merge law on the native representation.
+
+    Greedy parity with the string engine's ``F.replace`` (which scans
+    left to right and never rescans replaced output): when ``ca != cb``
+    two matches can never overlap (a match at p and p+1 would force
+    ``flat[p+1] == cb == ca``), and when ``ca == cb`` runs of consecutive
+    match positions keep alternate members starting from the run head
+    (``a a a`` fuses its first two symbols only, like the sequential
+    reference). Cross-row positions are masked via the list offsets, so
+    a pair never fuses across documents — exactly the per-string scan.
+
+    All vectorized: one boolean match pass, one overlap-parity pass over
+    the (sparse) match list, one masked copy-out; per-task temps are a
+    few flat-token-sized arrays."""
+
+    def run(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            col = batch.column(0)
+            n_rows = batch.num_rows
+            if not n_rows:
+                continue
+            lens = np.diff(col.offsets.to_numpy().astype(np.int64))
+            flat_pa = col.flatten()
+            flat = flat_pa.to_numpy(zero_copy_only=False)
+            nf = len(flat)
+            if nf < 2:
+                yield batch
+                continue
+            m = np.empty(nf - 1, dtype=bool)
+            np.equal(flat[:-1], ca, out=m)
+            m &= flat[1:] == cb
+            cum = np.cumsum(lens)
+            # a pair at position p spans flat[p], flat[p+1]; p+1 must not
+            # be a row start (cum[i] is row i+1's start)
+            m[cum[:-1] - 1] = False
+            idx = np.flatnonzero(m)
+            if ca == cb and len(idx) > 1:
+                newrun = np.empty(len(idx), dtype=bool)
+                newrun[0] = True
+                np.not_equal(np.diff(idx), 1, out=newrun[1:])
+                run_start = idx[newrun][np.cumsum(newrun) - 1]
+                idx = idx[((idx - run_start) & 1) == 0]
+            if not len(idx):
+                yield batch
+                continue
+            out_vals = flat.copy()
+            out_vals[idx] = mcode
+            keep = np.ones(nf, dtype=bool)
+            keep[idx + 1] = False
+            out_vals = out_vals[keep]
+            row_of = np.searchsorted(cum, idx, side="right")
+            new_lens = lens - np.bincount(row_of, minlength=n_rows)
+            offs = np.empty(n_rows + 1, dtype=np.int64)
+            offs[0] = 0
+            np.cumsum(new_lens, out=offs[1:])
+            arr2 = pa.ListArray.from_arrays(
+                pa.array(offs, type=pa.int32()),
+                pa.array(out_vals, type=flat_pa.type))
+            yield pa.RecordBatch.from_arrays([arr2], names=[col_name])
+
+    return run
+
+
+def _train_int_native(spark, base: DataFrame, arr_col: str, n_merges: int,
+                      min_count: int) -> DataFrame:
+    """All rounds over the NATIVE integer arrays — no string-form corpus.
+
+    Per round: one codegen pair-count pass over the cached int arrays
+    (the hash aggregate groups narrow native pairs) and one vectorized
+    ``_make_pair_merge`` transform persisted for the next round. Merged
+    symbols get fresh NEGATIVE codes ``-round`` (collision-free: the
+    caller gates this engine on ``min(element) >= 0``), and the argmax
+    tie order translates codes back to their string-form symbols with a
+    literal map (original code -> its decimal cast; merged code -> the
+    ``left + JOIN + right`` composite), so the selected merges — counts,
+    symbols, tie-breaks — are exactly the string engine's.
+
+    Equivalence sketch (pinned by ``test_bpe_int_native_parity``): the
+    translation code->string is injective (decimal strings never contain
+    JOIN; a pair merges at most once, so composites are distinct), hence
+    pair multisets and their count orders coincide; and the transform's
+    greedy scan is ``F.replace``'s (see ``_make_pair_merge``). Induction
+    over rounds gives identical merge tables. This is the engine that
+    fixes the 32k-vocabulary cost model: a round costs one pass over
+    int arrays (4 bytes/token) instead of the delimited string corpus
+    (~7 bytes/token plus a split per round), with no checkpoint-window
+    replace stacking — each round's corpus is materialized int arrays."""
+    from pyspark import StorageLevel
+
+    arr = F.col(arr_col)
+    elem_dt = base.schema[arr_col].dataType.elementType.simpleString()
+    schema_str = f"{arr_col} array<{elem_dt}>"
+    merges: list[tuple] = []
+    merged_strs: dict[int, str] = {}
+    pinned = [base]
+    cur = base
+    try:
+        for r in range(1, n_merges + 1):
+            if merged_strs:
+                mp = F.create_map(*[F.lit(v) for kv in merged_strs.items()
+                                    for v in kv])
+
+                def trans(c, _mp=mp):
+                    return F.coalesce(_mp[c.cast("long")], c.cast("string"))
+            else:
+                def trans(c):
+                    return c.cast("string")
+            n = F.size(arr)
+            prs = F.when(n >= 2, F.arrays_zip(
+                F.slice(arr, 1, n - 1).alias("a"),
+                F.slice(arr, 2, n - 1).alias("b")))
+            best = (cur.select(F.explode(prs).alias("p"))
+                    .select(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+                    .groupBy("a", "b")
+                    .agg(F.count(F.lit(1)).alias("cnt"))
+                    .orderBy(F.desc("cnt"), trans(F.col("a")).asc(),
+                             trans(F.col("b")).asc())
+                    .limit(1)
+                    .select(F.col("a").cast("long").alias("ca"),
+                            F.col("b").cast("long").alias("cb"),
+                            trans(F.col("a")).alias("a"),
+                            trans(F.col("b")).alias("b"), "cnt")
+                    .collect())
+            if not best or best[0]["cnt"] < min_count:
+                break
+            ca, cb = int(best[0]["ca"]), int(best[0]["cb"])
+            merges.append((r, best[0]["a"], best[0]["b"],
+                           int(best[0]["cnt"])))
+            if r == n_merges:
+                break
+            mcode = -r
+            merged_strs[mcode] = best[0]["a"] + JOIN + best[0]["b"]
+            nxt = (cur.mapInArrow(_make_pair_merge(ca, cb, mcode, arr_col),
+                                  schema_str)
+                   .persist(StorageLevel.MEMORY_AND_DISK))
+            nxt.count()
+            for p in pinned:
+                p.unpersist()
+            pinned, cur = [nxt], nxt
+    finally:
+        for p in pinned:
+            p.unpersist()
+    return spark.createDataFrame(merges, _MERGE_SCHEMA)
 
 
 def _validate_symbols(df: DataFrame, arr_col: str) -> None:
@@ -154,6 +310,18 @@ def train_bpe_merges(
             .repartition(n_partitions
                          or spark.sparkContext.defaultParallelism)
             .persist(StorageLevel.MEMORY_AND_DISK))
+    elem = df.schema[arr_col].dataType
+    if (n_merges and isinstance(elem, ArrayType) and isinstance(
+            elem.elementType, (ByteType, ShortType, IntegerType, LongType))):
+        # non-negative int corpora train fully natively (negative codes
+        # are then free for merged symbols); the gate aggregate doubles
+        # as the eager materialization of the persist. Negative symbols
+        # fall through to the string engine below (identical results —
+        # the cast-invariance law).
+        mn = base.agg(F.min(F.array_min(arr)).alias("mn")).first()["mn"]
+        if mn is not None and mn >= 0:
+            return _train_int_native(spark, base, arr_col, n_merges,
+                                     min_count)
     cur = (_to_string_form(base, arr_col)
            .persist(StorageLevel.MEMORY_AND_DISK))
     pinned = [base, cur]

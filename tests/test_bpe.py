@@ -229,3 +229,39 @@ def test_validation_rejects_bad_symbols(spark):
         train_bpe_merges(df4, "w", n_merges=1)
     with pytest.raises(ValueError, match="empty-string"):
         apply_bpe_merges(df4, [("a", "b")], "w")
+
+
+def test_bpe_int_native_parity(spark):
+    """r6: the all-native integer training rounds (negative merge codes,
+    NumPy pair-merge transform, translated tie order) must produce
+    exactly the string engine's merge table — counts, symbols, order —
+    on randomized tiny-vocab corpora where same-symbol runs force the
+    greedy-overlap law, and on a negative-token corpus (which must fall
+    back to the string engine)."""
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    for trial in range(4):
+        rows = []
+        for _ in range(int(rng.integers(3, 30))):
+            ln = int(rng.integers(2, 20))
+            rows.append(([int(x) for x in rng.integers(0, 4, ln)],))
+        ints = spark.createDataFrame(rows, "tokens array<int>")
+        strs = ints.withColumn("tokens",
+                               F.col("tokens").cast("array<string>"))
+        nm = int(rng.integers(1, 6))
+        mi = [tuple(r) for r in train_bpe_merges(
+            ints, "tokens", n_merges=nm, min_count=1,
+            validate=False).collect()]
+        ms = [tuple(r) for r in train_bpe_merges(
+            strs, "tokens", n_merges=nm, min_count=1,
+            validate=False).collect()]
+        assert mi == ms, (trial, nm)
+    negs = spark.createDataFrame(
+        [([-1, 2, -1, 2, 3],), ([2, -1, 2, -1],)], "tokens array<int>")
+    negs_s = negs.withColumn("tokens", F.col("tokens").cast("array<string>"))
+    a = [tuple(r) for r in train_bpe_merges(
+        negs, "tokens", n_merges=2, min_count=1, validate=False).collect()]
+    b = [tuple(r) for r in train_bpe_merges(
+        negs_s, "tokens", n_merges=2, min_count=1, validate=False).collect()]
+    assert a == b and len(a) == 2
