@@ -171,12 +171,22 @@ def _train_int_native(spark, base: DataFrame, arr_col: str, n_merges: int,
     replace stacking — each round's corpus is materialized int arrays."""
     from pyspark import StorageLevel
 
+    from .text import array_pair_counts
+
     arr = F.col(arr_col)
-    elem_dt = base.schema[arr_col].dataType.elementType.simpleString()
-    schema_str = f"{arr_col} array<{elem_dt}>"
+    orig = base  # the caller's persisted frame — always released below
+    elem_dt = base.schema[arr_col].dataType.elementType
+    if isinstance(elem_dt, (ByteType, ShortType)):
+        # negative merge codes -round would overflow int8/int16 past 127
+        # (resp. 32767) merges — silent wraparound on NumPy 1.x. Upcast
+        # the working corpus to int once (a cache-fed projection); the
+        # pair counts and string casts are value-identical.
+        base = base.select(arr.cast("array<int>").alias(arr_col))
+        elem_dt = IntegerType()
+    schema_str = f"{arr_col} array<{elem_dt.simpleString()}>"
     merges: list[tuple] = []
     merged_strs: dict[int, str] = {}
-    pinned = [base]
+    pinned = [orig]
     cur = base
     try:
         for r in range(1, n_merges + 1):
@@ -189,14 +199,7 @@ def _train_int_native(spark, base: DataFrame, arr_col: str, n_merges: int,
             else:
                 def trans(c):
                     return c.cast("string")
-            n = F.size(arr)
-            prs = F.when(n >= 2, F.arrays_zip(
-                F.slice(arr, 1, n - 1).alias("a"),
-                F.slice(arr, 2, n - 1).alias("b")))
-            best = (cur.select(F.explode(prs).alias("p"))
-                    .select(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
-                    .groupBy("a", "b")
-                    .agg(F.count(F.lit(1)).alias("cnt"))
+            best = (array_pair_counts(cur, arr_col)
                     .orderBy(F.desc("cnt"), trans(F.col("a")).asc(),
                              trans(F.col("b")).asc())
                     .limit(1)

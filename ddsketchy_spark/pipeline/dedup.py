@@ -287,6 +287,13 @@ def _word_jaccard_allpairs(sets: DataFrame, threshold: float,
 
         pdf = (shared.where(F.col("id").isNotNull())
                .select("id", "tok").toPandas())
+        if pdf["id"].isna().any():
+            # a NaN DOUBLE id survives isNotNull but pandas' factorize
+            # drops NaN and the kernel's dict lookup cannot normalize it
+            # — keep the join plan, whose NaN-normalizing join semantics
+            # define the law for such ids (CLAUDE.md NaN-key rule)
+            use_collect = False
+    if use_collect:
         spark = sets.sparkSession
         if len(pdf):
             id_codes, id_uniques = pd.factorize(pdf["id"].to_numpy())
@@ -1152,9 +1159,9 @@ def connected_components(
         e = sym.persist(StorageLevel.MEMORY_AND_DISK)
         if e.limit(driver_collect_edges + 1).count() <= driver_collect_edges:
             pdf = e.toPandas()
-            e.unpersist()
             labeled = _driver_min_label(pdf)
             if labeled is not None:
+                e.unpersist()
                 nodes, comps = labeled
                 node_t = edges.schema[src].dataType
                 out_schema = StructType([StructField("node", node_t),
@@ -1163,7 +1170,10 @@ def connected_components(
 
                 return spark.createDataFrame(
                     pd.DataFrame({"node": nodes, "comp": comps}), out_schema)
-            # NULL node ids: fall through to the distributed path
+            # NULL node ids: fall through to the distributed path, which
+            # reuses the probe's cache instead of recomputing the edges
+            sym = e
+            pinned_e = e
         else:
             sym = e  # reuse the probe's cache for the sym union below
             pinned_e = e

@@ -265,3 +265,14 @@ def test_bpe_int_native_parity(spark):
     b = [tuple(r) for r in train_bpe_merges(
         negs_s, "tokens", n_merges=2, min_count=1, validate=False).collect()]
     assert a == b and len(a) == 2
+    # byte/short corpora upcast (negative merge codes would overflow the
+    # narrow dtype): identical merges to the string twin
+    for t in ("tinyint", "smallint"):
+        bt = spark.createDataFrame(
+            [([1, 2, 1, 2, 1, 1, 1],), ([2, 1, 2, 2],)], f"tokens array<{t}>")
+        bs = bt.withColumn("tokens", F.col("tokens").cast("array<string>"))
+        mi = [tuple(r) for r in train_bpe_merges(
+            bt, "tokens", n_merges=3, min_count=1, validate=False).collect()]
+        ms = [tuple(r) for r in train_bpe_merges(
+            bs, "tokens", n_merges=3, min_count=1, validate=False).collect()]
+        assert mi == ms and len(mi) == 3, t

@@ -2313,6 +2313,20 @@ def test_word_jaccard_broadcast_matches_shuffle_plan(spark, sf001_dir):
     assert join_got == want
     release_cached_deps(bro)
     release_cached_deps(jon)
+    # NaN DOUBLE ids: the collect kernel cannot normalize NaN dict keys,
+    # so the engine must fall back to the join plan (whose NaN-normalizing
+    # join semantics define the law) — results equal the shuffle plan's
+    nan = float("nan")
+    ndocs = spark.createDataFrame(
+        [(1.0, "p q r s"), (2.0, "p q r s"), (nan, "p q r s"), (3.0, "x y")],
+        "doc_id double, text string")
+    got_n = word_jaccard_pairs(ndocs, threshold=0.9).collect()
+    want_n = word_jaccard_pairs(ndocs, threshold=0.9,
+                                broadcast_docs=0).collect()
+    def key(rows):
+        return sorted((str(r["id_a"]), str(r["id_b"]), r["jaccard"])
+                      for r in rows)
+    assert key(got_n) == key(want_n) and len(got_n) >= 1
 
 
 def test_connected_components_driver_matches_distributed(spark):
