@@ -654,6 +654,103 @@ def _check_increment_vec(inc_df: DataFrame, meta: dict,
             f"was built at dim {meta['dim']} — cosines would be garbage")
 
 
+def _cosine_probe_collected(spark, bands_df, vecs_df, meta, id_field,
+                            enr_pdf, max_bucket_size, pushdown_buckets):
+    """The bounded-increment probe plan over a COLLECTED enrichment.
+
+    Same laws as the distributed plan, job for job cheaper: the
+    increment's band rows and touched (blk, key) set are driver-built
+    local relations (broadcast into the candidacy join), the pushed
+    key-IN predicate comes straight from the collected keys (no extra
+    collect job), the inc-side ``max_bucket_size`` counts are computed
+    in Python over the same band rows, and scoring gathers the
+    increment's normalized vector from a broadcast matrix — the corpus
+    vector still arrives through the vecs join, and the cosine is the
+    identical einsum over the identical float64 rows."""
+    import numpy as np
+    import pyarrow as pa
+
+    from pyspark.sql.types import (
+        DoubleType, LongType, StructField, StructType)
+
+    from .cache import tag_cached_deps
+
+    id_col = meta["id_col"]
+    bands = meta["bands"]
+    dim = meta["dim"]
+    id_t = id_field.dataType
+    out_schema_t = StructType([StructField("id_inc", id_t),
+                               StructField("id_corpus", id_t),
+                               StructField("cos", DoubleType())])
+    n = len(enr_pdf)
+    if n == 0:
+        return tag_cached_deps(
+            spark.createDataFrame([], out_schema_t), [])
+    ids = enr_pdf["id"].tolist()
+    keys_mat = np.stack(enr_pdf["keys"].to_numpy()).astype(np.int64)
+    nvec_mat = np.stack(enr_pdf["nvec"].to_numpy()).astype(np.float64)
+
+    pair_counts: dict[tuple[int, int], int] = {}
+    for i in range(n):
+        for b in range(bands):
+            bk = (b, int(keys_mat[i, b]))
+            pair_counts[bk] = pair_counts.get(bk, 0) + 1
+    pushed = None
+    if pushdown_buckets and len(pair_counts) <= pushdown_buckets:
+        pushed = sorted({k for _, k in pair_counts})
+    scan = (bands_df.where(F.col("key").isin(pushed))
+            if pushed is not None else bands_df)
+    touched = spark.createDataFrame(sorted(pair_counts),
+                                    "blk long, key long")
+    cand_corpus = scan.join(F.broadcast(touched), ["blk", "key"])
+    if max_bucket_size is not None:
+        ok = (cand_corpus.groupBy("blk", "key")
+              .agg(F.count(F.lit(1)).alias("_bn"))
+              .where(F.col("_bn") <= max_bucket_size).drop("_bn"))
+        cand_corpus = cand_corpus.join(ok, ["blk", "key"])
+    banded_schema = StructType([StructField("id", id_t),
+                                StructField("blk", LongType()),
+                                StructField("key", LongType())])
+    inc_rows = [(ids[i], b, int(keys_mat[i, b]))
+                for i in range(n) for b in range(bands)
+                if max_bucket_size is None
+                or pair_counts[(b, int(keys_mat[i, b]))] <= max_bucket_size]
+    inc_banded = spark.createDataFrame(inc_rows, banded_schema)
+
+    c, i_ = cand_corpus.alias("c"), inc_banded.alias("i")
+    cand = (c.join(F.broadcast(i_),
+                   (F.col("c.blk") == F.col("i.blk"))
+                   & (F.col("c.key") == F.col("i.key"))
+                   & (F.col(f"c.{id_col}") != F.col("i.id")))
+            .select(F.col("i.id").alias("id_inc"),
+                    F.col(f"c.{id_col}").alias("id_corpus"))
+            .dropDuplicates(["id_inc", "id_corpus"]))
+    vc = vecs_df.select(F.col(id_col).alias("id_corpus"),
+                        F.col("nvec").alias("_vb"))
+    paired = cand.join(vc, "id_corpus").select("id_inc", "id_corpus", "_vb")
+    bc = spark.sparkContext.broadcast((ids, nvec_mat))
+    out_schema = (f"id_inc {id_t.simpleString()}, "
+                  f"id_corpus {id_t.simpleString()}, cos double")
+
+    def score(batches):
+        idlist, mat = bc.value
+        pos = {x: j for j, x in enumerate(idlist)}
+        for batch in batches:
+            nn = batch.num_rows
+            if not nn:
+                continue
+            ia = np.array([pos[x] for x in batch.column(0).to_pylist()],
+                          dtype=np.int64)
+            va = mat[ia]
+            vb = batch.column(2).flatten().to_numpy().reshape(nn, dim)
+            cos = np.einsum("ij,ij->i", va, vb)
+            yield pa.RecordBatch.from_arrays(
+                [batch.column(0), batch.column(1), pa.array(cos)],
+                names=["id_inc", "id_corpus", "cos"])
+
+    return tag_cached_deps(paired.mapInArrow(score, out_schema), [])
+
+
 def cosine_pairs_against_index(
     inc_df: DataFrame,
     index,
@@ -662,6 +759,7 @@ def cosine_pairs_against_index(
     auto_broadcast_rows: int = 2_000_000,
     max_bucket_size: int | None = None,
     pushdown_buckets: int = 10_000,
+    collect_increment_rows: int | None = 50_000,
 ) -> DataFrame:
     """Cross semantic near-duplicate candidate pairs between an increment
     and an indexed corpus: (id_inc, id_corpus, cos).
@@ -686,7 +784,19 @@ def cosine_pairs_against_index(
     ``max_bucket_size``
     caps per-(blk, key) membership counted over candidate corpus rows
     and increment rows separately. A doc id present on BOTH sides never
-    pairs with itself."""
+    pairs with itself.
+
+    ``collect_increment_rows``: increments at or under this many rows
+    (bounded ``limit(n+1).count()`` probe; only with
+    ``broadcast_increment`` "auto"/True) run the COLLECTED probe plan —
+    the enriched increment (same ``_lsh_enriched`` kernel, so nvec/keys
+    are bit-identical) is collected once; its band rows and touched
+    buckets become local relations and scoring gathers the increment
+    vector from a broadcast matrix, removing the distributed enrichment
+    persist, the touched-collect job and one join from every probe.
+    Pairs and cosines are identical (same candidacy joins, same einsum
+    over the same float64 rows). NaN DOUBLE ids fall back to the
+    distributed plan (pandas cannot key NaN)."""
     from pyspark import StorageLevel
 
     from .cache import tag_cached_deps
@@ -704,6 +814,17 @@ def cosine_pairs_against_index(
     v = inc.select(F.col(id_col).alias("id"),
                    F.col(vcol).cast("array<double>").alias("vec"))
     id_field = inc_df.schema[id_col]
+    if (collect_increment_rows is not None
+            and broadcast_increment in ("auto", True)
+            and inc.limit(collect_increment_rows + 1).count()
+            <= collect_increment_rows):
+        enr_pdf = _lsh_enriched(v, id_field, planes, meta["n_planes"],
+                                meta["bands"], meta["width"]).toPandas()
+        if not enr_pdf["id"].isna().any():
+            return _cosine_probe_collected(
+                spark, bands_df, vecs_df, meta, id_field, enr_pdf,
+                max_bucket_size, pushdown_buckets)
+        # NaN double ids: fall through to the distributed plan below
     enriched = _lsh_enriched(
         v, id_field, planes, meta["n_planes"], meta["bands"], meta["width"]
     ).persist(StorageLevel.MEMORY_AND_DISK)

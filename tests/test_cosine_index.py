@@ -420,3 +420,25 @@ def test_cosine_index_compaction(spark, tmp_path):
     assert {t: table_rows(t) for t in ("bands", "vecs")} == before
     assert sorted(map(tuple, cosine_pairs_against_index(
         inc, path).collect())) == before_probe
+
+
+def test_collected_probe_matches_distributed(spark, corpus, index_path):
+    """r6: the bounded-increment COLLECTED probe plan (local band
+    relations, broadcast-matrix scoring) returns exactly the distributed
+    plan's pairs and cosines, including under max_bucket_size (inc-side
+    counts computed on the driver) and with pushdown disabled."""
+    from ddsketchy_spark.pipeline.cache import release_cached_deps
+    from ddsketchy_spark.pipeline.dedup_index import (
+        cosine_pairs_against_index)
+
+    inc = _increment(spark)
+    for kw in ({}, {"max_bucket_size": 2}, {"pushdown_buckets": 0}):
+        col = cosine_pairs_against_index(inc, index_path, **kw)
+        dist = cosine_pairs_against_index(inc, index_path,
+                                          collect_increment_rows=None, **kw)
+        got = sorted(map(tuple, col.collect()))
+        want = sorted(map(tuple, dist.collect()))
+        release_cached_deps(col)
+        release_cached_deps(dist)
+        assert got == want, kw
+    assert len(want) >= 0
